@@ -1,0 +1,167 @@
+"""Entity-linking core: an in-memory hybrid index over the entity catalog.
+
+This is the broadcast "small side" of the linking stage. The catalog
+(~10^3..10^6 entities, the dimension table) is turned into an
+``EntityIndex`` ONCE per linker actor (stages/link.py builds it in
+``__init__`` from a ``ray.put`` handle); the 10^12-turn mention stream is
+then linked against it batch by batch with no shuffle — the same shape as
+the reference's resolver module index (a dict built once over all files,
+then probed per edge; reference: deps/extractor.py:94-98,
+deps/resolver.py:109-160).
+
+Retrieval per mention reproduces the reference's hybrid core:
+  dense top-k (cosine over embeddings; pgvector's ``1 - cosine_distance``
+  scoring, reference hybrid.py:252) + keyword top-k (tf-idf over the
+  'simple'-config token stream, standing in for ts_rank) fused via
+  RRF(k=60) with the keyword tiebreak, then canonical boost x2.
+
+Acceptance rule (documented deviation, shared with the oracle): a link is
+accepted only when it has keyword evidence (match_type keyword/both) or a
+near-exact dense match (cosine >= 0.99). With hash-embeddings the dense
+channel is an exact-match detector plus deterministic noise; requiring
+corroboration keeps not-in-catalog mentions unlinked instead of linking
+them to rank-1 noise. A real encoder swaps in behind stages/encode.py
+without touching this logic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+import math
+
+import numpy as np
+
+from .hashing import EMBED_DIM, hash_embeddings
+from .rrf import apply_canonical_boost, prefetch_limit, rrf_fuse
+from .tokenize import enrich_text_tokens, normalize_query_tokens
+
+DENSE_EXACT_THRESHOLD = 0.99
+DEFAULT_LIMIT = 5
+
+
+@dataclass
+class LinkResult:
+    entity_id: str
+    surface: str
+    fused_score: float
+    match_type: str
+
+
+class EntityIndex:
+    """Hybrid (dense + keyword) index over catalog surface forms.
+
+    One candidate document per (entity_id, surface_form): the canonical
+    name plus every alias. Embeddings are L2-normalized hash-embeddings of
+    the surface form; keyword postings are built from the enriched token
+    stream of ``surface + description`` (document side enriched, query
+    side natural — the reference's asymmetric tokenization,
+    docs/retrieval.md:70-75).
+    """
+
+    def __init__(self, catalog_rows: list[dict], dim: int = EMBED_DIM):
+        keys: list[str] = []
+        entity_ids: list[str] = []
+        surfaces: list[str] = []
+        is_canonical: list[bool] = []
+        doc_token_lists: list[list[str]] = []
+
+        for row in catalog_rows:
+            eid = row["entity_id"]
+            desc = row.get("description", "") or ""
+            forms = [(row["canonical_name"], True)]
+            forms += [(a, False) for a in (row.get("aliases") or [])]
+            seen_surface: set[str] = set()
+            for surface, canon in forms:
+                if surface in seen_surface:
+                    continue
+                seen_surface.add(surface)
+                keys.append(f"{eid}|{surface}")
+                entity_ids.append(eid)
+                surfaces.append(surface)
+                is_canonical.append(canon)
+                toks = [t.lower() for t in enrich_text_tokens(surface + " " + desc)]
+                doc_token_lists.append(toks)
+
+        self.keys = keys
+        self.entity_ids = entity_ids
+        self.surfaces = surfaces
+        self.is_canonical = dict(zip(keys, is_canonical))
+        self.n_docs = len(keys)
+
+        emb = hash_embeddings(surfaces, dim)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        self.emb = (emb / norms).astype(np.float32)
+
+        # inverted postings: token -> (doc_idx array, tf array)
+        postings: dict[str, dict[int, int]] = {}
+        self.doc_len = np.zeros(self.n_docs, dtype=np.float32)
+        for i, toks in enumerate(doc_token_lists):
+            self.doc_len[i] = max(1.0, math.sqrt(len(toks)))
+            for t in toks:
+                postings.setdefault(t, {}).setdefault(i, 0)
+                postings[t][i] += 1
+        self.postings = {
+            t: (
+                np.fromiter(d.keys(), dtype=np.int64, count=len(d)),
+                np.fromiter(d.values(), dtype=np.float32, count=len(d)),
+            )
+            for t, d in postings.items()
+        }
+        self.idf = {
+            t: math.log(1.0 + self.n_docs / len(idxs[0])) for t, idxs in self.postings.items()
+        }
+
+    # ------------------------------------------------------------------
+
+    def _dense_ranked(self, qvec: np.ndarray, prefetch: int) -> list[tuple[str, float]]:
+        if self.n_docs == 0:
+            return []
+        scores = self.emb @ qvec
+        k = min(prefetch, self.n_docs)
+        idx = np.argpartition(-scores, k - 1)[:k]
+        # deterministic order: score desc, key asc
+        order = sorted(idx.tolist(), key=lambda i: (-float(scores[i]), self.keys[i]))
+        return [(self.keys[i], float(scores[i])) for i in order]
+
+    def _keyword_ranked(self, query: str, prefetch: int) -> list[tuple[str, float]]:
+        qtoks = [t.lower() for t in normalize_query_tokens(query)]
+        if not qtoks:
+            return []
+        acc = np.zeros(self.n_docs, dtype=np.float32)
+        hit = False
+        for t in set(qtoks):
+            p = self.postings.get(t)
+            if p is None:
+                continue
+            hit = True
+            idxs, tfs = p
+            acc[idxs] += np.float32(self.idf[t]) * np.minimum(tfs, 4.0)
+        if not hit:
+            return []
+        acc = acc / self.doc_len
+        nz = np.nonzero(acc)[0]
+        k = min(prefetch, len(nz))
+        top = nz[np.argpartition(-acc[nz], k - 1)[:k]] if len(nz) > k else nz
+        order = sorted(top.tolist(), key=lambda i: (-float(acc[i]), self.keys[i]))
+        return [(self.keys[i], float(acc[i])) for i in order[:prefetch]]
+
+    # ------------------------------------------------------------------
+
+    def link(self, mention: str, limit: int = DEFAULT_LIMIT) -> LinkResult | None:
+        """Hybrid-link one mention surface form; None when unlinkable."""
+        prefetch = prefetch_limit(limit)
+        qvec = hash_embeddings([mention])[0]
+        qn = np.linalg.norm(qvec)
+        if qn > 0:
+            qvec = qvec / qn
+        dense = self._dense_ranked(qvec, prefetch)
+        keyword = self._keyword_ranked(mention, prefetch)
+        fused = rrf_fuse(dense, keyword)
+        fused = apply_canonical_boost(fused, self.is_canonical)
+        for c in fused[:limit]:
+            dense_exact = c.vector_score is not None and c.vector_score >= DENSE_EXACT_THRESHOLD
+            if c.match_type in ("keyword", "both") or dense_exact:
+                eid, surface = c.key.split("|", 1)
+                return LinkResult(eid, surface, c.fused_score, c.match_type)
+        return None

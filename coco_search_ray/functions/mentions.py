@@ -1,0 +1,68 @@
+"""Deterministic rule-based mention detection over turn text.
+
+The transcript analog of the reference's per-language extraction stage
+(a record -> list-of-candidates explosion; reference shape:
+deps/extractors/python.py:42-213 — per-record parse emitting typed
+candidates). Rules are deliberately simple and closed-form so the
+single-process oracle reproduces them exactly:
+
+1. identifier-shaped single tokens: snake_case (any length), camelCase
+   (starts lowercase, >=6 chars), PascalCase (UC-lc-UC, >=8 chars) —
+   the same word-shape tests the reference uses to route a query into
+   hybrid mode (query_analyzer.py:17-85);
+2. Capitalized-word bigrams ("Payment Service") — the shape of catalog
+   canonical names.
+
+Output preserves text order; duplicates of the same surface form within a
+turn are kept-first (position of first occurrence).
+"""
+
+from __future__ import annotations
+
+import re
+
+_WORD_RE = re.compile(r"[A-Za-z0-9_]+")
+_CAP_WORD_RE = re.compile(r"^[A-Z][a-z]+$")
+_LC_UC_RE = re.compile(r"[a-z][A-Z]")
+_PASCAL_RE = re.compile(r"[A-Z][a-z]+[A-Z]")
+_SNAKE_WORD_RE = re.compile(r"[a-zA-Z0-9]+_[a-zA-Z0-9]+")
+
+
+def _is_identifier_mention(word: str) -> bool:
+    if _SNAKE_WORD_RE.search(word):
+        return True
+    if len(word) >= 6 and word[0].islower() and _LC_UC_RE.search(word):
+        return True
+    if len(word) >= 8 and _PASCAL_RE.search(word):
+        return True
+    return False
+
+
+def detect_mentions(text: str) -> list[str]:
+    """Return candidate mention surface forms in first-occurrence order."""
+    words = [(m.group(), m.start()) for m in _WORD_RE.finditer(text)]
+    found: list[tuple[int, str]] = []
+
+    used_in_bigram: set[int] = set()
+    for i in range(len(words) - 1):
+        w1, p1 = words[i]
+        w2, _ = words[i + 1]
+        if _CAP_WORD_RE.match(w1) and _CAP_WORD_RE.match(w2):
+            found.append((p1, f"{w1} {w2}"))
+            used_in_bigram.add(i)
+            used_in_bigram.add(i + 1)
+
+    for i, (w, p) in enumerate(words):
+        if i in used_in_bigram:
+            continue
+        if _is_identifier_mention(w):
+            found.append((p, w))
+
+    found.sort(key=lambda t: t[0])
+    out: list[str] = []
+    seen: set[str] = set()
+    for _, surface in found:
+        if surface not in seen:
+            seen.add(surface)
+            out.append(surface)
+    return out

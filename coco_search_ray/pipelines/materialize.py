@@ -1,0 +1,90 @@
+"""M4 — materialization: partitioned Parquet triple tables with
+per-shard lineage manifests and checkpoint/resume.
+
+Shards are the conv-disjoint input files (the generator partitions
+conversations across files, so every stage of the per-shard pipeline —
+including the groupby(conv_id) assembly and the tuple-key dedup — is
+shard-local and shards are embarrassingly parallel; this is the layout a
+100 TB run would use: process shard groups independently, skip finished
+ones on restart). The global pieces (catalog index, canonical mapping)
+are computed ONCE and broadcast to every shard run.
+
+Write protocol per shard (SURVEY.md §7.5.4): stream write_parquet into a
+temp dir -> atomic rename -> manifest (manifest implies data). Row counts
+for the manifest come from the written Parquet footers, not a second
+execution of the pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+
+from ..sources.synth import load_catalog, transcript_files
+from ..stages.canonicalize import canonical_mapping
+from ..state.manifest import commit_shard, input_fingerprint, pending_shards
+from .kg import build_kg
+
+
+def _dir_row_count(d: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(root, f)).num_rows
+    return total
+
+
+def run_resumable(
+    data_dir: str,
+    out_dir: str,
+    concurrency: int | None = None,
+    fail_after_shards: int | None = None,
+) -> dict:
+    """Build the triple table for ``data_dir`` under ``out_dir``; skips
+    shards already committed with a matching input fingerprint.
+    ``fail_after_shards`` injects a crash after N shard commits (used by
+    the resume test). Returns run stats."""
+    os.makedirs(out_dir, exist_ok=True)
+    catalog = load_catalog(data_dir)
+    mapping = canonical_mapping(catalog.to_pylist())
+
+    files = transcript_files(data_dir)
+    shards = [(f"{i:04d}", p) for i, p in enumerate(files)]
+    todo = pending_shards(out_dir, shards)
+
+    done = 0
+    for shard_id, path in todo:
+        if fail_after_shards is not None and done >= fail_after_shards:
+            raise RuntimeError(f"injected failure after {done} shards")
+        fp = input_fingerprint(path)
+        tmp = os.path.join(out_dir, f"_tmp_shard_{shard_id}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        triples = build_kg([path], catalog, mapping, concurrency=concurrency)
+        triples.write_parquet(tmp)
+        n_triples = _dir_row_count(tmp)
+        commit_shard(out_dir, shard_id, fp, tmp, {"input_path": path, "triples": n_triples})
+        done += 1
+
+    return {
+        "shards_total": len(shards),
+        "shards_processed": len(todo) if fail_after_shards is None else done,
+        "shards_skipped": len(shards) - len(todo),
+        "out_dir": out_dir,
+    }
+
+
+def read_triples(out_dir: str):
+    """All committed triples as a streaming Dataset."""
+    import ray.data
+
+    files = []
+    for d in sorted(os.listdir(out_dir)):
+        if d.startswith("shard="):
+            for root, _dirs, names in os.walk(os.path.join(out_dir, d)):
+                files.extend(
+                    os.path.join(root, n) for n in sorted(names) if n.endswith(".parquet")
+                )
+    return ray.data.read_parquet(files)

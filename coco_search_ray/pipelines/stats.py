@@ -1,0 +1,64 @@
+"""M5 — grouped metrics over triples and per-turn QA statuses.
+
+Reference analogs: get_dep_stats_detailed (COUNT(*), GROUP BY dep_type,
+top-10 files by edge count; deps/query.py:158-176,424-473) and the
+parse-status tracking pass (per-unit QA status + grouped summary;
+indexer/parse_tracking.py:114-242).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count
+
+from ..functions.mentions import detect_mentions
+
+
+def triples_by_pred(triples: ray.data.Dataset) -> ray.data.Dataset:
+    """COUNT grouped by predicate (shape: GROUP BY dep_type)."""
+    return triples.groupby("pred").aggregate(Count(alias_name="n_triples"))
+
+
+def top_entities(triples: ray.data.Dataset, k: int = 10) -> ray.data.Dataset:
+    """Top-k subjects by emitted-triple count (shape: top-10 source files).
+    Pre-aggregation happens inside the groupby; result is tiny."""
+    return (
+        triples.groupby("subj")
+        .aggregate(Count(alias_name="n_triples"))
+        .sort("n_triples", descending=True)
+        .limit(k)
+    )
+
+
+def turn_qa_status(batch: pa.Table) -> pa.Table:
+    """Per-turn QA status over normalized turns: ok_mentions / no_mentions
+    / empty_text (shape: parse_status ok/partial/error/no_grammar)."""
+    texts = batch["text"].to_pylist()
+    status = []
+    n_mentions = []
+    for t in texts:
+        if not t:
+            status.append("empty_text")
+            n_mentions.append(0)
+        else:
+            m = detect_mentions(t)
+            status.append("ok_mentions" if m else "no_mentions")
+            n_mentions.append(len(m))
+    return pa.table(
+        {
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "qa_status": pa.array(status, pa.string()),
+            "n_mentions": pa.array(n_mentions, pa.int32()),
+        }
+    )
+
+
+def qa_summary(turns: ray.data.Dataset) -> ray.data.Dataset:
+    """Grouped QA counts over a normalized-turns Dataset."""
+    return (
+        turns.map_batches(turn_qa_status, batch_format="pyarrow")
+        .groupby("qa_status")
+        .aggregate(Count(alias_name="n_turns"))
+    )

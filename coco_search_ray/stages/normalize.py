@@ -1,0 +1,44 @@
+"""M0 — turn normalization: stateless, zero-copy Arrow map_batches.
+
+Conservative by design: role/tool are trimmed + case-folded, text is
+PRESERVED BYTE-FOR-BYTE (the per-row invariant is per-turn text equality
+under stable ordering — normalization must never rewrite text). Adds a
+``turn_uid`` provenance column. Reference analog: the per-file
+language/extension normalization pass before chunking
+(indexer/embedder.py:26-55) — cheap column derivations, no state.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_VALID_ROLES = {"user", "assistant", "tool", "system"}
+
+
+def normalize_turns(batch: pa.Table) -> pa.Table:
+    role = pc.utf8_lower(pc.utf8_trim_whitespace(batch["role"]))
+    # unexpected roles -> "other" (skip-and-log semantics: bad records are
+    # normalized, never dropped silently; reference flow.py:446-448 logs+skips)
+    role_ok = pc.is_in(role, value_set=pa.array(sorted(_VALID_ROLES)))
+    role = pc.if_else(role_ok, role, pa.scalar("other"))
+
+    tool = pc.utf8_lower(pc.utf8_trim_whitespace(batch["tool"]))
+    tool = pc.if_else(pc.is_valid(tool), tool, pa.scalar(""))
+    tool = pc.if_else(pc.equal(tool, pa.scalar("none")), pa.scalar(""), tool)
+
+    turn_uid = pc.binary_join_element_wise(
+        batch["conv_id"], pc.cast(batch["turn_idx"], pa.string()), "#"
+    )
+
+    return pa.table(
+        {
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "role": role,
+            "text": batch["text"],
+            "tool": tool,
+            "ts": batch["ts"],
+            "turn_uid": turn_uid,
+        }
+    )

@@ -1,0 +1,104 @@
+"""Per-partition lineage manifests — the checkpoint/resume substrate.
+
+Reference semantics being re-expressed: the tracking table upserted with
+(filename, content_hash) after EACH file commit (indexer/flow.py:436-445),
+diffed on re-run to skip unchanged inputs (flow.py:345-369). Our batch
+equivalent: one manifest JSON per completed input shard, written AFTER the
+shard's Parquet output lands, with a write-temp-then-rename protocol so a
+shard is atomically "written+manifested" or not at all (SURVEY.md §7.5.4).
+
+Resume = list manifests, anti-join against the input shard list on
+(shard_id, input_hash): only missing/changed shards are reprocessed.
+At 100 TB the input_hash would come from object-store etags; here it is a
+SHA-256 over file size + first/last 64 KiB (cheap, content-sensitive).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+
+def input_fingerprint(path: str) -> str:
+    size = os.path.getsize(path)
+    h = hashlib.sha256(str(size).encode())
+    with open(path, "rb") as f:
+        h.update(f.read(65536))
+        if size > 131072:
+            f.seek(-65536, os.SEEK_END)
+            h.update(f.read(65536))
+    return h.hexdigest()
+
+
+def _manifest_path(out_dir: str, shard_id: str) -> str:
+    return os.path.join(out_dir, "_manifests", f"{shard_id}.json")
+
+
+def read_manifest(out_dir: str, shard_id: str) -> dict | None:
+    p = _manifest_path(out_dir, shard_id)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def shard_is_done(out_dir: str, shard_id: str, input_hash: str) -> bool:
+    m = read_manifest(out_dir, shard_id)
+    return bool(m and m.get("status") == "done" and m.get("input_hash") == input_hash)
+
+
+def shard_output_dir(out_dir: str, shard_id: str) -> str:
+    return os.path.join(out_dir, f"shard={shard_id}")
+
+
+def commit_shard(
+    out_dir: str,
+    shard_id: str,
+    input_hash: str,
+    tmp_dir: str,
+    stats: dict,
+) -> None:
+    """Atomically promote a shard: rename tmp output dir into place, then
+    write the manifest (manifest-last ordering = manifest implies data)."""
+    final = shard_output_dir(out_dir, shard_id)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(tmp_dir, final)
+    os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
+    manifest = {
+        "shard": shard_id,
+        "input_hash": input_hash,
+        "status": "done",
+        "committed_at": time.time(),
+        **stats,
+    }
+    mp = _manifest_path(out_dir, shard_id)
+    tmp_mp = mp + ".tmp"
+    with open(tmp_mp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp_mp, mp)
+
+
+def pending_shards(out_dir: str, shards: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Anti-join: shards (shard_id, input_path) without a matching done
+    manifest."""
+    out = []
+    for shard_id, path in shards:
+        if not shard_is_done(out_dir, shard_id, input_fingerprint(path)):
+            out.append((shard_id, path))
+    return out
+
+
+def list_manifests(out_dir: str) -> list[dict]:
+    mdir = os.path.join(out_dir, "_manifests")
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for name in sorted(os.listdir(mdir)):
+        if name.endswith(".json"):
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+    return out

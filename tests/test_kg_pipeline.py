@@ -1,0 +1,77 @@
+"""End-to-end KG pipeline tests: the FIXTURES.md F5 invariants.
+
+1. per-turn text equality under stable ordering (M0),
+2. triple P/R >= 0.95 vs the single-process oracle (expected: 1.0 — the
+   pipeline and oracle share pure kernels, so any gap is a distribution
+   bug),
+3. exact-dedup invariant,
+4. determinism across parallelism levels.
+"""
+
+import glob
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+
+TRIPLE_KEY = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+
+
+@pytest.fixture(scope="module")
+def oracle_df(smoke_dir):
+    from coco_search_ray.oracle.kg_oracle import oracle_triples
+
+    return oracle_triples(smoke_dir)
+
+
+@pytest.fixture(scope="module")
+def pipeline_df(ray_session, smoke_dir):
+    from coco_search_ray.pipelines.kg import build_kg_from_dir
+
+    return build_kg_from_dir(smoke_dir, concurrency=2).to_pandas()
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    return df[TRIPLE_KEY].sort_values(TRIPLE_KEY, kind="mergesort").reset_index(drop=True)
+
+
+def test_text_equality_under_stable_ordering(ray_session, smoke_dir):
+    from coco_search_ray.pipelines.kg import normalized_turns_ds
+
+    got = normalized_turns_ds(smoke_dir).to_pandas()
+    got = got.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+
+    raw = pd.concat(
+        [pq.read_table(f).to_pandas() for f in sorted(glob.glob(f"{smoke_dir}/transcripts-*.parquet"))]
+    )
+    raw = raw.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+
+    assert len(got) == len(raw)
+    assert got["text"].tolist() == raw["text"].tolist()
+    assert got["conv_id"].tolist() == raw["conv_id"].tolist()
+
+
+def test_triple_precision_recall(pipeline_df, oracle_df):
+    from coco_search_ray.oracle.kg_oracle import precision_recall
+
+    p, r = precision_recall(pipeline_df, oracle_df)
+    assert p >= 0.95, f"precision {p}"
+    assert r >= 0.95, f"recall {r}"
+
+
+def test_pipeline_nonempty_and_schema(pipeline_df):
+    assert len(pipeline_df) > 100
+    assert list(pipeline_df.columns) == TRIPLE_KEY
+    assert set(pipeline_df["pred"].unique()) <= {"mentions", "uses_tool", "replies_to"}
+
+
+def test_exact_dedup_invariant(pipeline_df):
+    assert not pipeline_df.duplicated(subset=TRIPLE_KEY).any()
+
+
+def test_determinism_across_parallelism(ray_session, smoke_dir, pipeline_df):
+    from coco_search_ray.pipelines.kg import build_kg_from_dir
+
+    again = build_kg_from_dir(smoke_dir, concurrency=3).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(again), _sorted(pipeline_df))

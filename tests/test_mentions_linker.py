@@ -1,0 +1,72 @@
+from coco_search_ray.functions.linker_core import EntityIndex
+from coco_search_ray.functions.mentions import detect_mentions
+from coco_search_ray.sources.synth import generate_catalog
+
+
+def test_detect_identifier_shapes():
+    text = "then the Payment Service called get_user_by_id and paymentService quickly"
+    m = detect_mentions(text)
+    assert m == ["Payment Service", "get_user_by_id", "paymentService"]
+
+
+def test_detect_order_and_dedup():
+    m = detect_mentions("foo_bar again foo_bar then BazQux short caP")
+    assert m[0] == "foo_bar"
+    assert m.count("foo_bar") == 1
+
+
+def test_detect_nothing_in_plain_text():
+    assert detect_mentions("the cat sat on the mat") == []
+
+
+def _index():
+    return EntityIndex(generate_catalog(60).to_pylist())
+
+
+def test_link_canonical_exact():
+    cat = generate_catalog(60)
+    idx = EntityIndex(cat.to_pylist())
+    name = cat.column("canonical_name")[0].as_py()
+    res = idx.link(name)
+    assert res is not None
+    assert res.entity_id == cat.column("entity_id")[0].as_py()
+    assert res.match_type in ("both", "semantic", "keyword")
+
+
+def test_link_alias_variants():
+    cat = generate_catalog(60)
+    idx = EntityIndex(cat.to_pylist())
+    aliases = cat.column("aliases")[0].as_py()
+    eid = cat.column("entity_id")[0].as_py()
+    for alias in aliases:
+        res = idx.link(alias)
+        assert res is not None, alias
+        assert res.entity_id == eid
+
+
+def test_link_cross_form():
+    """A snake_case mention should link to the entity even when queried via
+    a form that is not stored verbatim, through split-token overlap."""
+    cat = generate_catalog(60)
+    idx = EntityIndex(cat.to_pylist())
+    # canonical "Account Payment" -> query the snake form even if only some
+    # alias forms are stored; token overlap carries it
+    res = idx.link("account_payment")
+    assert res is not None
+    assert res.entity_id in ("E000000", "E000001")
+
+
+def test_link_junk_returns_none():
+    idx = _index()
+    assert idx.link("zzqqwweerrtt") is None
+
+
+def test_link_deterministic():
+    cat = generate_catalog(60)
+    a = EntityIndex(cat.to_pylist())
+    b = EntityIndex(cat.to_pylist())
+    for q in ["Account Payment", "account_payment", "accountPayment", "nonsense_token"]:
+        ra, rb = a.link(q), b.link(q)
+        assert (ra is None) == (rb is None)
+        if ra:
+            assert (ra.entity_id, ra.fused_score) == (rb.entity_id, rb.fused_score)

@@ -1,0 +1,46 @@
+"""Checkpoint/resume: kill after k shards, re-run, output equals a clean
+run; already-committed shards are skipped (FIXTURES.md F5.4)."""
+
+import pandas as pd
+import pytest
+
+
+KEY = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+
+
+def _read_all(out_dir):
+    from coco_search_ray.pipelines.materialize import read_triples
+
+    df = read_triples(out_dir).to_pandas()
+    return df[KEY].sort_values(KEY, kind="mergesort").reset_index(drop=True)
+
+
+def test_resume_after_injected_failure(ray_session, smoke_dir, tmp_path):
+    from coco_search_ray.pipelines.materialize import run_resumable
+    from coco_search_ray.state.manifest import list_manifests
+
+    clean_dir = str(tmp_path / "clean")
+    crash_dir = str(tmp_path / "crash")
+
+    stats = run_resumable(smoke_dir, clean_dir, concurrency=2)
+    assert stats["shards_processed"] == stats["shards_total"] == 4
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(smoke_dir, crash_dir, concurrency=2, fail_after_shards=2)
+    assert len(list_manifests(crash_dir)) == 2
+
+    stats2 = run_resumable(smoke_dir, crash_dir, concurrency=2)
+    assert stats2["shards_skipped"] == 2
+    assert stats2["shards_processed"] == 2
+
+    pd.testing.assert_frame_equal(_read_all(crash_dir), _read_all(clean_dir))
+
+
+def test_noop_rerun_skips_everything(ray_session, smoke_dir, tmp_path):
+    from coco_search_ray.pipelines.materialize import run_resumable
+
+    out = str(tmp_path / "out")
+    run_resumable(smoke_dir, out, concurrency=2)
+    stats = run_resumable(smoke_dir, out, concurrency=2)
+    assert stats["shards_processed"] == 0
+    assert stats["shards_skipped"] == stats["shards_total"]
