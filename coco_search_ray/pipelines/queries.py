@@ -1,0 +1,595 @@
+"""Query registry: every operator family exposed as a named pipeline over
+the driver's parquet tables, with a DuckDB oracle where SQL can express
+the semantics (the driver's correctness gate compares row count + schema
++ order-insensitive value hash, so column NAMES and rounded values must
+match the SQL exactly).
+
+Conventions:
+- every callable takes sf_dir and returns Dataset / DataFrame / Table;
+- float aggregates are rounded to 2 decimals on BOTH sides (cosines to 4)
+  so value hashes are stable across summation orders;
+- queries with no SQL entry are checked rows-only by the driver (KG
+  pipeline, LSH/SimHash near-dup, language ID — non-SQL-expressible).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from ..sources.synth import ensure_tier, tier_for_sf_dir
+from ..stages import ann, dedup, textops, window
+from ..stages.joins import broadcast_join, hash_join
+
+
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(_t(sf_dir, name), columns=columns)
+
+
+def _round_half_away(df: pd.DataFrame, cols: list[str], dec: int = 2) -> pd.DataFrame:
+    """DuckDB-compatible rounding (half away from zero). numpy/pandas round
+    half-to-even; with identical float64 inputs on both sides, matching the
+    oracle's rounding MODE removes the .xx5-boundary hash mismatches."""
+    scale = 10.0 ** dec
+    for c in cols:
+        x = df[c].to_numpy(dtype=np.float64)
+        df[c] = np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
+    return df
+
+
+def _round2(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    return _round_half_away(df, cols, 2)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (TPC-H-ish): scan/filter/project, partial-agg groupby,
+# broadcast + hash joins, sort/top-k, distinct
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
+    """Grouped aggregate with column-pruned scan + vectorized derivation
+    (the canonical map_batches -> groupby().aggregate() shape)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def derive(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["l_shipdate"], cutoff))
+        disc_price = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table(
+            {
+                "l_returnflag": b["l_returnflag"],
+                "l_linestatus": b["l_linestatus"],
+                "l_quantity": b["l_quantity"],
+                "l_extendedprice": b["l_extendedprice"],
+                "disc_price": disc_price,
+            }
+        )
+
+    out = (
+        ds.map_batches(derive, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    return _round2(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"])
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                          AS sum_qty,
+       round(sum(l_extendedprice), 2)                     AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       round(avg(l_quantity), 2)                          AS avg_qty,
+       count(*)                                           AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_segment(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join (customer is the small dimension side) + groupby."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, customer, "o_custkey", "c_custkey")
+    out = (
+        joined.groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        .to_pandas()
+    )
+    return _round2(out, ["revenue"])
+
+
+Q_REVENUE_BY_SEGMENT_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_nation_customers(sf_dir: str) -> pd.DataFrame:
+    customer = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+    nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    joined = broadcast_join(customer, nation, "c_nationkey", "n_nationkey")
+    out = (
+        joined.groupby("n_name")
+        .aggregate(Count(alias_name="n_customers"), Mean("c_acctbal", alias_name="avg_acctbal"))
+        .to_pandas()
+    )
+    return _round2(out, ["avg_acctbal"])
+
+
+Q_NATION_CUSTOMERS_SQL = """
+SELECT n_name, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_orders_by_priority(sf_dir: str) -> pd.DataFrame:
+    """Hash join (both sides large): orders x lineitem, revenue by priority."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"], "revenue": r})
+
+    lineitem = lineitem.map_batches(rev, batch_format="pyarrow")
+    joined = hash_join(orders, lineitem, on="o_orderkey", right_on="l_orderkey", num_partitions=8)
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n_items"), Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    return _round2(out, ["revenue"])
+
+
+Q_ORDERS_BY_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_top_orders(sf_dir: str) -> pd.DataFrame:
+    """Global top-k: sort desc with deterministic tiebreak + limit."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    out = (
+        ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10).to_pandas()
+    )
+    return _round2(out, ["o_totalprice"])
+
+
+Q_TOP_ORDERS_SQL = """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderstatus
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_part_revenue_by_brand(sf_dir: str) -> pd.DataFrame:
+    lineitem = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_quantity"])
+    part = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_partkey": b["l_partkey"], "revenue": r, "l_quantity": b["l_quantity"]})
+
+    joined = broadcast_join(lineitem.map_batches(rev, batch_format="pyarrow"), part, "l_partkey", "p_partkey")
+    out = (
+        joined.groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_items"),
+            Sum("revenue", alias_name="revenue"),
+            Sum("l_quantity", alias_name="sum_qty"),
+        )
+        .to_pandas()
+    )
+    return _round2(out, ["revenue", "sum_qty"])
+
+
+Q_PART_REVENUE_SQL = """
+SELECT p_brand, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_distinct_priorities(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", ["o_orderpriority"])
+    vals = sorted(ds.unique("o_orderpriority"))
+    return pd.DataFrame({"o_orderpriority": vals})
+
+
+Q_DISTINCT_PRIORITIES_SQL = "SELECT DISTINCT o_orderpriority FROM orders"
+
+
+def q_supplier_balance(sf_dir: str) -> pd.DataFrame:
+    supplier = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
+    joined = broadcast_join(supplier, nation, "s_nationkey", "n_nationkey")
+    out = (
+        joined.groupby("n_name")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Sum("s_acctbal", alias_name="total_acctbal"),
+            Min("s_acctbal", alias_name="min_acctbal"),
+            Max("s_acctbal", alias_name="max_acctbal"),
+        )
+        .to_pandas()
+    )
+    return _round2(out, ["total_acctbal", "min_acctbal", "max_acctbal"])
+
+
+Q_SUPPLIER_BALANCE_SQL = """
+SELECT n_name, count(*) AS n_suppliers,
+       round(sum(s_acctbal), 2) AS total_acctbal,
+       round(min(s_acctbal), 2) AS min_acctbal,
+       round(max(s_acctbal), 2) AS max_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-time windows
+# ---------------------------------------------------------------------------
+
+
+def q_events_tumbling(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = window.tumbling_agg(ds, size_s=3600).to_pandas()
+    return _round2(out, ["sum_value"])
+
+
+Q_EVENTS_TUMBLING_SQL = """
+SELECT (floor(epoch(ts) / 3600))::BIGINT AS hour_bucket, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_user_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def flag(b: pa.Table) -> pa.Table:
+        is_p = pc.cast(pc.equal(b["event_type"], pa.scalar("purchase")), pa.int64())
+        return pa.table({"user_id": b["user_id"], "value": b["value"], "is_purchase": is_p})
+
+    out = (
+        ds.map_batches(flag, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+            Sum("is_purchase", alias_name="n_purchases"),
+        )
+        .to_pandas()
+    )
+    return _round2(out, ["sum_value"])
+
+
+Q_EVENTS_USER_STATS_SQL = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases
+FROM events GROUP BY user_id
+"""
+
+
+def q_events_sessions(sf_dir: str) -> pd.DataFrame:
+    """Session windows (gap 30 min) — summary grouped per user so the
+    result is SQL-comparable (DuckDB window functions express the gap
+    rule)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    sessions = window.sessionize(ds, gap_s=1800).to_pandas()
+    out = (
+        sessions.groupby("user_id", as_index=False)
+        .agg(n_sessions=("n_events", "size"), max_session_events=("n_events", "max"))
+        .astype({"n_sessions": "int64", "max_session_events": "int64"})
+    )
+    return out
+
+
+Q_EVENTS_SESSIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 1800 SECOND OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM marked
+), per_session AS (
+  SELECT user_id, sid, count(*) AS n_events FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Documents: text analysis + dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_doc_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+    feats = ds.map_batches(textops.doc_features, batch_format="pyarrow")
+    out = (
+        feats.groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_tokens", alias_name="sum_tokens"),
+            Mean("n_chars", alias_name="avg_chars"),
+        )
+        .to_pandas()
+    )
+    return _round2(out, ["avg_chars"])
+
+
+Q_DOC_STATS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       sum(array_length(regexp_extract_all(text, '\\w+')))::BIGINT AS sum_tokens,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.exact_dedup_groups(ds).to_pandas()
+
+
+Q_DOC_EXACT_DEDUP_SQL = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text
+"""
+
+
+def q_doc_langid(sf_dir: str) -> pd.DataFrame:
+    """Heuristic language ID counts (rows-only: not SQL-expressible)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    feats = ds.map_batches(textops.doc_features, batch_format="pyarrow")
+    return feats.groupby("lang_detected").aggregate(Count(alias_name="n_docs")).to_pandas()
+
+
+def q_doc_quality(sf_dir: str) -> pd.DataFrame:
+    """Per-language quality signal means (rows-only; ratio defs are
+    Python-side)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    feats = ds.map_batches(textops.doc_features, batch_format="pyarrow")
+    out = (
+        feats.groupby("lang")
+        .aggregate(
+            Mean("punct_ratio", alias_name="avg_punct_ratio"),
+            Mean("stopword_ratio", alias_name="avg_stopword_ratio"),
+            Mean("mean_word_len", alias_name="avg_word_len"),
+        )
+        .to_pandas()
+    )
+    for c in ["avg_punct_ratio", "avg_stopword_ratio", "avg_word_len"]:
+        out[c] = out[c].round(4)
+    return out
+
+
+def q_doc_minhash_neardup(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH near-dup survivors (rows-only)."""
+    docs = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = ray.data.from_arrow(docs)
+    return dedup.neardup_survivors(ds, docs).to_pandas()
+
+
+def q_doc_simhash_pairs(sf_dir: str) -> pd.DataFrame:
+    """SimHash near-dup candidate pairs at Hamming <= 3 (rows-only)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sh = ds.map_batches(textops.doc_simhash, batch_format="pyarrow")
+    return dedup.simhash_candidate_pairs(sh).to_pandas()
+
+
+def q_doc_fingerprint_overlap(sf_dir: str) -> pd.DataFrame:
+    """Docs sharing rolling-hash fingerprints: groupby(fingerprint) ->
+    cross-doc pair counts (rows-only). Copy-detection shape."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    fps = ds.map_batches(textops.doc_fingerprints, batch_format="pyarrow")
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # fingerprints shared by many docs are vocabulary-level noise, not
+        # copied passages; cap the bucket low
+        ids = sorted(set(df["doc_id"].tolist()))
+        if len(ids) < 2 or len(ids) > 16:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]], columns=["a", "b"]
+        )
+
+    out = (
+        fps.groupby("fingerprint")
+        .map_groups(pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(lambda df: df.assign(n_shared=len(df)).head(1), batch_format="pandas")
+        .to_pandas()
+    )
+    out = out.astype({"a": "int64", "b": "int64", "n_shared": "int64"})
+    return out[out["n_shared"] >= 5].reset_index(drop=True)
+
+
+def q_doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Word-3-gram Jaccard >= 0.5 pairs via LSH blocking (rows-only)."""
+    docs = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
+    ds = ray.data.from_arrow(docs)
+    cands = dedup.minhash_candidate_pairs(ds, shingle_k=5)
+    return dedup.verify_pairs_jaccard(cands, docs, threshold=0.5, use_ngrams=True).to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# Embeddings: similarity search + near-dup
+# ---------------------------------------------------------------------------
+
+
+def _query_vecs(sf_dir: str, n: int = 3) -> np.ndarray:
+    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id").head(n)
+    return np.array(df["embedding"].tolist(), dtype=np.float64)
+
+
+def q_ann_topk(sf_dir: str) -> pd.DataFrame:
+    """Exact brute-force cosine top-10 for 3 fixed query vectors."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann.brute_force_topk(ds, _query_vecs(sf_dir), k=10).to_pandas()
+    return out.astype({"query_id": "int32", "vec_id": "int64"})
+
+
+Q_ANN_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  ORDER BY vec_id LIMIT 3
+), scored AS (
+  SELECT q.query_id::INTEGER AS query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos_sim,
+         row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+         ) AS rn
+  FROM embeddings e CROSS JOIN q
+)
+SELECT query_id, vec_id, cos_sim FROM scored WHERE rn <= 10
+"""
+
+
+def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
+    """All cosine >= 0.4 pairs, brute-force (SQL-checkable self-join)."""
+    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    ds = ray.data.from_arrow(t)
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    return dedup.embedding_neardup_pairs(ds, vecs, ids, threshold=0.4).to_pandas()
+
+
+Q_EMBEDDING_NEARDUP_SQL = """
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+
+def q_embedding_neardup_lsh(sf_dir: str) -> pd.DataFrame:
+    """Sign-LSH bucketed near-dup (the scale path; recall < 1, rows-only)."""
+    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    dim = len(t["embedding"][0])
+    ds = ray.data.from_arrow(t)
+    return dedup.embedding_neardup_pairs_lsh(ds, dim=dim, threshold=0.4, num_planes=4, num_tables=16).to_pandas()
+
+
+def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
+    """IVF-bucketed approximate top-k (rows-only; recall measured in tests)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ann.ivf_topk(ds, _query_vecs(sf_dir), k=10).to_pandas()
+    return out.astype({"query_id": "int32", "vec_id": "int64"})
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline (synthetic transcripts; rows-only — semantics live in the
+# in-repo oracle, tested by pytest)
+# ---------------------------------------------------------------------------
+
+
+def kg_triples(sf_dir: str):
+    from .kg import build_kg_from_dir
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    return build_kg_from_dir(data_dir)
+
+
+def kg_triples_by_pred(sf_dir: str) -> pd.DataFrame:
+    from .stats import triples_by_pred
+
+    return triples_by_pred(kg_triples(sf_dir)).to_pandas()
+
+
+def kg_top_entities(sf_dir: str) -> pd.DataFrame:
+    from .stats import top_entities
+
+    return top_entities(kg_triples(sf_dir), k=10).to_pandas()
+
+
+def kg_qa_summary(sf_dir: str) -> pd.DataFrame:
+    from .kg import normalized_turns_ds
+    from .stats import qa_summary
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    return qa_summary(normalized_turns_ds(data_dir)).to_pandas()
+
+
+def kg_normalized_turns(sf_dir: str):
+    """M0 slice over synthetic transcripts (rows-only; ordering invariant
+    is pytest-checked)."""
+    from .kg import normalized_turns_ds
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    return normalized_turns_ds(data_dir)
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+# name -> (callable, oracle_sql | None)
+REGISTRY: dict[str, tuple] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q_revenue_by_segment": (q_revenue_by_segment, Q_REVENUE_BY_SEGMENT_SQL),
+    "q_nation_customers": (q_nation_customers, Q_NATION_CUSTOMERS_SQL),
+    "q_orders_by_priority": (q_orders_by_priority, Q_ORDERS_BY_PRIORITY_SQL),
+    "q_top_orders": (q_top_orders, Q_TOP_ORDERS_SQL),
+    "q_part_revenue_by_brand": (q_part_revenue_by_brand, Q_PART_REVENUE_SQL),
+    "q_distinct_priorities": (q_distinct_priorities, Q_DISTINCT_PRIORITIES_SQL),
+    "q_supplier_balance": (q_supplier_balance, Q_SUPPLIER_BALANCE_SQL),
+    "q_events_tumbling": (q_events_tumbling, Q_EVENTS_TUMBLING_SQL),
+    "q_events_user_stats": (q_events_user_stats, Q_EVENTS_USER_STATS_SQL),
+    "q_events_sessions": (q_events_sessions, Q_EVENTS_SESSIONS_SQL),
+    "q_doc_stats": (q_doc_stats, Q_DOC_STATS_SQL),
+    "q_doc_exact_dedup": (q_doc_exact_dedup, Q_DOC_EXACT_DEDUP_SQL),
+    "q_doc_langid": (q_doc_langid, None),
+    "q_doc_quality": (q_doc_quality, None),
+    "q_doc_minhash_neardup": (q_doc_minhash_neardup, None),
+    "q_doc_simhash_pairs": (q_doc_simhash_pairs, None),
+    "q_doc_fingerprint_overlap": (q_doc_fingerprint_overlap, None),
+    "q_doc_ngram_jaccard": (q_doc_ngram_jaccard, None),
+    "q_ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
+    "q_ann_ivf": (q_ann_ivf, None),
+    "q_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
+    "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
+    "kg_triples": (kg_triples, None),
+    "kg_triples_by_pred": (kg_triples_by_pred, None),
+    "kg_top_entities": (kg_top_entities, None),
+    "kg_qa_summary": (kg_qa_summary, None),
+    "kg_normalized_turns": (kg_normalized_turns, None),
+}

@@ -1,0 +1,74 @@
+"""Event-time windowing over an ordered, partitioned log (events table).
+
+Ray Data has no event-time window primitive; the portable expression is:
+- tumbling windows: derive a bucket column vectorized in Arrow
+  (ts -> floor(epoch/size)) and groupby the bucket — SQL-oracle-friendly;
+- session windows: groupby(key).map_groups with a gap rule over the
+  ts-sorted group (ordering assumption: sessionization is per-key, groups
+  are sorted inside the group function, so unordered block arrival is
+  fine).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def add_tumbling_bucket(
+    batch: pa.Table, ts_col: str = "ts", size_s: int = 3600, out_col: str = "hour_bucket"
+) -> pa.Table:
+    us = pc.cast(batch[ts_col], pa.int64())  # timestamp[us] -> microseconds
+    bucket = pc.divide(us, pa.scalar(size_s * 1_000_000, pa.int64()))  # int floor-div
+    return batch.append_column(out_col, pc.cast(bucket, pa.int64()))
+
+
+def tumbling_agg(
+    ds: ray.data.Dataset,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    size_s: int = 3600,
+) -> ray.data.Dataset:
+    """COUNT + SUM(value) per (bucket, key)."""
+    with_bucket = ds.map_batches(
+        lambda b: add_tumbling_bucket(b, ts_col, size_s), batch_format="pyarrow"
+    )
+    return with_bucket.groupby(["hour_bucket", key_col]).aggregate(
+        Count(alias_name="n_events"), Sum(value_col, alias_name="sum_value")
+    )
+
+
+def sessionize(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> ray.data.Dataset:
+    """Session windows per key: a new session starts when the gap to the
+    previous event exceeds ``gap_s``. Output: one row per session with
+    (user_id, session_start, session_end, n_events)."""
+
+    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(ts_col, kind="mergesort")
+        ts = df[ts_col]
+        gap = ts.diff().dt.total_seconds().fillna(float("inf"))
+        session_id = (gap > gap_s).cumsum()
+        out = (
+            df.assign(_sid=session_id)
+            .groupby("_sid")
+            .agg(
+                user_id=(key_col, "first"),
+                session_start=(ts_col, "min"),
+                session_end=(ts_col, "max"),
+                n_events=(ts_col, "size"),
+            )
+            .reset_index(drop=True)
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return ds.groupby(key_col).map_groups(per_user, batch_format="pandas")

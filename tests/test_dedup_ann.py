@@ -1,0 +1,133 @@
+"""Dedup suite + similarity search on small crafted inputs with known
+ground truth (the driver tables have no duplicates, so these fixtures
+contain real ones)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_table():
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    texts = [
+        base,                                    # 0
+        base,                                    # 1 exact dup of 0
+        base.replace("today", "tonight"),        # 2 near dup of 0
+        "completely different content about database indexing and vector search",  # 3
+        "completely different content about database indexing and vector searches",  # 4 near dup of 3
+        "unrelated short text",                  # 5
+    ]
+    return pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                     "text": pa.array(texts, pa.string())})
+
+
+def test_exact_dedup(ray_session, docs_table):
+    import ray.data
+    from coco_search_ray.stages.dedup import exact_dedup_groups
+
+    out = exact_dedup_groups(ray.data.from_arrow(docs_table)).to_pandas()
+    assert len(out) == 5  # 6 docs, one exact-dup pair
+    dup = out[out["n_copies"] == 2]
+    assert dup["doc_id"].tolist() == [0]  # keep-first = min doc_id
+
+
+def test_minhash_neardup_survivors(ray_session, docs_table):
+    import ray.data
+    from coco_search_ray.stages.dedup import neardup_survivors
+
+    out = neardup_survivors(ray.data.from_arrow(docs_table), docs_table, threshold=0.6).to_pandas()
+    groups = dict(zip(out["doc_id"], out["group_size"]))
+    assert groups[0] == 3  # 0,1,2 one component
+    assert groups[3] == 2  # 3,4
+    assert groups[5] == 1
+
+
+def test_simhash_pairs(ray_session, docs_table):
+    import ray.data
+    from coco_search_ray.stages.dedup import simhash_candidate_pairs
+    from coco_search_ray.stages.textops import doc_simhash
+
+    sh = ray.data.from_arrow(docs_table).map_batches(doc_simhash, batch_format="pyarrow")
+    pairs = simhash_candidate_pairs(sh).to_pandas()
+    got = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 1) in got  # exact dup -> hamming 0
+    assert all(h <= 3 for h in pairs["hamming"])
+
+
+def test_embedding_neardup_matches_numpy(ray_session):
+    import ray.data
+    from coco_search_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.RandomState(0)
+    vecs = rng.normal(size=(50, 16)).astype(np.float32)
+    vecs[7] = vecs[3] + 0.01 * rng.normal(size=16).astype(np.float32)  # planted near-dup
+    ids = np.arange(50, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids), "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    out = embedding_neardup_pairs(ray.data.from_arrow(t), vecs, ids, threshold=0.95).to_pandas()
+    assert (3, 7) in set(zip(out["a"], out["b"]))
+
+    nv = vecs.astype(np.float64)
+    nv = nv / np.linalg.norm(nv, axis=1, keepdims=True)
+    sims = nv @ nv.T
+    expected = {(i, j) for i in range(50) for j in range(i + 1, 50) if sims[i, j] >= 0.95}
+    assert set(zip(out["a"], out["b"])) == expected
+
+
+def test_brute_topk_matches_numpy(ray_session):
+    import ray.data
+    from coco_search_ray.stages.ann import brute_force_topk
+
+    rng = np.random.RandomState(1)
+    vecs = rng.normal(size=(200, 16))
+    ids = np.arange(200, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids), "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    q = vecs[:2]
+    out = brute_force_topk(ray.data.from_arrow(t), q, k=5).to_pandas()
+
+    nv = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    nv = nv / np.linalg.norm(nv, axis=1, keepdims=True)
+    nq = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = nq @ nv.T
+    for qi in range(2):
+        expect = set(np.argsort(-sims[qi])[:5].tolist())
+        got = set(out[out["query_id"] == qi]["vec_id"].tolist())
+        assert got == expect
+        assert out[out["query_id"] == qi].iloc[0]["vec_id"] == qi  # self is top hit
+
+
+def test_ivf_topk_recall(ray_session):
+    import ray.data
+    from coco_search_ray.stages.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(2)
+    vecs = rng.normal(size=(500, 16))
+    ids = np.arange(500, dtype=np.int64)
+    t = pa.table({"vec_id": pa.array(ids), "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32()))})
+    ds = ray.data.from_arrow(t)
+    q = vecs[:3]
+    exact = brute_force_topk(ds, q, k=10).to_pandas()
+    approx = ivf_topk(ds, q, k=10, n_clusters=8, nprobe=4).to_pandas()
+    recalls = []
+    for qi in range(3):
+        e = set(exact[exact["query_id"] == qi]["vec_id"])
+        a = set(approx[approx["query_id"] == qi]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5  # nprobe=4 of 8 partitions
+
+
+def test_sessionize(ray_session):
+    import ray.data
+    from coco_search_ray.stages.window import sessionize
+
+    ts = pd.to_datetime(
+        ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 02:00",  # user 1: 2 sessions
+         "2024-01-01 00:05"]                                          # user 2: 1 session
+    )
+    df = pd.DataFrame({"user_id": [1, 1, 1, 2], "ts": ts})
+    out = sessionize(ray.data.from_pandas(df), gap_s=1800).to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("session_start")
+    assert len(u1) == 2
+    assert u1["n_events"].tolist() == [2, 1]
+    assert len(out[out["user_id"] == 2]) == 1
