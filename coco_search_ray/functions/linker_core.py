@@ -150,18 +150,45 @@ class EntityIndex:
 
     def link(self, mention: str, limit: int = DEFAULT_LIMIT) -> LinkResult | None:
         """Hybrid-link one mention surface form; None when unlinkable."""
+        return self.link_many([mention], limit)[0]
+
+    def link_many(self, mentions: list[str], limit: int = DEFAULT_LIMIT) -> list[LinkResult | None]:
+        """Batch linking: ONE (n_mentions x dim) @ (dim x n_docs) matmul for
+        the dense channel (BLAS instead of n matvecs — this is what makes
+        actor-memo warmup cheap), then per-mention keyword scoring + RRF.
+        Results are identical to link() per mention."""
+        if not mentions:
+            return []
         prefetch = prefetch_limit(limit)
-        qvec = hash_embeddings([mention])[0]
-        qn = np.linalg.norm(qvec)
-        if qn > 0:
-            qvec = qvec / qn
-        dense = self._dense_ranked(qvec, prefetch)
-        keyword = self._keyword_ranked(mention, prefetch)
-        fused = rrf_fuse(dense, keyword)
-        fused = apply_canonical_boost(fused, self.is_canonical)
-        for c in fused[:limit]:
-            dense_exact = c.vector_score is not None and c.vector_score >= DENSE_EXACT_THRESHOLD
-            if c.match_type in ("keyword", "both") or dense_exact:
-                eid, surface = c.key.split("|", 1)
-                return LinkResult(eid, surface, c.fused_score, c.match_type)
-        return None
+        out: list[LinkResult | None] = []
+        # chunk so the score matrix stays < ~100 MB
+        chunk = max(1, min(len(mentions), max(256, 25_000_000 // max(1, self.n_docs))))
+        for lo in range(0, len(mentions), chunk):
+            batch = mentions[lo : lo + chunk]
+            qmat = hash_embeddings(batch)
+            norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            qmat = qmat / norms
+            all_scores = qmat @ self.emb.T if self.n_docs else np.empty((len(batch), 0))
+            k = min(prefetch, self.n_docs)
+            for r, mention in enumerate(batch):
+                scores = all_scores[r]
+                if k > 0:
+                    idx = np.argpartition(-scores, k - 1)[:k]
+                    order = sorted(idx.tolist(), key=lambda i: (-float(scores[i]), self.keys[i]))
+                    dense = [(self.keys[i], float(scores[i])) for i in order]
+                else:
+                    dense = []
+                keyword = self._keyword_ranked(mention, prefetch)
+                fused = apply_canonical_boost(rrf_fuse(dense, keyword), self.is_canonical)
+                res: LinkResult | None = None
+                for c in fused[:limit]:
+                    dense_exact = (
+                        c.vector_score is not None and c.vector_score >= DENSE_EXACT_THRESHOLD
+                    )
+                    if c.match_type in ("keyword", "both") or dense_exact:
+                        eid, surface = c.key.split("|", 1)
+                        res = LinkResult(eid, surface, c.fused_score, c.match_type)
+                        break
+                out.append(res)
+        return out

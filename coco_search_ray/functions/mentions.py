@@ -38,24 +38,49 @@ def _is_identifier_mention(word: str) -> bool:
     return False
 
 
+# word -> (is_capitalized, is_identifier). Real text draws words from a
+# bounded vocabulary, so classification memoizes extremely well (regexes
+# run once per distinct word per worker process, not once per occurrence).
+_WORD_CLASS_CACHE: dict[str, tuple[bool, bool]] = {}
+_WORD_CLASS_CACHE_MAX = 1_000_000
+
+
+def _classify(word: str) -> tuple[bool, bool]:
+    c = _WORD_CLASS_CACHE.get(word)
+    if c is None:
+        c = (_CAP_WORD_RE.match(word) is not None, _is_identifier_mention(word))
+        if len(_WORD_CLASS_CACHE) >= _WORD_CLASS_CACHE_MAX:
+            _WORD_CLASS_CACHE.clear()
+        _WORD_CLASS_CACHE[word] = c
+    return c
+
+
+# one C-level scan that returns False only when NO mention shape can occur:
+# snake needs '_', camel needs a lc->UC transition, Pascal needs UC-lc-UC,
+# a bigram needs "Cap Cap". Texts failing this skip the python word loop.
+_QUICK_RE = re.compile(r"_|[a-z][A-Z]|[A-Z][a-z]+[A-Z]|[A-Z][a-z]+[^A-Za-z0-9_]+[A-Z][a-z]")
+
+
 def detect_mentions(text: str) -> list[str]:
     """Return candidate mention surface forms in first-occurrence order."""
+    if not _QUICK_RE.search(text):
+        return []
     words = [(m.group(), m.start()) for m in _WORD_RE.finditer(text)]
+    classes = [_classify(w) for w, _ in words]
     found: list[tuple[int, str]] = []
 
     used_in_bigram: set[int] = set()
     for i in range(len(words) - 1):
-        w1, p1 = words[i]
-        w2, _ = words[i + 1]
-        if _CAP_WORD_RE.match(w1) and _CAP_WORD_RE.match(w2):
-            found.append((p1, f"{w1} {w2}"))
+        if classes[i][0] and classes[i + 1][0]:
+            w1, p1 = words[i]
+            found.append((p1, f"{w1} {words[i + 1][0]}"))
             used_in_bigram.add(i)
             used_in_bigram.add(i + 1)
 
     for i, (w, p) in enumerate(words):
         if i in used_in_bigram:
             continue
-        if _is_identifier_mention(w):
+        if classes[i][1]:
             found.append((p, w))
 
     found.sort(key=lambda t: t[0])

@@ -5,9 +5,15 @@ Stages (all Ray Data; SURVEY.md §7.2 M0-M3):
   read_parquet(transcript shards)                    [streaming source]
   -> normalize_turns            map_batches, Arrow   [stateless]
   -> extract_mention_rows       map_batches, 1->N    [stateless]
-  -> LinkerActor                map_batches actor pool, catalog broadcast
-  -> canonical rewrite          map_batches, broadcast dict
-  -> groupby(conv_id).map_groups(assemble)           [the ONE shuffle]
+  -> linking, one of:
+       two-phase (default): per-block unique -> global unique -> parallel
+         link tasks over DISTINCT mentions -> broadcast dict lookup
+         (canonical rewrite folded into the dict)
+       actor pool: LinkerActor map_batches, catalog broadcast, per-actor
+         memo (streaming, no barrier)
+  -> assembly, one of:
+       conv-disjoint shards: per-block pandas groupby (NO shuffle)
+       general: groupby(conv_id).map_groups      [the ONE shuffle]
   == Dataset[subj, pred, obj, conv_id, turn_idx]
 
 Triple semantics (deterministic, closed predicate set; shared with the
@@ -124,7 +130,7 @@ def link_stage(
     catalog: pa.Table,
     mapping: dict[str, str],
     concurrency: int | None = None,
-    batch_size: int = 8192,
+    batch_size: int | None = 8192,
 ) -> ray.data.Dataset:
     """Broadcast-join linking: catalog + canonical mapping ship once via
     ray.put; one actor pool links AND canonicalizes (stages/link.py)."""
@@ -141,28 +147,256 @@ def link_stage(
     )
 
 
+@ray.remote
+def _link_chunk(catalog_rows: list[dict], mapping: dict[str, str], chunk: list[str]) -> dict:
+    """Link one chunk of unique mentions (raw Ray task: this is the
+    driver-coordinated small-side computation, not a per-record
+    transform). EntityIndex is cached per worker process keyed by the
+    catalog object id, so a worker running several chunks builds it once."""
+    from ..functions.linker_core import EntityIndex
+
+    cache = _link_chunk_index_cache
+    key = id(catalog_rows)
+    idx = cache.get(key)
+    if idx is None:
+        idx = EntityIndex(catalog_rows)
+        cache.clear()
+        cache[key] = idx
+    out = {}
+    for mention, res in zip(chunk, idx.link_many(chunk)):
+        out[mention] = mapping.get(res.entity_id, res.entity_id) if res else None
+    return out
+
+
+_link_chunk_index_cache: dict = {}
+
+
+def unique_mention_linkmap(
+    mention_ds: ray.data.Dataset,
+    catalog: pa.Table,
+    mapping: dict[str, str],
+    parallelism: int | None = None,
+) -> dict[str, str | None]:
+    """Two-phase linking, phase 1: the global mention -> canonical-entity
+    dict.
+
+    Mentions repeat enormously (surface forms are drawn from a bounded
+    vocabulary), so instead of every linker actor re-resolving the same
+    strings (per-actor warmup = O(uniques x catalog) EACH), we:
+      per-block unique (pre-aggregation inside map_batches)
+      -> tiny global unique (the shuffle moves only distinct short strings)
+      -> parallel Ray tasks hybrid-link each unique mention ONCE
+      -> broadcast the dict.
+    In-repo scale note: at 10^9+ distinct surface forms the dict outgrows
+    a broadcast; then hash-partition mentions and linkmap on mention and
+    use a partitioned map-side join instead (same two-phase shape)."""
+    import pyarrow.compute as pc
+
+    def block_unique(b: pa.Table) -> pa.Table:
+        return pa.table({"mention": pc.unique(b["mention"]).drop_null()})
+
+    # per-block uniques are tiny (bounded surface vocabulary); union them on
+    # the driver instead of paying a sort-shuffle unique() — its ~5s fixed
+    # cost dominates at any cluster size. Scale path: at 10^8+ distinct
+    # surfaces switch to .unique("mention") (distributed) here.
+    uniq_blocks = mention_ds.map_batches(block_unique, batch_format="pyarrow").to_pandas()
+    uniq = sorted(set(uniq_blocks["mention"]))
+    # linking the unique set is seconds of CPU; cap fan-out so it reuses
+    # warm workers instead of cold-starting a wide task wave
+    par = parallelism or min(8, max(2, _auto_concurrency()))
+    catalog_ref = ray.put(catalog.to_pylist())
+    mapping_ref = ray.put(mapping)
+    chunk_size = max(64, -(-len(uniq) // par))
+    futures = [
+        _link_chunk.remote(catalog_ref, mapping_ref, uniq[lo : lo + chunk_size])
+        for lo in range(0, len(uniq), chunk_size)
+    ]
+    linkmap: dict[str, str | None] = {}
+    for part in ray.get(futures):
+        linkmap.update(part)
+    return linkmap
+
+
+_deref_cache: dict[str, object] = {}
+
+
+def _deref_once(ref) -> object:
+    """ray.get with a per-worker-process deserialization cache (a plain
+    function task re-derefs per call otherwise; caching keeps lookup
+    stages stateless so Ray can FUSE them with neighboring task stages —
+    an actor pool would break fusion and force a plasma round-trip)."""
+    key = ref.hex()
+    obj = _deref_cache.get(key)
+    if obj is None:
+        obj = ray.get(ref)
+        _deref_cache.clear()
+        _deref_cache[key] = obj
+    return obj
+
+
+def apply_linkmap(
+    mention_ds: ray.data.Dataset, linkmap: dict[str, str | None], batch_size: int | None
+) -> ray.data.Dataset:
+    """Two-phase linking, phase 2: broadcast dict lookup per mention row.
+    A stateless task (not an actor pool) so it fuses with the downstream
+    assembly stage into one operator — no intermediate object-store hop."""
+    linkmap_ref = ray.put(linkmap)
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        lm = _deref_once(linkmap_ref)
+        ents = [lm.get(m) if m is not None else None for m in batch["mention"].to_pylist()]
+        return batch.append_column("entity_id", pa.array(ents, pa.string()))
+
+    return mention_ds.map_batches(lookup, batch_format="pyarrow", batch_size=batch_size)
+
+
+_EMPTY_TRIPLES = {
+    "subj": pd.Series(dtype="object"),
+    "pred": pd.Series(dtype="object"),
+    "obj": pd.Series(dtype="object"),
+    "conv_id": pd.Series(dtype="object"),
+    "turn_idx": pd.Series(dtype="int32"),
+}
+
+
+def assemble_conv_local(df: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized triple assembly over a conv-complete batch (pandas
+    merges, no per-conversation python loop). Semantically identical to
+    assemble_triples_group applied per conversation (pytest cross-checked
+    — that loop is the readable spec, this is the hot path). ONLY correct
+    when every conversation's rows are fully contained in the batch (the
+    conv-disjoint-shards layout)."""
+    if df.empty:
+        return pd.DataFrame(_EMPTY_TRIPLES)
+    df = df.sort_values(["conv_id", "turn_idx", "mention_ord"], kind="mergesort")
+
+    # linked entities per turn, deduped keep-first in mention order
+    ent = df.dropna(subset=["entity_id"]).drop_duplicates(
+        subset=["conv_id", "turn_idx", "entity_id"], keep="first"
+    )[["conv_id", "turn_idx", "entity_id", "tool"]].copy()
+    if ent.empty:
+        return pd.DataFrame(_EMPTY_TRIPLES)
+    ent["rank"] = ent.groupby(["conv_id", "turn_idx"], sort=False).cumcount()
+
+    # mentions: ordered pairs (rank_i < rank_j) within a turn
+    p = ent.merge(ent, on=["conv_id", "turn_idx"], suffixes=("_i", "_j"))
+    p = p[(p["rank_i"] < p["rank_j"]) & (p["entity_id_i"] != p["entity_id_j"])]
+    mentions = pd.DataFrame(
+        {
+            "subj": p["entity_id_i"],
+            "pred": "mentions",
+            "obj": p["entity_id_j"],
+            "conv_id": p["conv_id"],
+            "turn_idx": p["turn_idx"],
+        }
+    )
+
+    # uses_tool: every entity of a turn with a non-empty tool (the tool
+    # column is constant across one turn's mention rows)
+    ut = ent[ent["tool"] != ""]
+    uses = pd.DataFrame(
+        {
+            "subj": ut["entity_id"],
+            "pred": "uses_tool",
+            "obj": ut["tool"],
+            "conv_id": ut["conv_id"],
+            "turn_idx": ut["turn_idx"],
+        }
+    )
+
+    # replies_to: first entity of turn t -> first entity of turn t-1, both
+    # turns entity-bearing and adjacent
+    first = ent[ent["rank"] == 0][["conv_id", "turn_idx", "entity_id"]]
+    prev = first.rename(columns={"entity_id": "entity_id_prev"}).copy()
+    prev["turn_idx"] = prev["turn_idx"] + 1
+    rt = first.merge(prev, on=["conv_id", "turn_idx"])
+    replies = pd.DataFrame(
+        {
+            "subj": rt["entity_id"],
+            "pred": "replies_to",
+            "obj": rt["entity_id_prev"],
+            "conv_id": rt["conv_id"],
+            "turn_idx": rt["turn_idx"],
+        }
+    )
+
+    out = pd.concat([mentions, uses, replies], ignore_index=True)
+    out = out.drop_duplicates(subset=["subj", "pred", "obj", "conv_id", "turn_idx"], keep="first")
+    out["turn_idx"] = out["turn_idx"].astype("int32")
+    return out.reset_index(drop=True)
+
+
 def build_kg(
     paths: list[str] | str,
     catalog: pa.Table,
     mapping: dict[str, str] | None = None,
     concurrency: int | None = None,
+    conv_local_shards: bool = False,
+    two_phase: bool = True,
 ) -> ray.data.Dataset:
-    """transcript parquet paths + catalog -> streaming Dataset of triples."""
+    """transcript parquet paths + catalog -> streaming Dataset of triples.
+
+    ``two_phase=True`` (default) links each DISTINCT mention once
+    globally (per-block unique -> tiny global unique -> parallel link
+    tasks -> broadcast dict lookup) instead of running a linker actor
+    pool where every actor pays the unique-mention warmup; identical
+    output (pytest cross-checked), ~10x less link compute when surface
+    forms repeat. ``two_phase=False`` keeps the streaming actor-pool
+    linker (no global barrier — the right shape when the mention stream
+    is unbounded or uniques don't fit a broadcast).
+
+    ``conv_local_shards=True`` is the scale fast path: when the input
+    files are partitioned by conversation (a conv never spans files — the
+    layout a 100 TB ingest should produce, and what sources/synth.py
+    generates), the per-conversation assembly needs NO shuffle at all:
+    blocks are kept file-aligned (override_num_blocks=n_files,
+    batch_size=None end-to-end so batches == blocks and a conversation is
+    never split), and assembly runs per block with an inner pandas
+    groupby. The general path pays one all-to-all groupby(conv_id)
+    instead; both produce identical triples (pytest-checked)."""
     if mapping is None:
         mapping = canonical_mapping(catalog.to_pylist())
-    ds = ray.data.read_parquet(paths)
-    ds = ds.map_batches(normalize_turns, batch_format="pyarrow")
-    ds = ds.map_batches(extract_mention_rows, batch_format="pyarrow")
+    if isinstance(paths, str):
+        paths = [paths]
+    if conv_local_shards:
+        ds = ray.data.read_parquet(paths, override_num_blocks=len(paths))
+        bs = None
+    else:
+        ds = ray.data.read_parquet(paths)
+        bs = 8192
+    ds = ds.map_batches(normalize_turns, batch_format="pyarrow", batch_size=bs)
+    ds = ds.map_batches(extract_mention_rows, batch_format="pyarrow", batch_size=bs)
     ds = ds.select_columns(["conv_id", "turn_idx", "tool", "mention", "mention_ord"])
-    ds = link_stage(ds, catalog, mapping, concurrency=concurrency)
+    if two_phase:
+        # mentions dataset is consumed twice (unique pass + lookup pass);
+        # pin the small intermediate instead of recomputing the extraction
+        ds = ds.materialize()
+        linkmap = unique_mention_linkmap(ds, catalog, mapping, parallelism=concurrency)
+        ds = apply_linkmap(ds, linkmap, batch_size=bs)
+    else:
+        ds = link_stage(ds, catalog, mapping, concurrency=concurrency, batch_size=bs)
     ds = ds.select_columns(["conv_id", "turn_idx", "mention_ord", "entity_id", "tool"])
-    triples = ds.groupby("conv_id").map_groups(assemble_triples_group, batch_format="pandas")
-    return triples
+    if conv_local_shards:
+        return ds.map_batches(assemble_conv_local, batch_format="pandas", batch_size=None)
+    return ds.groupby("conv_id").map_groups(assemble_triples_group, batch_format="pandas")
 
 
-def build_kg_from_dir(data_dir: str, concurrency: int | None = None) -> ray.data.Dataset:
+def build_kg_from_dir(
+    data_dir: str,
+    concurrency: int | None = None,
+    conv_local_shards: bool = True,
+    **kwargs,
+) -> ray.data.Dataset:
+    """The synth generator guarantees conv-disjoint files, so the
+    no-shuffle fast path is the default here."""
     catalog = load_catalog(data_dir)
-    return build_kg(transcript_files(data_dir), catalog, concurrency=concurrency)
+    return build_kg(
+        transcript_files(data_dir),
+        catalog,
+        concurrency=concurrency,
+        conv_local_shards=conv_local_shards,
+        **kwargs,
+    )
 
 
 def normalized_turns_ds(data_dir: str) -> ray.data.Dataset:

@@ -411,7 +411,8 @@ def q_doc_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     """SimHash near-dup candidate pairs at Hamming <= 3 (rows-only)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     sh = ds.map_batches(textops.doc_simhash, batch_format="pyarrow")
-    return dedup.simhash_candidate_pairs(sh).to_pandas()
+    out = dedup.simhash_candidate_pairs(sh).to_pandas()
+    return out.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_doc_fingerprint_overlap(sf_dir: str) -> pd.DataFrame:
@@ -420,21 +421,37 @@ def q_doc_fingerprint_overlap(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     fps = ds.map_batches(textops.doc_fingerprints, batch_format="pyarrow")
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        # fingerprints shared by many docs are vocabulary-level noise, not
-        # copied passages; cap the bucket low
-        ids = sorted(set(df["doc_id"].tolist()))
-        if len(ids) < 2 or len(ids) > 16:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-        return pd.DataFrame(
-            [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]], columns=["a", "b"]
+    def add_bucket(b: pa.Table) -> pa.Table:
+        # coarse shuffle key: a few hundred groups, inner pandas groupby per
+        # fingerprint (per-fingerprint Ray groups would be millions of tiny
+        # groups — per-group overhead dominates)
+        return b.append_column(
+            "fp_bucket", pc.cast(pc.bit_wise_and(b["fingerprint"], pa.scalar(255, pa.uint64())), pa.int32())
         )
 
+    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _fp, g in df.groupby("fingerprint", sort=True):
+            # fingerprints shared by many docs are vocabulary-level noise,
+            # not copied passages; cap the bucket low
+            ids = sorted(set(g["doc_id"].tolist()))
+            if 2 <= len(ids) <= 16:
+                outs.append(
+                    pd.DataFrame(
+                        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]],
+                        columns=["a", "b"],
+                    )
+                )
+        if not outs:
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
     out = (
-        fps.groupby("fingerprint")
-        .map_groups(pairs, batch_format="pandas")
+        fps.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("fp_bucket")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
         .groupby(["a", "b"])
-        .map_groups(lambda df: df.assign(n_shared=len(df)).head(1), batch_format="pandas")
+        .aggregate(Count(alias_name="n_shared"))
         .to_pandas()
     )
     out = out.astype({"a": "int64", "b": "int64", "n_shared": "int64"})
@@ -446,7 +463,8 @@ def q_doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     docs = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
     ds = ray.data.from_arrow(docs)
     cands = dedup.minhash_candidate_pairs(ds, shingle_k=5)
-    return dedup.verify_pairs_jaccard(cands, docs, threshold=0.5, use_ngrams=True).to_pandas()
+    out = dedup.verify_pairs_jaccard(cands, docs, threshold=0.5, use_ngrams=True).to_pandas()
+    return out.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -506,7 +524,10 @@ def q_embedding_neardup_lsh(sf_dir: str) -> pd.DataFrame:
     t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     dim = len(t["embedding"][0])
     ds = ray.data.from_arrow(t)
-    return dedup.embedding_neardup_pairs_lsh(ds, dim=dim, threshold=0.4, num_planes=4, num_tables=16).to_pandas()
+    out = dedup.embedding_neardup_pairs_lsh(
+        ds, dim=dim, threshold=0.4, num_planes=4, num_tables=16
+    ).to_pandas()
+    return out.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def q_ann_ivf(sf_dir: str) -> pd.DataFrame:

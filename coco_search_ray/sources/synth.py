@@ -128,60 +128,35 @@ def catalog_surface_pool(catalog: pa.Table) -> list[str]:
     return pool
 
 
-def _conv_lengths(n_convs: int, turns_target: int, rng: np.random.RandomState) -> np.ndarray:
-    """Zipf-ish: ~1% of convs hold ~30% of turns."""
+def _generate_shard(
+    out_dir: str,
+    si: int,
+    num_files: int,
+    n_convs: int,
+    turns_target: int,
+    pool: list[str],
+    seed: int,
+) -> str:
+    """Generate one conv-disjoint shard file (deterministic per (params,
+    shard index) — shards are independent so generation parallelizes)."""
+    rng = np.random.RandomState(seed + 1000 + si)
     n_head = max(1, n_convs // 100)
     head_mean = max(4, int(0.30 * turns_target / n_head))
     tail_mean = max(2, int(0.70 * turns_target / max(1, n_convs - n_head)))
-    lens = np.empty(n_convs, dtype=np.int64)
-    lens[:n_head] = rng.randint(max(2, head_mean // 2), head_mean * 2, size=n_head)
-    lens[n_head:] = rng.randint(max(1, tail_mean // 2), tail_mean * 2 + 1, size=n_convs - n_head)
-    return lens
-
-
-def generate_transcripts(
-    out_dir: str,
-    n_convs: int = 200,
-    turns_target: int = 5000,
-    n_entities: int = 200,
-    num_files: int = 4,
-    seed: int = SEED,
-) -> str:
-    """Generate the transcripts table under ``out_dir`` (one parquet file
-    per conv-disjoint shard) plus ``catalog.parquet``. Idempotent: returns
-    immediately if a ``_SYNTH_OK`` marker with matching params exists."""
-    marker = os.path.join(out_dir, "_SYNTH_OK")
-    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v3"
-    if os.path.exists(marker):
-        with open(marker) as f:
-            if f.read().strip() == stamp:
-                return out_dir
-    os.makedirs(out_dir, exist_ok=True)
-
-    catalog = generate_catalog(n_entities, seed)
-    pq.write_table(catalog, os.path.join(out_dir, "catalog.parquet"))
-    pool = catalog_surface_pool(catalog)
-
-    rng = np.random.RandomState(seed)
-    lens = _conv_lengths(n_convs, turns_target, rng)
-
-    shards: list[dict[str, list]] = [
-        {"conv_id": [], "turn_idx": [], "role": [], "text": [], "tool": [], "ts": []}
-        for _ in range(num_files)
-    ]
     roles = ["user", "assistant", "tool"]
     n_filler = len(_FILLER)
 
-    for ci in range(n_convs):
+    shard: dict[str, list] = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
+    for ci in range(si, n_convs, num_files):
         conv_id = f"conv-{ci:08d}"
-        shard = shards[ci % num_files]
+        if ci < n_head:
+            length = rng.randint(max(2, head_mean // 2), head_mean * 2)
+        else:
+            length = rng.randint(max(1, tail_mean // 2), tail_mean * 2 + 1)
         fill_off = rng.randint(0, n_filler)
-        for ti in range(int(lens[ci])):
+        for ti in range(int(length)):
             role = roles[(ti + (ci % 3)) % 3]
-            if role == "user":
-                tool = ""
-            else:
-                tool = TOOLS[rng.choice(len(TOOLS), p=TOOL_WEIGHTS)]
+            tool = "" if role == "user" else TOOLS[rng.choice(len(TOOLS), p=TOOL_WEIGHTS)]
             n_mentions = int(rng.choice(4, p=[0.25, 0.35, 0.25, 0.15]))
             words: list[str] = []
             for k in range(3 + (ti % 3)):
@@ -192,32 +167,71 @@ def generate_transcripts(
                     surface = surface.capitalize()  # case-mangled variant
                 words.append(surface)
                 words.append(_FILLER[(fill_off + len(words)) % n_filler])
-            text = " ".join(words)
             shard["conv_id"].append(conv_id)
             shard["turn_idx"].append(ti)
             shard["role"].append(role)
-            shard["text"].append(text)
+            shard["text"].append(" ".join(words))
             shard["tool"].append(tool)
             shard["ts"].append(EPOCH_US + ci * 3_600_000_000 + ti * 13_000_000)
 
-    for si, shard in enumerate(shards):
-        n = len(shard["conv_id"])
-        perm = np.random.RandomState(seed + 100 + si).permutation(n)
-        table = pa.table(
-            {
-                "conv_id": pa.array(np.asarray(shard["conv_id"], dtype=object)[perm].tolist(), pa.string()),
-                "turn_idx": pa.array(np.asarray(shard["turn_idx"], dtype=np.int64)[perm], pa.int32()),
-                "role": pa.array(np.asarray(shard["role"], dtype=object)[perm].tolist(), pa.string()),
-                "text": pa.array(np.asarray(shard["text"], dtype=object)[perm].tolist(), pa.string()),
-                "tool": pa.array(np.asarray(shard["tool"], dtype=object)[perm].tolist(), pa.string()),
-                "ts": pa.array(np.asarray(shard["ts"], dtype=np.int64)[perm], pa.timestamp("us")),
-            }
-        )
-        pq.write_table(
-            table,
-            os.path.join(out_dir, f"transcripts-{si:04d}.parquet"),
-            row_group_size=max(4096, n // 4),
-        )
+    n = len(shard["conv_id"])
+    perm = np.random.RandomState(seed + 100 + si).permutation(n)
+    table = pa.table(
+        {
+            "conv_id": pa.array(np.asarray(shard["conv_id"], dtype=object)[perm].tolist(), pa.string()),
+            "turn_idx": pa.array(np.asarray(shard["turn_idx"], dtype=np.int64)[perm], pa.int32()),
+            "role": pa.array(np.asarray(shard["role"], dtype=object)[perm].tolist(), pa.string()),
+            "text": pa.array(np.asarray(shard["text"], dtype=object)[perm].tolist(), pa.string()),
+            "tool": pa.array(np.asarray(shard["tool"], dtype=object)[perm].tolist(), pa.string()),
+            "ts": pa.array(np.asarray(shard["ts"], dtype=np.int64)[perm], pa.timestamp("us")),
+        }
+    )
+    path = os.path.join(out_dir, f"transcripts-{si:04d}.parquet")
+    pq.write_table(table, path, row_group_size=max(4096, n // 4))
+    return path
+
+
+def generate_transcripts(
+    out_dir: str,
+    n_convs: int = 200,
+    turns_target: int = 5000,
+    n_entities: int = 200,
+    num_files: int = 4,
+    seed: int = SEED,
+    max_workers: int | None = None,
+) -> str:
+    """Generate the transcripts table under ``out_dir`` (one parquet file
+    per conv-disjoint shard, shards generated in parallel) plus
+    ``catalog.parquet``. Idempotent: returns immediately if a
+    ``_SYNTH_OK`` marker with matching params exists."""
+    marker = os.path.join(out_dir, "_SYNTH_OK")
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v4"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == stamp:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    catalog = generate_catalog(n_entities, seed)
+    pq.write_table(catalog, os.path.join(out_dir, "catalog.parquet"))
+    pool = catalog_surface_pool(catalog)
+
+    workers = max_workers or min(8, num_files, os.cpu_count() or 1)
+    if workers <= 1 or num_files == 1:
+        for si in range(num_files):
+            _generate_shard(out_dir, si, num_files, n_convs, turns_target, pool, seed)
+    else:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=workers) as ex:
+            futs = [
+                ex.submit(
+                    _generate_shard, out_dir, si, num_files, n_convs, turns_target, pool, seed
+                )
+                for si in range(num_files)
+            ]
+            for f in futs:
+                f.result()
 
     with open(marker, "w") as f:
         f.write(stamp)
@@ -232,7 +246,11 @@ TIERS = {
     # tier: (n_convs, turns_target, n_entities, num_files)
     "smoke": (200, 5_000, 200, 4),
     "correctness": (2_000, 60_000, 1_000, 8),
-    "bench": (8_000, 600_000, 2_000, 32),
+    # bench sized so compute dominates fixed overheads in the N-vs-4N
+    # scaling run (~24M turns ~= 800+ CPU-seconds of pipeline work vs a
+    # ~10s catalog-bound floor: canonicalization + unique-mention linking
+    # cost is O(catalog), not O(turns))
+    "bench": (192_000, 24_000_000, 2_000, 128),
 }
 
 _TIER_ROOT = os.environ.get("COCO_SYNTH_ROOT", "/tmp/coco_synth")

@@ -114,21 +114,44 @@ def _bucket_pairs_df(df: pd.DataFrame, id_col: str, max_bucket: int = 256) -> pd
     return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
 
 
+def _pairs_within_band(df: pd.DataFrame, id_col: str, hash_col: str, max_bucket: int) -> pd.DataFrame:
+    """All same-bucket pairs within one coarse group, bucketed by
+    ``hash_col`` with a plain pandas groupby. One Ray group per BAND (a
+    few dozen groups), not per bucket (millions of tiny groups — Ray
+    map_groups overhead per group would dominate)."""
+    outs = [
+        _bucket_pairs_df(g, id_col, max_bucket) for _bh, g in df.groupby(hash_col, sort=True)
+    ]
+    if not outs:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    return pd.concat(outs, ignore_index=True)
+
+
+def distinct_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Dedup (a, b) pairs proposed by multiple bands — native aggregate
+    (no per-group python)."""
+    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands")).select_columns(["a", "b"])
+
+
 def minhash_candidate_pairs(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 5
 ) -> ray.data.Dataset:
-    """LSH blocking: Dataset of candidate (a, b) pairs (unverified)."""
+    """LSH blocking: Dataset of candidate (a, b) pairs (unverified; may
+    contain duplicates when several bands agree — see note below)."""
     bands = ds.map_batches(
         _MinhashExplode,
         fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "shingle_k": shingle_k},
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(
-        lambda df: _bucket_pairs_df(df, id_col), batch_format="pandas"
+    return bands.groupby("band_id").map_groups(
+        lambda df: _pairs_within_band(df, id_col, "band_hash", 256), batch_format="pandas"
     )
-    # dedup pairs proposed by multiple bands
-    return pairs.groupby(["a", "b"]).map_groups(lambda df: df.head(1), batch_format="pandas")
+    # NOTE: pairs proposed by several bands appear multiple times; callers
+    # dedupe (drop_duplicates on the small verified output, or
+    # distinct_pairs() for a distributed distinct) — verification is
+    # idempotent per pair, so a mid-pipeline distinct would only add an
+    # extra all-to-all shuffle.
 
 
 def verify_pairs_jaccard(
@@ -183,9 +206,13 @@ def neardup_survivors(
     min id per component. Returns a small table (survivor ids + group
     size); the component step runs on the driver over verified pairs only
     (provably small candidate set)."""
-    pairs = verify_pairs_jaccard(
-        minhash_candidate_pairs(ds, text_col, id_col), docs, text_col, id_col, threshold
-    ).to_pandas()
+    pairs = (
+        verify_pairs_jaccard(
+            minhash_candidate_pairs(ds, text_col, id_col), docs, text_col, id_col, threshold
+        )
+        .to_pandas()
+        .drop_duplicates(subset=["a", "b"])
+    )
     all_ids = [str(i) for i in docs[id_col].to_pylist()]
     mapping = union_find(
         sorted(all_ids), sorted((str(a), str(b)) for a, b in zip(pairs["a"], pairs["b"]))
@@ -252,12 +279,22 @@ def simhash_candidate_pairs(
             }
         )
 
-    pairs = (
+    def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [bucket_pairs(g) for _k, g in df.groupby("band_key", sort=True)]
+        return (
+            pd.concat(outs, ignore_index=True)
+            if outs
+            else bucket_pairs(df.iloc[0:0])
+        )
+
+    # duplicates across bands carry identical hamming values; callers
+    # drop_duplicates on (a, b) (small output) instead of paying a second
+    # all-to-all aggregate here
+    return (
         simhashed.map_batches(explode, batch_format="pyarrow")
-        .groupby(["band_id", "band_key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("band_id")
+        .map_groups(band_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["a", "b"]).map_groups(lambda df: df.head(1), batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -387,9 +424,14 @@ def embedding_neardup_pairs_lsh(
             }
         )
 
-    pairs = (
+    def table_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        outs = [bucket_pairs(g) for _k, g in df.groupby("bucket", sort=True)]
+        return pd.concat(outs, ignore_index=True) if outs else bucket_pairs(df.iloc[0:0])
+
+    # duplicate pairs across tables carry identical cos_sim; callers
+    # drop_duplicates on (a, b)
+    return (
         ds.map_batches(_Bucket, batch_format="pyarrow", concurrency=(1, 8))
-        .groupby(["table_id", "bucket"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .groupby("table_id")
+        .map_groups(table_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["a", "b"]).map_groups(lambda df: df.head(1), batch_format="pandas")

@@ -7,20 +7,33 @@ deps/extractors/python.py:42-213) expressed as an Arrow-in/Arrow-out
 batch transform: output tables are assembled column-wise, never Python
 row dicts.
 
-Turns with no mentions still emit ONE sentinel row (mention null,
-mention_ord -1) so downstream per-conversation assembly sees every turn
-(needed for replies_to adjacency and per-turn QA metrics) without a
-second pass over the input.
+Turns with no mentions emit nothing: the replies_to adjacency rule only
+consults turns that DO carry entities (first(t) joined to first(t-1)), so
+entity-less turns are irrelevant to triple assembly — dropping them
+halves the mention-row volume through the rest of the pipeline. Per-turn
+QA metrics run on the normalized-turns dataset directly (pipelines/
+stats.py), not on mention rows. ``emit_sentinels=True`` restores a
+(mention null, mention_ord -1) row per empty turn for consumers that
+want a row per turn.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
-from ..functions.mentions import detect_mentions
+from ..functions.mentions import _QUICK_RE, detect_mentions
+
+# Arrow/RE2 form of functions.mentions._QUICK_RE: rows that can't contain
+# any mention shape are dropped with ONE C-level vectorized scan before the
+# python explosion loop ever sees them.
+_QUICK_PATTERN = _QUICK_RE.pattern
 
 
-def extract_mention_rows(batch: pa.Table) -> pa.Table:
+def extract_mention_rows(batch: pa.Table, emit_sentinels: bool = False) -> pa.Table:
+    if not emit_sentinels and batch.num_rows:
+        mask = pc.match_substring_regex(batch["text"], _QUICK_PATTERN)
+        batch = batch.filter(pc.fill_null(mask, False))
     conv_ids = batch["conv_id"].to_pylist()
     turn_idxs = batch["turn_idx"].to_pylist()
     roles = batch["role"].to_pylist()
@@ -37,12 +50,13 @@ def extract_mention_rows(batch: pa.Table) -> pa.Table:
     for conv, turn, role, tool, text in zip(conv_ids, turn_idxs, roles, tools, texts):
         mentions = detect_mentions(text) if text else []
         if not mentions:
-            o_conv.append(conv)
-            o_turn.append(turn)
-            o_role.append(role)
-            o_tool.append(tool)
-            o_mention.append(None)
-            o_ord.append(-1)
+            if emit_sentinels:
+                o_conv.append(conv)
+                o_turn.append(turn)
+                o_role.append(role)
+                o_tool.append(tool)
+                o_mention.append(None)
+                o_ord.append(-1)
             continue
         for i, m in enumerate(mentions):
             o_conv.append(conv)

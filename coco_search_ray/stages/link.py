@@ -49,28 +49,30 @@ class LinkerActor:
         self.mapping = mapping
         self.memo: dict[str, LinkResult | None] = {}
 
-    def _link(self, mention: str) -> LinkResult | None:
-        hit = self.memo.get(mention, _MISS)
-        if hit is not _MISS:
-            return hit
-        res = self.index.link(mention)
-        if res is not None and self.mapping:
-            canon = self.mapping.get(res.entity_id)
-            if canon is not None and canon != res.entity_id:
-                res = LinkResult(canon, res.surface, res.fused_score, res.match_type)
-        if len(self.memo) >= _MEMO_MAX:
+    def _link_all(self, mentions: list[str | None]) -> None:
+        """Resolve every memo miss in the batch with ONE vectorized
+        link_many call (dense channel batched into a single matmul)."""
+        misses = sorted({m for m in mentions if m is not None and m not in self.memo})
+        if not misses:
+            return
+        if len(self.memo) + len(misses) >= _MEMO_MAX:
             self.memo.clear()  # cheap wholesale eviction; memo refills fast
-        self.memo[mention] = res
-        return res
+        for mention, res in zip(misses, self.index.link_many(misses)):
+            if res is not None and self.mapping:
+                canon = self.mapping.get(res.entity_id)
+                if canon is not None and canon != res.entity_id:
+                    res = LinkResult(canon, res.surface, res.fused_score, res.match_type)
+            self.memo[mention] = res
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mentions = batch["mention"].to_pylist()
+        self._link_all(mentions)
         entity_ids: list[str | None] = []
         surfaces: list[str | None] = []
         scores: list[float | None] = []
         match_types: list[str | None] = []
         for m in mentions:
-            res = self._link(m) if m is not None else None
+            res = self.memo.get(m) if m is not None else None
             if res is None:
                 entity_ids.append(None)
                 surfaces.append(None)
@@ -89,8 +91,3 @@ class LinkerActor:
         )
 
 
-class _Sentinel:
-    pass
-
-
-_MISS = _Sentinel()

@@ -75,3 +75,36 @@ def test_determinism_across_parallelism(ray_session, smoke_dir, pipeline_df):
 
     again = build_kg_from_dir(smoke_dir, concurrency=3).to_pandas()
     pd.testing.assert_frame_equal(_sorted(again), _sorted(pipeline_df))
+
+
+def test_vectorized_assembly_matches_loop_spec(smoke_dir):
+    """assemble_conv_local (vectorized hot path) == assemble_triples_group
+    (readable per-conv spec) on real linked-mention frames."""
+    import numpy as np
+    import pandas as pd
+    from coco_search_ray.pipelines.kg import assemble_conv_local, assemble_triples_group
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for conv in range(30):
+        n_turns = rng.randint(1, 12)
+        for turn in range(n_turns):
+            tool = ["", "search", "bash"][rng.randint(3)]
+            n_m = rng.randint(0, 4)
+            if n_m == 0:
+                rows.append((f"c{conv:03d}", turn, -1, None, tool))
+            for k in range(n_m):
+                ent = f"E{rng.randint(6):03d}" if rng.rand() > 0.2 else None
+                rows.append((f"c{conv:03d}", turn, k, ent, tool))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "mention_ord", "entity_id", "tool"])
+    df = df.sample(frac=1.0, random_state=7).reset_index(drop=True)  # shuffled arrival
+
+    fast = assemble_conv_local(df.copy())
+    slow = pd.concat(
+        [assemble_triples_group(g) for _c, g in df.groupby("conv_id", sort=True)],
+        ignore_index=True,
+    )
+    key = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    fast = fast[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+    slow = slow[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
