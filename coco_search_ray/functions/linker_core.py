@@ -152,6 +152,37 @@ class EntityIndex:
         """Hybrid-link one mention surface form; None when unlinkable."""
         return self.link_many([mention], limit)[0]
 
+    def search(self, query: str, limit: int = 10, hybrid: bool = True) -> list[dict]:
+        """Ranked retrieval (the reference's search UX): returns the top
+        ``limit`` fused candidates with scores/match_type instead of an
+        accept-or-None link decision. ``hybrid=False`` is the
+        semantic-only path (no keyword channel; the canonical boost still
+        applies — reference hybrid.py:577-596 boosts the vector-only path
+        too)."""
+        prefetch = prefetch_limit(limit)
+        qvec = hash_embeddings([query])[0]
+        qn = np.linalg.norm(qvec)
+        if qn > 0:
+            qvec = qvec / qn
+        dense = self._dense_ranked(qvec, prefetch)
+        keyword = self._keyword_ranked(query, prefetch) if hybrid else []
+        fused = apply_canonical_boost(rrf_fuse(dense, keyword), self.is_canonical)
+        out = []
+        for c in fused[:limit]:
+            eid, surface = c.key.split("|", 1)
+            out.append(
+                {
+                    "entity_id": eid,
+                    "surface": surface,
+                    "score": c.fused_score,
+                    "match_type": c.match_type,
+                    "vector_score": c.vector_score,
+                    "keyword_score": c.keyword_score,
+                    "is_canonical": self.is_canonical.get(c.key, False),
+                }
+            )
+        return out
+
     def link_many(self, mentions: list[str], limit: int = DEFAULT_LIMIT) -> list[LinkResult | None]:
         """Batch linking: ONE (n_mentions x dim) @ (dim x n_docs) matmul for
         the dense channel (BLAS instead of n matvecs — this is what makes

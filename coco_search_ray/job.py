@@ -1,0 +1,98 @@
+"""CLI entry point — run via ``ray job submit -- python -m
+coco_search_ray.job <cmd> ...`` on a cluster, or directly (it owns the
+Ray session only when one isn't already initialised).
+
+Commands:
+  build   --data DIR --out DIR [--no-resume]   resumable KG build
+  stats   --out DIR                            grouped triple stats
+  search  --data DIR --query Q [--limit K]     hybrid catalog search
+  synth   --tier smoke|correctness|bench       generate synthetic data
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="coco_search_ray.job")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--data", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--no-resume", action="store_true")
+
+    s = sub.add_parser("stats")
+    s.add_argument("--out", required=True)
+
+    q = sub.add_parser("search")
+    q.add_argument("--data", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--limit", type=int, default=10)
+
+    g = sub.add_parser("synth")
+    g.add_argument("--tier", default="smoke")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "synth":
+        from .sources.synth import ensure_tier
+
+        print(ensure_tier(args.tier))
+        return 0
+
+    _ensure_ray()
+    import ray
+
+    try:
+        if args.cmd == "build":
+            import shutil
+
+            from .pipelines.materialize import run_resumable
+
+            if args.no_resume and os.path.isdir(args.out):
+                shutil.rmtree(args.out)
+            stats = run_resumable(args.data, args.out)
+            print(json.dumps(stats))
+        elif args.cmd == "stats":
+            from .pipelines.materialize import read_triples
+            from .pipelines.stats import top_entities, triples_by_pred
+
+            triples = read_triples(args.out)
+            print(triples_by_pred(triples).to_pandas().to_string(index=False))
+            print(top_entities(triples, 10).to_pandas().to_string(index=False))
+        elif args.cmd == "search":
+            from .pipelines.search import search_catalog
+            from .sources.synth import load_catalog
+
+            out = search_catalog(load_catalog(args.data), args.query, limit=args.limit)
+            print(out.to_string(index=False))
+    finally:
+        # only shut down a session this process created (the driver owns
+        # its own session when it initialised Ray before importing us)
+        if "--keep-ray" not in (argv or sys.argv):
+            ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -403,3 +403,36 @@ def normalized_turns_ds(data_dir: str) -> ray.data.Dataset:
     """M0 slice: read -> normalize (used by the ordering-invariant test)."""
     ds = ray.data.read_parquet(transcript_files(data_dir))
     return ds.map_batches(normalize_turns, batch_format="pyarrow")
+
+
+CONTEXT_MAX_CHARS = 400  # bounded provenance (the reference caps expanded
+# context at 50 lines x 200 chars; search/context_expander.py:28-29)
+
+
+def triples_with_context(
+    triples: ray.data.Dataset, data_dir: str, num_partitions: int = 16
+) -> ray.data.Dataset:
+    """Provenance re-attachment: join each triple back to its source turn
+    text — the reference's context-expansion analog (expand a result to
+    its enclosing source block, search/context_expander.py), done as a
+    distributed hash join on (conv_id, turn_idx). The design keeps text
+    OUT of every upstream shuffle and re-joins it once at the end
+    (SURVEY.md §7.5.5); text is truncated to CONTEXT_MAX_CHARS."""
+    import pyarrow.compute as pc
+
+    turns = normalized_turns_ds(data_dir).select_columns(["conv_id", "turn_idx", "text"])
+
+    def truncate(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index("text"),
+            "text",
+            pc.utf8_slice_codeunits(b["text"], 0, CONTEXT_MAX_CHARS),
+        )
+
+    turns = turns.map_batches(truncate, batch_format="pyarrow")
+    return triples.join(
+        turns,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("conv_id", "turn_idx"),
+    )

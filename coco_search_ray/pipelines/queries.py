@@ -614,3 +614,132 @@ REGISTRY: dict[str, tuple] = {
     "kg_qa_summary": (kg_qa_summary, None),
     "kg_normalized_turns": (kg_normalized_turns, None),
 }
+
+
+# ---------------------------------------------------------------------------
+# Graph traversal, provenance join, search, encoder, multimodal (rows-only)
+# ---------------------------------------------------------------------------
+
+
+def kg_impact(sf_dir: str) -> pd.DataFrame:
+    """Reverse BFS (impact) from the top-3 subjects over mention edges —
+    the reference's get_impact/get_batch_impact shape (deps/query.py:
+    246-421): depth<=5, shared visited set."""
+    from ..stages.graph import bfs_distributed
+    from .stats import top_entities
+
+    triples = kg_triples(sf_dir)
+    edges = triples.filter(expr="pred == 'mentions'").materialize()
+    roots = top_entities(edges, k=3).to_pandas()["subj"].tolist()
+    return bfs_distributed(edges, roots, max_depth=5, reverse=True)
+
+
+def kg_tree(sf_dir: str) -> pd.DataFrame:
+    """Forward BFS (dependency-tree shape) from the top-3 subjects."""
+    from ..stages.graph import bfs_distributed
+    from .stats import top_entities
+
+    triples = kg_triples(sf_dir)
+    edges = triples.filter(expr="pred == 'mentions'").materialize()
+    roots = top_entities(edges, k=3).to_pandas()["subj"].tolist()
+    return bfs_distributed(edges, roots, max_depth=5, reverse=False)
+
+
+def kg_context_coverage(sf_dir: str) -> pd.DataFrame:
+    """Provenance re-join check: per pred, how many triples re-attached
+    their source-turn text (should be all of them)."""
+    from ..sources.synth import ensure_tier, tier_for_sf_dir
+    from .kg import triples_with_context
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    joined = triples_with_context(kg_triples(sf_dir), data_dir)
+
+    def flag(b: pa.Table) -> pa.Table:
+        has = pc.cast(pc.is_valid(b["text"]), pa.int64())
+        return pa.table({"pred": b["pred"], "has_text": has})
+
+    out = (
+        joined.map_batches(flag, batch_format="pyarrow")
+        .groupby("pred")
+        .aggregate(Count(alias_name="n_triples"), Sum("has_text", alias_name="n_with_text"))
+        .to_pandas()
+    )
+    return out.astype({"n_triples": "int64", "n_with_text": "int64"})
+
+
+def q_hybrid_search(sf_dir: str) -> pd.DataFrame:
+    """Reference search UX over the tier catalog: fixed query set, ranked
+    results with mode selection (identifier-shaped -> hybrid)."""
+    from ..sources.synth import ensure_tier, load_catalog, tier_for_sf_dir
+    from .search import search_catalog
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    catalog = load_catalog(data_dir)
+    surfaces = catalog.column("canonical_name").to_pylist()
+    aliases = catalog.column("aliases").to_pylist()
+    queries = [surfaces[0], aliases[0][0], surfaces[1].lower(), "nonexistent thing"]
+    parts = []
+    for qi, q in enumerate(queries):
+        res = search_catalog(catalog, q, limit=5)
+        res.insert(0, "rank", range(1, len(res) + 1))
+        res.insert(0, "query_id", qi)
+        parts.append(res[["query_id", "rank", "entity_id", "match_type", "is_canonical"]])
+    out = pd.concat(parts, ignore_index=True)
+    return out.astype({"query_id": "int64", "rank": "int64"})
+
+
+def q_doc_encode(sf_dir: str) -> pd.DataFrame:
+    """Actor-pool encoder over documents (hash-embedding test mode):
+    per-lang count + mean L2 norm of the embedding column."""
+    from ..stages.encode import encode_dataset
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    enc = encode_dataset(ds, text_col="text")
+
+    def norms(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        vecs = np.asarray(b["embedding"].combine_chunks().flatten()).reshape(
+            b.num_rows, -1
+        )
+        n = np.linalg.norm(vecs.astype(np.float64), axis=1)
+        return pa.table({"lang": b["lang"], "norm": pa.array(n, pa.float64())})
+
+    out = (
+        enc.map_batches(norms, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Mean("norm", alias_name="mean_norm"))
+        .to_pandas()
+    )
+    out["mean_norm"] = out["mean_norm"].round(4)
+    return out
+
+
+def q_media_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing: synthetic binary payloads through the
+    actor-pool decode stage; per-status counts (all ok)."""
+    import ray as _ray
+    import ray.data as _rd
+
+    from ..stages.multimodal import generate_media_table, media_features
+
+    n = {"smoke": 64, "correctness": 128, "bench": 256}[tier_for_sf_dir(sf_dir)]
+    ds = _rd.from_arrow(generate_media_table(n))
+    feats = media_features(ds)
+    return (
+        feats.groupby("decode_status")
+        .aggregate(Count(alias_name="n_media"))
+        .to_pandas()
+    )
+
+
+REGISTRY.update(
+    {
+        "kg_impact": (kg_impact, None),
+        "kg_tree": (kg_tree, None),
+        "kg_context_coverage": (kg_context_coverage, None),
+        "q_hybrid_search": (q_hybrid_search, None),
+        "q_doc_encode": (q_doc_encode, None),
+        "q_media_features": (q_media_features, None),
+    }
+)

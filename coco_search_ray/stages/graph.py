@@ -1,0 +1,120 @@
+"""Graph traversal over the triple table — the reference's dependency
+tree / impact queries re-expressed over (subj, pred, obj).
+
+Reference semantics carried over (deps/query.py:179-421):
+- forward BFS (get_dependency_tree): follow subj -> obj edges from a
+  root, max_depth=5, cycle detection via a visited set;
+- reverse BFS (get_impact): follow obj -> subj;
+- batch variants seed ALL roots into one queue with a SHARED visited set
+  (a node reached by any root is expanded once).
+
+Execution: iterative frontier expansion. Each round is one semi-join of
+the frontier against the edge table. Two paths:
+- driver BFS over a broadcast adjacency dict (edges fit memory — the
+  reference's case; trees are small);
+- distributed rounds: frontier (small Dataset) semi-joined against the
+  big edge Dataset via a broadcast frontier set inside map_batches —
+  O(depth) passes, no all-to-all shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+MAX_DEPTH = 5
+
+
+def _adjacency(edges: pd.DataFrame, reverse: bool) -> dict[str, list[str]]:
+    src, dst = ("obj", "subj") if reverse else ("subj", "obj")
+    adj: dict[str, list[str]] = {}
+    for s, d in zip(edges[src], edges[dst]):
+        adj.setdefault(s, []).append(d)
+    for v in adj.values():
+        v.sort()
+    return adj
+
+
+def bfs_local(
+    edges: pd.DataFrame,
+    roots: list[str],
+    max_depth: int = MAX_DEPTH,
+    reverse: bool = False,
+) -> pd.DataFrame:
+    """Batch BFS with a shared visited set (reference deps/query.py:296-421
+    batch shape). Returns (root, node, depth) rows; depth = first-reach
+    level. Deterministic: neighbors expanded in sorted order."""
+    adj = _adjacency(edges, reverse)
+    out_root: list[str] = []
+    out_node: list[str] = []
+    out_depth: list[int] = []
+    visited: set[str] = set()
+    frontier: list[tuple[str, str]] = []  # (root, node)
+    for r in sorted(set(roots)):
+        if r not in visited:
+            visited.add(r)
+            frontier.append((r, r))
+            out_root.append(r)
+            out_node.append(r)
+            out_depth.append(0)
+    depth = 0
+    while frontier and depth < max_depth:
+        depth += 1
+        nxt: list[tuple[str, str]] = []
+        for root, node in frontier:
+            for nb in adj.get(node, ()):  # sorted
+                if nb not in visited:
+                    visited.add(nb)
+                    nxt.append((root, nb))
+                    out_root.append(root)
+                    out_node.append(nb)
+                    out_depth.append(depth)
+        frontier = nxt
+    return pd.DataFrame({"root": out_root, "node": out_node, "depth": out_depth})
+
+
+def bfs_distributed(
+    edge_ds: ray.data.Dataset,
+    roots: list[str],
+    max_depth: int = MAX_DEPTH,
+    reverse: bool = False,
+) -> pd.DataFrame:
+    """Depth-bounded frontier expansion against a LARGE edge Dataset: each
+    round broadcasts the (small) frontier set and scans edges with a
+    vectorized isin filter — no shuffle, O(depth) passes. Shared visited
+    set lives on the driver (nodes reached are few; edges are the big
+    side)."""
+    import pyarrow.compute as pc
+
+    src, dst = ("obj", "subj") if reverse else ("subj", "obj")
+    visited: dict[str, tuple[str, int]] = {}  # node -> (root, depth)
+    frontier: dict[str, str] = {}  # node -> root
+    for r in sorted(set(roots)):
+        visited.setdefault(r, (r, 0))
+        frontier[r] = r
+
+    edge_small = edge_ds.select_columns([src, dst])
+    for depth in range(1, max_depth + 1):
+        if not frontier:
+            break
+        fset_ref = ray.put(set(frontier))
+
+        def expand(batch: pa.Table) -> pa.Table:
+            fs = ray.get(fset_ref)
+            mask = pc.is_in(batch[src], value_set=pa.array(sorted(fs)))
+            hit = batch.filter(mask)
+            return pa.table({"from": hit[src], "to": hit[dst]})
+
+        hits = edge_small.map_batches(expand, batch_format="pyarrow").to_pandas()
+        nxt: dict[str, str] = {}
+        for f, t in sorted(zip(hits["from"], hits["to"])):
+            if t not in visited:
+                root = frontier[f]
+                visited[t] = (root, depth)
+                nxt[t] = root
+        frontier = nxt
+
+    rows = sorted((root, node, depth) for node, (root, depth) in visited.items())
+    return pd.DataFrame(rows, columns=["root", "node", "depth"])

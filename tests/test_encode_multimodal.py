@@ -1,0 +1,74 @@
+"""Encoder actor-pool stage + multimodal binary plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_encoder_appends_fixed_size_embeddings(ray_session):
+    import ray.data
+    from coco_search_ray.functions.hashing import hash_embedding
+    from coco_search_ray.stages.encode import encode_dataset
+
+    t = pa.table({"doc_id": [1, 2], "text": ["hello", "world"]})
+    out = encode_dataset(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    v1 = np.array(out.iloc[0]["embedding"])
+    assert v1.shape == (768,)
+    assert np.allclose(v1, hash_embedding("hello"))
+
+
+def test_encoder_context_prefix_changes_embedding_only(ray_session):
+    import ray.data
+    from coco_search_ray.functions.hashing import hash_embedding
+    from coco_search_ray.stages.encode import encode_dataset
+
+    t = pa.table({"text": ["body"], "ctx": ["File: a.py"]})
+    out = encode_dataset(ray.data.from_arrow(t), context_col="ctx").to_pandas()
+    assert out.iloc[0]["text"] == "body"  # stored text stays raw
+    assert np.allclose(np.array(out.iloc[0]["embedding"]), hash_embedding("File: a.py\nbody"))
+
+
+def test_fake_image_roundtrip():
+    from coco_search_ray.stages.multimodal import fake_decode, make_fake_image
+
+    img = fake_decode(make_fake_image(32, 16, 3, seed=1))
+    assert img.shape == (16, 32, 3)
+    assert np.array_equal(img, fake_decode(make_fake_image(32, 16, 3, seed=1)))
+
+
+def test_decode_image_stub_raises_without_codec():
+    from coco_search_ray.stages.multimodal import decode_image, make_fake_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(make_fake_image(8, 8, 3, seed=0))
+
+
+def test_media_pipeline(ray_session):
+    import ray.data
+    from coco_search_ray.stages.multimodal import generate_media_table, media_features
+
+    ds = ray.data.from_arrow(generate_media_table(32))
+    out = media_features(ds).to_pandas()
+    assert len(out) == 32
+    assert (out["decode_status"] == "ok").all()
+    assert len(out.iloc[0]["embedding"]) == 64
+    assert all(len(m) == 3 for m in out["channel_mean"])
+
+
+def test_media_pipeline_skips_bad_payloads(ray_session):
+    import ray.data
+    from coco_search_ray.stages.multimodal import generate_media_table, media_features
+
+    t = generate_media_table(4)
+    bad = pa.table(
+        {
+            "media_id": pa.array([99], pa.int64()),
+            "kind": pa.array(["image"], pa.string()),
+            "payload": pa.array([b"garbage"], pa.binary()),
+            "width": pa.array([0], pa.int32()),
+            "height": pa.array([0], pa.int32()),
+        }
+    )
+    ds = ray.data.from_arrow(pa.concat_tables([t, bad]))
+    out = media_features(ds).to_pandas()
+    assert (out["decode_status"] == "decode_error").sum() == 1  # skip-and-log, job survives
