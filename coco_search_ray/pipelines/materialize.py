@@ -24,7 +24,13 @@ import pyarrow.parquet as pq
 
 from ..sources.synth import load_catalog, transcript_files
 from ..stages.canonicalize import canonical_mapping
-from ..state.manifest import commit_shard, input_fingerprint, pending_shards
+from ..state.manifest import (
+    commit_shard,
+    input_fingerprint,
+    list_manifests,
+    pending_shards,
+    shard_output_dir,
+)
 from .kg import build_kg
 
 
@@ -51,9 +57,41 @@ def run_resumable(
     catalog = load_catalog(data_dir)
     mapping = canonical_mapping(catalog.to_pylist())
 
+    # index-metadata registry + model-mismatch guard (reference shape:
+    # management/metadata.py + flow.py:299-315 — warn when an index built
+    # with a different embedding model is being updated)
+    import json
+
+    meta_path = os.path.join(out_dir, "_index_meta.json")
+    meta = {"encoder": "hash-sha256", "dim": 768, "data_dir": data_dir}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            old = json.load(f)
+        if (old.get("encoder"), old.get("dim")) != (meta["encoder"], meta["dim"]):
+            print(
+                f"WARNING: index at {out_dir} was built with "
+                f"{old.get('encoder')}/{old.get('dim')}; now using "
+                f"{meta['encoder']}/{meta['dim']} — results will mix models"
+            )
+    else:
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
+
     files = transcript_files(data_dir)
     shards = [(f"{i:04d}", p) for i, p in enumerate(files)]
     todo = pending_shards(out_dir, shards)
+
+    # deletion semantics (reference flow.py:450-461: rows of files removed
+    # from the input are dropped): committed shards with no matching input
+    # shard are removed, output + manifest together
+    valid_ids = {sid for sid, _ in shards}
+    deleted = 0
+    for m in list_manifests(out_dir):
+        sid = m.get("shard")
+        if sid not in valid_ids:
+            shutil.rmtree(shard_output_dir(out_dir, sid), ignore_errors=True)
+            os.remove(os.path.join(out_dir, "_manifests", f"{sid}.json"))
+            deleted += 1
 
     done = 0
     for shard_id, path in todo:
@@ -62,7 +100,7 @@ def run_resumable(
         fp = input_fingerprint(path)
         tmp = os.path.join(out_dir, f"_tmp_shard_{shard_id}")
         shutil.rmtree(tmp, ignore_errors=True)
-        triples = build_kg([path], catalog, mapping, concurrency=concurrency)
+        triples = build_kg([path], catalog, mapping, concurrency=concurrency, conv_local_shards=True)
         triples.write_parquet(tmp)
         n_triples = _dir_row_count(tmp)
         commit_shard(out_dir, shard_id, fp, tmp, {"input_path": path, "triples": n_triples})
@@ -72,6 +110,7 @@ def run_resumable(
         "shards_total": len(shards),
         "shards_processed": len(todo) if fail_after_shards is None else done,
         "shards_skipped": len(shards) - len(todo),
+        "shards_deleted": deleted,
         "out_dir": out_dir,
     }
 

@@ -543,11 +543,23 @@ def q_ann_ivf(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_TRIPLES_CACHE: dict[str, object] = {}
+
+
 def kg_triples(sf_dir: str):
+    """Flagship pipeline output; materialized once per tier per process —
+    several kg_* queries consume the same triples, and the driver runs
+    them all in one session."""
     from .kg import build_kg_from_dir
 
-    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
-    return build_kg_from_dir(data_dir)
+    tier = tier_for_sf_dir(sf_dir)
+    ds = _TRIPLES_CACHE.get(tier)
+    if ds is None:
+        data_dir = ensure_tier(tier)
+        ds = build_kg_from_dir(data_dir).materialize()
+        _TRIPLES_CACHE.clear()
+        _TRIPLES_CACHE[tier] = ds
+    return ds
 
 
 def kg_triples_by_pred(sf_dir: str) -> pd.DataFrame:
@@ -741,5 +753,56 @@ REGISTRY.update(
         "q_hybrid_search": (q_hybrid_search, None),
         "q_doc_encode": (q_doc_encode, None),
         "q_media_features": (q_media_features, None),
+    }
+)
+
+
+def q_glob_filter(sf_dir: str) -> pd.DataFrame:
+    """Glob filter (glob -> LIKE with escape-then-convert ordering,
+    reference filters.py:11-51) on customer names."""
+    from ..functions.globs import filter_glob
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = (
+        ds.map_batches(lambda b: filter_glob(b, "c_name", "Customer*1?"), batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    return out
+
+
+Q_GLOB_FILTER_SQL = r"""
+SELECT c_custkey, c_name FROM customer WHERE c_name ILIKE 'Customer%1_'
+"""
+
+
+def q_doc_chunks(sf_dir: str) -> pd.DataFrame:
+    """Recursive chunking (chunk_size=200/overlap=60 so the tier docs
+    actually split): chunks per doc + offset bounds (rows-only; golden
+    unit tests pin the splitting semantics)."""
+    from ..stages import chunking
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    chunks = ds.map_batches(
+        lambda b: chunking.chunk_documents(b, chunk_size=200, chunk_overlap=60),
+        batch_format="pyarrow",
+    )
+    out = (
+        chunks.groupby("doc_id")
+        .aggregate(
+            Count(alias_name="n_chunks"),
+            Min("start", alias_name="first_start"),
+            Max("end", alias_name="last_end"),
+        )
+        .to_pandas()
+    )
+    return out.astype({"n_chunks": "int64", "first_start": "int64", "last_end": "int64"})
+
+
+REGISTRY.update(
+    {
+        "q_glob_filter": (q_glob_filter, Q_GLOB_FILTER_SQL),
+        "q_doc_chunks": (q_doc_chunks, None),
     }
 )

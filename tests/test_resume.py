@@ -44,3 +44,25 @@ def test_noop_rerun_skips_everything(ray_session, smoke_dir, tmp_path):
     stats = run_resumable(smoke_dir, out, concurrency=2)
     assert stats["shards_processed"] == 0
     assert stats["shards_skipped"] == stats["shards_total"]
+
+
+def test_deleted_input_shard_removes_output(ray_session, smoke_dir, tmp_path):
+    """Reference deletion semantics: input files that disappear get their
+    output rows dropped on the next run (flow.py:450-461 shape)."""
+    import os
+    import shutil
+
+    from coco_search_ray.pipelines.materialize import run_resumable
+    from coco_search_ray.state.manifest import list_manifests
+
+    data = str(tmp_path / "data")
+    shutil.copytree(smoke_dir, data)
+    out = str(tmp_path / "out")
+    run_resumable(data, out)
+    assert len(list_manifests(out)) == 4
+
+    os.remove(os.path.join(data, "transcripts-0003.parquet"))
+    stats = run_resumable(data, out)
+    assert stats["shards_deleted"] == 1
+    assert len(list_manifests(out)) == 3
+    assert not os.path.isdir(os.path.join(out, "shard=0003"))
