@@ -62,26 +62,28 @@ _QUICK_RE = re.compile(r"_|[a-z][A-Z]|[A-Z][a-z]+[A-Z]|[A-Z][a-z]+[^A-Za-z0-9_]+
 
 
 def detect_mentions(text: str) -> list[str]:
-    """Return candidate mention surface forms in first-occurrence order."""
+    """Return candidate mention surface forms in first-occurrence order.
+    Ordering uses the word INDEX (words are non-overlapping and
+    position-ordered, so index order == byte-position order) — findall is
+    much cheaper than materializing match objects for offsets."""
     if not _QUICK_RE.search(text):
         return []
-    words = [(m.group(), m.start()) for m in _WORD_RE.finditer(text)]
-    classes = [_classify(w) for w, _ in words]
+    words = _WORD_RE.findall(text)
+    classes = [_classify(w) for w in words]
     found: list[tuple[int, str]] = []
 
     used_in_bigram: set[int] = set()
     for i in range(len(words) - 1):
         if classes[i][0] and classes[i + 1][0]:
-            w1, p1 = words[i]
-            found.append((p1, f"{w1} {words[i + 1][0]}"))
+            found.append((i, f"{words[i]} {words[i + 1]}"))
             used_in_bigram.add(i)
             used_in_bigram.add(i + 1)
 
-    for i, (w, p) in enumerate(words):
+    for i, w in enumerate(words):
         if i in used_in_bigram:
             continue
         if classes[i][1]:
-            found.append((p, w))
+            found.append((i, w))
 
     found.sort(key=lambda t: t[0])
     out: list[str] = []

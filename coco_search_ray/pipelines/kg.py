@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -237,15 +238,21 @@ def _deref_once(ref) -> object:
 def apply_linkmap(
     mention_ds: ray.data.Dataset, linkmap: dict[str, str | None], batch_size: int | None
 ) -> ray.data.Dataset:
-    """Two-phase linking, phase 2: broadcast dict lookup per mention row.
-    A stateless task (not an actor pool) so it fuses with the downstream
-    assembly stage into one operator — no intermediate object-store hop."""
-    linkmap_ref = ray.put(linkmap)
+    """Two-phase linking, phase 2: broadcast lookup per mention row,
+    fully vectorized — the dict ships as two parallel Arrow arrays and
+    the probe is ``index_in`` + ``take`` (C kernels; unlinkable mentions
+    come back null both via missing key and via null value). A stateless
+    task (not an actor pool) so it fuses with the downstream assembly
+    stage — no intermediate object-store hop."""
+    keys = pa.array(sorted(linkmap), pa.string())
+    values = pa.array([linkmap[k] for k in keys.to_pylist()], pa.string())
+    table_ref = ray.put((keys, values))
 
     def lookup(batch: pa.Table) -> pa.Table:
-        lm = _deref_once(linkmap_ref)
-        ents = [lm.get(m) if m is not None else None for m in batch["mention"].to_pylist()]
-        return batch.append_column("entity_id", pa.array(ents, pa.string()))
+        k, v = _deref_once(table_ref)
+        pos = pc.index_in(batch["mention"], value_set=k)
+        ents = pc.take(v, pos)
+        return batch.append_column("entity_id", ents)
 
     return mention_ds.map_batches(lookup, batch_format="pyarrow", batch_size=batch_size)
 

@@ -19,6 +19,7 @@ want a row per turn.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -31,9 +32,40 @@ _QUICK_PATTERN = _QUICK_RE.pattern
 
 
 def extract_mention_rows(batch: pa.Table, emit_sentinels: bool = False) -> pa.Table:
-    if not emit_sentinels and batch.num_rows:
+    if emit_sentinels:
+        return _extract_with_sentinels(batch)
+    if batch.num_rows:
         mask = pc.match_substring_regex(batch["text"], _QUICK_PATTERN)
         batch = batch.filter(pc.fill_null(mask, False))
+
+    texts = batch["text"].to_pylist()
+    counts = np.empty(len(texts), dtype=np.int64)
+    all_mentions: list[str] = []
+    for r, text in enumerate(texts):
+        m = detect_mentions(text) if text else []
+        counts[r] = len(m)
+        all_mentions.extend(m)
+
+    # repeat-index gather: the passthrough columns never leave Arrow
+    idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+    total = int(counts.sum())
+    starts = np.repeat(np.cumsum(counts) - counts, counts)
+    ords = (np.arange(total, dtype=np.int64) - starts).astype(np.int32)
+
+    idx_arr = pa.array(idx)
+    return pa.table(
+        {
+            "conv_id": pc.take(batch["conv_id"], idx_arr),
+            "turn_idx": pc.take(batch["turn_idx"], idx_arr),
+            "role": pc.take(batch["role"], idx_arr),
+            "tool": pc.take(batch["tool"], idx_arr),
+            "mention": pa.array(all_mentions, pa.string()),
+            "mention_ord": pa.array(ords, pa.int32()),
+        }
+    )
+
+
+def _extract_with_sentinels(batch: pa.Table) -> pa.Table:
     conv_ids = batch["conv_id"].to_pylist()
     turn_idxs = batch["turn_idx"].to_pylist()
     roles = batch["role"].to_pylist()
@@ -50,13 +82,12 @@ def extract_mention_rows(batch: pa.Table, emit_sentinels: bool = False) -> pa.Ta
     for conv, turn, role, tool, text in zip(conv_ids, turn_idxs, roles, tools, texts):
         mentions = detect_mentions(text) if text else []
         if not mentions:
-            if emit_sentinels:
-                o_conv.append(conv)
-                o_turn.append(turn)
-                o_role.append(role)
-                o_tool.append(tool)
-                o_mention.append(None)
-                o_ord.append(-1)
+            o_conv.append(conv)
+            o_turn.append(turn)
+            o_role.append(role)
+            o_tool.append(tool)
+            o_mention.append(None)
+            o_ord.append(-1)
             continue
         for i, m in enumerate(mentions):
             o_conv.append(conv)
