@@ -333,6 +333,19 @@ def assemble_conv_local(df: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def _assemble_conv_local_arrow(df: pd.DataFrame) -> pa.Table:
+    """Arrow wrapper with the explicit TRIPLE_SCHEMA so empty outputs keep
+    their schema (a Dataset whose every block is an empty pandas frame
+    loses column information)."""
+    out = assemble_conv_local(df)
+    return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False)
+
+
+def _assemble_group_arrow(df: pd.DataFrame) -> pa.Table:
+    out = assemble_triples_group(df)
+    return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False)
+
+
 def build_kg(
     paths: list[str] | str,
     catalog: pa.Table,
@@ -384,8 +397,8 @@ def build_kg(
         ds = link_stage(ds, catalog, mapping, concurrency=concurrency, batch_size=bs)
     ds = ds.select_columns(["conv_id", "turn_idx", "mention_ord", "entity_id", "tool"])
     if conv_local_shards:
-        return ds.map_batches(assemble_conv_local, batch_format="pandas", batch_size=None)
-    return ds.groupby("conv_id").map_groups(assemble_triples_group, batch_format="pandas")
+        return ds.map_batches(_assemble_conv_local_arrow, batch_format="pandas", batch_size=None)
+    return ds.groupby("conv_id").map_groups(_assemble_group_arrow, batch_format="pandas")
 
 
 def build_kg_from_dir(

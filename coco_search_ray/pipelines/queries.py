@@ -806,3 +806,134 @@ REGISTRY.update(
         "q_doc_chunks": (q_doc_chunks, None),
     }
 )
+
+
+def q_lineitem_filter_scan(sf_dir: str) -> pd.DataFrame:
+    """Column-pruned scan + vectorized filter + projection (no agg)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_discount"])
+
+    def f(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.greater(b["l_quantity"], 45.0), pc.less(b["l_discount"], 0.02))
+        return b.filter(m)
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    return _round2(out, ["l_quantity", "l_discount"])
+
+
+Q_LINEITEM_FILTER_SCAN_SQL = """
+SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS l_quantity,
+       round(l_discount, 2) AS l_discount
+FROM lineitem WHERE l_quantity > 45.0 AND l_discount < 0.02
+"""
+
+
+def q_events_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """COUNT(DISTINCT) per event_type: two-level groupby (distinct pairs
+    first, then count) — the shuffle-friendly expression."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    pairs = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="_n"))
+    out = (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+        .astype({"n_users": "int64"})
+    )
+    return out
+
+
+Q_EVENTS_DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users FROM events GROUP BY event_type
+"""
+
+
+def q_orders_monthly(sf_dir: str) -> pd.DataFrame:
+    """Timestamp truncation to month (vectorized Arrow) + grouped agg."""
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def month(b: pa.Table) -> pa.Table:
+        y = pc.year(b["o_orderdate"])
+        m = pc.month(b["o_orderdate"])
+        ym = pc.add(pc.multiply(pc.cast(y, pa.int64()), pa.scalar(100, pa.int64())), pc.cast(m, pa.int64()))
+        return pa.table({"year_month": ym, "o_totalprice": b["o_totalprice"]})
+
+    out = (
+        ds.map_batches(month, batch_format="pyarrow")
+        .groupby("year_month")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        .to_pandas()
+    )
+    return _round2(out, ["revenue"])
+
+
+Q_ORDERS_MONTHLY_SQL = """
+SELECT (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS year_month,
+       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY 1
+"""
+
+
+def q_events_sliding(sf_dir: str) -> pd.DataFrame:
+    """Sliding windows (1h window, 30min step): each event explodes into
+    the two step-windows covering it, then grouped — the explode-then-
+    group expression of overlapping windows."""
+    ds = _read(sf_dir, "events", ["ts", "value"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        step = pc.cast(pc.divide(us, pa.scalar(1_800_000_000, pa.int64())), pa.int64())
+        step1 = pc.add(step, pa.scalar(1, pa.int64()))
+        import pyarrow as _pa
+
+        return _pa.table(
+            {
+                "window_id": _pa.concat_arrays(
+                    [pc.cast(step, pa.int64()).combine_chunks(), pc.cast(step1, pa.int64()).combine_chunks()]
+                ),
+                "value": _pa.concat_arrays(
+                    [b["value"].combine_chunks(), b["value"].combine_chunks()]
+                ),
+            }
+        )
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("window_id")
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    return _round2(out, ["sum_value"])
+
+
+Q_EVENTS_SLIDING_SQL = """
+WITH e AS (SELECT (epoch(ts) * 1000000)::BIGINT // 1800000000 AS s, value FROM events),
+x AS (SELECT s AS window_id, value FROM e UNION ALL SELECT s + 1 AS window_id, value FROM e)
+SELECT window_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM x GROUP BY window_id
+"""
+
+
+def kg_top_tools_salted(sf_dir: str) -> pd.DataFrame:
+    """Skew-safe grouped count over the HOT key (two tools dominate the
+    distribution by construction): two-level salted aggregation."""
+    from .stats import grouped_count_salted
+
+    triples = kg_triples(sf_dir)
+    tools = triples.filter(expr="pred == 'uses_tool'").select_columns(["obj"])
+    out = grouped_count_salted(tools, "obj", alias="n_triples").to_pandas()
+    return (
+        out.rename(columns={"obj": "tool"})
+        .sort_values(["n_triples", "tool"], ascending=[False, True])
+        .reset_index(drop=True)
+        .astype({"n_triples": "int64"})
+    )
+
+
+REGISTRY.update(
+    {
+        "q_lineitem_filter_scan": (q_lineitem_filter_scan, Q_LINEITEM_FILTER_SCAN_SQL),
+        "q_events_distinct_users": (q_events_distinct_users, Q_EVENTS_DISTINCT_USERS_SQL),
+        "q_orders_monthly": (q_orders_monthly, Q_ORDERS_MONTHLY_SQL),
+        "q_events_sliding": (q_events_sliding, Q_EVENTS_SLIDING_SQL),
+        "kg_top_tools_salted": (kg_top_tools_salted, None),
+    }
+)

@@ -62,3 +62,28 @@ def qa_summary(turns: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("qa_status")
         .aggregate(Count(alias_name="n_turns"))
     )
+
+
+def grouped_count_salted(
+    ds: ray.data.Dataset, key: str, salt_buckets: int = 16, alias: str = "n"
+) -> ray.data.Dataset:
+    """Two-level skew-safe grouped count: pre-aggregate on (key, salt)
+    where salt = hash(row) % S, then sum partials per key. A hot key's
+    rows land in S different first-level groups instead of one — the
+    explicit salting pattern for skewed keys (SURVEY.md §7.4; here the
+    canonical head entities and the two dominant tools are the hot keys).
+    Identical result to a plain groupby(key).count() (pytest-checked)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        salt = np.arange(n, dtype=np.int64) % salt_buckets
+        return b.append_column("_salt", pa.array(salt))
+
+    partial = (
+        ds.map_batches(add_salt, batch_format="pyarrow")
+        .groupby([key, "_salt"])
+        .aggregate(Count(alias_name="_partial"))
+    )
+    return partial.groupby(key).aggregate(Sum("_partial", alias_name=alias))
