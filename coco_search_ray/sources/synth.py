@@ -211,6 +211,13 @@ def generate_transcripts(
             if f.read().strip() == stamp:
                 return out_dir
     os.makedirs(out_dir, exist_ok=True)
+    # params changed: remove stale shard files so a smaller num_files
+    # doesn't leave orphans from a previous layout mixed into the table
+    for name in os.listdir(out_dir):
+        if name.startswith("transcripts-") and name.endswith(".parquet"):
+            os.remove(os.path.join(out_dir, name))
+    if os.path.exists(marker):
+        os.remove(marker)
 
     catalog = generate_catalog(n_entities, seed)
     pq.write_table(catalog, os.path.join(out_dir, "catalog.parquet"))
