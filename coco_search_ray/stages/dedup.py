@@ -116,15 +116,34 @@ def _bucket_pairs_df(df: pd.DataFrame, id_col: str, max_bucket: int = 256) -> pd
 
 def _pairs_within_band(df: pd.DataFrame, id_col: str, hash_col: str, max_bucket: int) -> pd.DataFrame:
     """All same-bucket pairs within one coarse group, bucketed by
-    ``hash_col`` with a plain pandas groupby. One Ray group per BAND (a
-    few dozen groups), not per bucket (millions of tiny groups — Ray
-    map_groups overhead per group would dominate)."""
-    outs = [
-        _bucket_pairs_df(g, id_col, max_bucket) for _bh, g in df.groupby(hash_col, sort=True)
-    ]
-    if not outs:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-    return pd.concat(outs, ignore_index=True)
+    ``hash_col``. One Ray group per BAND (a few dozen groups), not per
+    bucket (millions of tiny groups — per-group overhead would dominate);
+    inside, pair emission is numpy over the sorted bucket runs — one
+    output frame per band, never one per bucket (a DataFrame per bucket
+    costs ~0.25 ms x 100k buckets)."""
+    empty = pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
+    if df.empty:
+        return empty
+    d = df[[hash_col, id_col]].drop_duplicates().sort_values([hash_col, id_col], kind="mergesort")
+    hashes = d[hash_col].to_numpy()
+    ids = d[id_col].to_numpy()
+    # run boundaries of equal hash values (sorted)
+    boundary = np.nonzero(hashes[1:] != hashes[:-1])[0] + 1
+    starts = np.concatenate(([0], boundary))
+    ends = np.concatenate((boundary, [len(hashes)]))
+    a_out: list[np.ndarray] = []
+    b_out: list[np.ndarray] = []
+    for s, e in zip(starts, ends):
+        n = e - s
+        if n < 2 or n > max_bucket:
+            continue
+        i, j = np.triu_indices(n, k=1)
+        run = ids[s:e]
+        a_out.append(run[i])
+        b_out.append(run[j])
+    if not a_out:
+        return empty
+    return pd.DataFrame({"a": np.concatenate(a_out), "b": np.concatenate(b_out)})
 
 
 def distinct_pairs(pairs: ray.data.Dataset) -> ray.data.Dataset:
@@ -260,16 +279,32 @@ def simhash_candidate_pairs(
             }
         )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(set(zip(df[id_col].tolist(), (int(x) for x in df["simhash"].tolist()))))
-        o_a, o_b, o_h = [], [], []
-        if len(rows) <= 256:
-            for i in range(len(rows)):
-                for j in range(i + 1, len(rows)):
-                    h = hamming64(rows[i][1], rows[j][1])
+    def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        """One output frame per BAND; buckets are sorted runs, pairs and
+        Hamming distances accumulated in plain lists (buckets with <2
+        members — the vast majority — never allocate anything)."""
+        d = df[["band_key", id_col, "simhash"]].drop_duplicates(
+            subset=["band_key", id_col]
+        ).sort_values(["band_key", id_col], kind="mergesort")
+        keys = d["band_key"].to_numpy()
+        ids = d[id_col].to_numpy()
+        hashes = [int(x) for x in d["simhash"].tolist()]
+        boundary = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate(([0], boundary)) if len(keys) else np.array([], dtype=int)
+        ends = np.concatenate((boundary, [len(keys)])) if len(keys) else np.array([], dtype=int)
+        o_a: list[int] = []
+        o_b: list[int] = []
+        o_h: list[int] = []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2 or n > 256:
+                continue
+            for i in range(s, e):
+                for j in range(i + 1, e):
+                    h = hamming64(hashes[i], hashes[j])
                     if h <= max_hamming:
-                        o_a.append(rows[i][0])
-                        o_b.append(rows[j][0])
+                        o_a.append(int(ids[i]))
+                        o_b.append(int(ids[j]))
                         o_h.append(h)
         return pd.DataFrame(
             {
@@ -277,14 +312,6 @@ def simhash_candidate_pairs(
                 "b": pd.Series(o_b, dtype="int64"),
                 "hamming": pd.Series(o_h, dtype="int64"),
             }
-        )
-
-    def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        outs = [bucket_pairs(g) for _k, g in df.groupby("band_key", sort=True)]
-        return (
-            pd.concat(outs, ignore_index=True)
-            if outs
-            else bucket_pairs(df.iloc[0:0])
         )
 
     # duplicates across bands carry identical hamming values; callers
