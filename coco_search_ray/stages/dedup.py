@@ -106,14 +106,6 @@ class _MinhashExplode:
         return _minhash_band_explode(batch, self.text_col, self.id_col, self.hasher, self.shingle_k)
 
 
-def _bucket_pairs_df(df: pd.DataFrame, id_col: str, max_bucket: int = 256) -> pd.DataFrame:
-    ids = sorted(set(df[id_col].tolist()))
-    if len(ids) < 2 or len(ids) > max_bucket:
-        return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-    pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-    return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
-
-
 def _pairs_within_band(df: pd.DataFrame, id_col: str, hash_col: str, max_bucket: int) -> pd.DataFrame:
     """All same-bucket pairs within one coarse group, bucketed by
     ``hash_col``. One Ray group per BAND (a few dozen groups), not per
