@@ -48,6 +48,7 @@ def run_resumable(
     out_dir: str,
     concurrency: int | None = None,
     fail_after_shards: int | None = None,
+    subj_buckets: int | None = None,
 ) -> dict:
     """Build the triple table for ``data_dir`` under ``out_dir``; skips
     shards already committed with a matching input fingerprint.
@@ -101,7 +102,26 @@ def run_resumable(
         tmp = os.path.join(out_dir, f"_tmp_shard_{shard_id}")
         shutil.rmtree(tmp, ignore_errors=True)
         triples = build_kg([path], catalog, mapping, concurrency=concurrency, conv_local_shards=True)
-        triples.write_parquet(tmp)
+        if subj_buckets:
+            # secondary layout: partition each shard's output by
+            # hash(subj) % B (uniform by construction — SURVEY.md §7.4) so
+            # per-entity consumers prune at the directory level
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            from ..functions.hashing import stable_hash64
+
+            nb = subj_buckets
+
+            def add_bucket(b: pa.Table) -> pa.Table:
+                vals = [stable_hash64(s) % nb for s in b["subj"].to_pylist()]
+                return b.append_column("subj_bucket", pa.array(vals, pa.int32()))
+
+            triples.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+                tmp, partition_cols=["subj_bucket"]
+            )
+        else:
+            triples.write_parquet(tmp)
         n_triples = _dir_row_count(tmp)
         commit_shard(out_dir, shard_id, fp, tmp, {"input_path": path, "triples": n_triples})
         done += 1

@@ -66,3 +66,19 @@ def test_deleted_input_shard_removes_output(ray_session, smoke_dir, tmp_path):
     assert stats["shards_deleted"] == 1
     assert len(list_manifests(out)) == 3
     assert not os.path.isdir(os.path.join(out, "shard=0003"))
+
+
+def test_subj_bucket_partitioned_output(ray_session, smoke_dir, tmp_path):
+    """Optional output layout: hash(subj) % B directory partitioning."""
+    import os
+
+    from coco_search_ray.pipelines.materialize import read_triples, run_resumable
+
+    out = str(tmp_path / "out")
+    run_resumable(smoke_dir, out, subj_buckets=4)
+    shard0 = os.path.join(out, "shard=0000")
+    buckets = sorted(d for d in os.listdir(shard0) if d.startswith("subj_bucket="))
+    assert len(buckets) == 4
+    df = read_triples(out).to_pandas()
+    assert len(df) > 100
+    assert {"subj", "pred", "obj", "conv_id", "turn_idx"} <= set(df.columns)
