@@ -148,6 +148,15 @@ def union_find(ids: list[str], pairs: list[tuple[str, str]]) -> dict[str, str]:
     return {i: find(i) for i in ids}
 
 
-def canonical_mapping(rows: list[dict], use_ray: bool = False) -> dict[str, str]:
+_RAY_CANON_THRESHOLD = 20_000
+
+
+def canonical_mapping(rows: list[dict], use_ray: bool | None = None) -> dict[str, str]:
+    """``use_ray=None`` auto-selects: small catalogs stay single-process
+    (the Ray path's shuffle fixed cost dominates below ~20k entities);
+    large ones run the distributed blocking. Both paths produce identical
+    pair sets (pytest-checked)."""
+    if use_ray is None:
+        use_ray = len(rows) >= _RAY_CANON_THRESHOLD
     pairs = propose_pairs_ray(rows) if use_ray else propose_pairs_local(rows)
     return union_find([r["entity_id"] for r in rows], pairs)
