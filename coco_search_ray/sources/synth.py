@@ -223,7 +223,7 @@ def generate_transcripts(
     pq.write_table(catalog, os.path.join(out_dir, "catalog.parquet"))
     pool = catalog_surface_pool(catalog)
 
-    workers = max_workers or min(8, num_files, os.cpu_count() or 1)
+    workers = max_workers or min(16, num_files, os.cpu_count() or 1)
     if workers <= 1 or num_files == 1:
         for si in range(num_files):
             _generate_shard(out_dir, si, num_files, n_convs, turns_target, pool, seed)
