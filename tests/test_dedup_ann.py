@@ -131,3 +131,16 @@ def test_sessionize(ray_session):
     assert len(u1) == 2
     assert u1["n_events"].tolist() == [2, 1]
     assert len(out[out["user_id"] == 2]) == 1
+
+
+def test_tumbling_bucket_vectorized():
+    import pandas as pd
+    import pyarrow as pa
+    from coco_search_ray.stages.window import add_tumbling_bucket
+
+    ts = pd.to_datetime(["2024-01-01 00:59:59", "2024-01-01 01:00:00", "2024-01-01 02:30:00"])
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us")), "value": [1.0, 2.0, 3.0]})
+    out = add_tumbling_bucket(t, size_s=3600)
+    b = out["hour_bucket"].to_pylist()
+    assert b[0] + 1 == b[1]  # boundary crossing
+    assert b[2] == b[1] + 1  # 02:30 -> one bucket later than 01:00? (floor)
