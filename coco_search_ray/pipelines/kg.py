@@ -133,14 +133,17 @@ def link_stage(
     concurrency: int | None = None,
     batch_size: int | None = 8192,
 ) -> ray.data.Dataset:
-    """Broadcast-join linking: catalog + canonical mapping ship once via
-    ray.put; one actor pool links AND canonicalizes (stages/link.py)."""
-    catalog_ref = ray.put(catalog.to_pylist())
+    """Broadcast-join linking: the PREBUILT EntityIndex + canonical
+    mapping ship once via ray.put; one actor pool links AND canonicalizes
+    (stages/link.py)."""
+    from ..functions.linker_core import EntityIndex
+
+    index_ref = ray.put(EntityIndex(catalog.to_pylist()))
     mapping_ref = ray.put(mapping)
     conc = concurrency or _auto_concurrency()
     return mention_ds.map_batches(
         LinkerActor,
-        fn_constructor_kwargs={"catalog_ref": catalog_ref, "mapping_ref": mapping_ref},
+        fn_constructor_kwargs={"index_ref": index_ref, "mapping_ref": mapping_ref},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=conc,
@@ -149,27 +152,16 @@ def link_stage(
 
 
 @ray.remote
-def _link_chunk(catalog_rows: list[dict], mapping: dict[str, str], chunk: list[str]) -> dict:
+def _link_chunk(index, mapping: dict[str, str], chunk: list[str]) -> dict:
     """Link one chunk of unique mentions (raw Ray task: this is the
     driver-coordinated small-side computation, not a per-record
-    transform). EntityIndex is cached per worker process keyed by the
-    catalog object id, so a worker running several chunks builds it once."""
-    from ..functions.linker_core import EntityIndex
-
-    cache = _link_chunk_index_cache
-    key = id(catalog_rows)
-    idx = cache.get(key)
-    if idx is None:
-        idx = EntityIndex(catalog_rows)
-        cache.clear()
-        cache[key] = idx
+    transform). The PREBUILT EntityIndex ships by object ref — built once
+    on the driver, O(catalog) build cost paid once instead of once per
+    task/worker."""
     out = {}
-    for mention, res in zip(chunk, idx.link_many(chunk)):
+    for mention, res in zip(chunk, index.link_many(chunk)):
         out[mention] = mapping.get(res.entity_id, res.entity_id) if res else None
     return out
-
-
-_link_chunk_index_cache: dict = {}
 
 
 def unique_mention_linkmap(
@@ -205,11 +197,13 @@ def unique_mention_linkmap(
     # linking the unique set is seconds of CPU; cap fan-out so it reuses
     # warm workers instead of cold-starting a wide task wave
     par = parallelism or min(8, max(2, _auto_concurrency()))
-    catalog_ref = ray.put(catalog.to_pylist())
+    from ..functions.linker_core import EntityIndex
+
+    index_ref = ray.put(EntityIndex(catalog.to_pylist()))
     mapping_ref = ray.put(mapping)
     chunk_size = max(64, -(-len(uniq) // par))
     futures = [
-        _link_chunk.remote(catalog_ref, mapping_ref, uniq[lo : lo + chunk_size])
+        _link_chunk.remote(index_ref, mapping_ref, uniq[lo : lo + chunk_size])
         for lo in range(0, len(uniq), chunk_size)
     ]
     linkmap: dict[str, str | None] = {}

@@ -39,11 +39,17 @@ class LinkerActor:
         catalog_rows: list[dict] | None = None,
         mapping_ref=None,
         mapping: dict[str, str] | None = None,
+        index_ref=None,
     ):
-        if catalog_rows is None:
-            obj = ray.get(catalog_ref)
-            catalog_rows = obj.to_pylist() if isinstance(obj, pa.Table) else obj
-        self.index = EntityIndex(catalog_rows)
+        if index_ref is not None:
+            # prebuilt index broadcast from the driver: O(catalog) build
+            # paid once, not once per actor
+            self.index = ray.get(index_ref)
+        else:
+            if catalog_rows is None:
+                obj = ray.get(catalog_ref)
+                catalog_rows = obj.to_pylist() if isinstance(obj, pa.Table) else obj
+            self.index = EntityIndex(catalog_rows)
         if mapping is None:
             mapping = ray.get(mapping_ref) if mapping_ref is not None else {}
         self.mapping = mapping
