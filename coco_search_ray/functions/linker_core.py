@@ -38,6 +38,14 @@ from .tokenize import enrich_text_tokens, normalize_query_tokens
 DENSE_EXACT_THRESHOLD = 0.99
 DEFAULT_LIMIT = 5
 
+# Above this many candidate docs the dense channel switches from exact
+# brute-force to IVF cluster probing — the reference's vector index is
+# ivfflat (approximate) too (chunks table DDL, indexer/flow.py:80-83).
+# Exact-match detection survives probing: an identical surface form has
+# an identical embedding, hence the same nearest centroid.
+IVF_THRESHOLD = 20_000
+IVF_NPROBE = 8
+
 
 @dataclass
 class LinkResult:
@@ -93,6 +101,24 @@ class EntityIndex:
         norms[norms == 0] = 1.0
         self.emb = (emb / norms).astype(np.float32)
 
+        # IVF partitioning for large catalogs: k ~ sqrt(n) centroids from
+        # a k-means on a sample; per-cluster member index lists
+        self.ivf_centroids: np.ndarray | None = None
+        self.ivf_members: list[np.ndarray] | None = None
+        if self.n_docs >= IVF_THRESHOLD:
+            from ..stages.ann import kmeans_centroids
+
+            k = max(16, int(np.sqrt(self.n_docs)))
+            rng = np.random.RandomState(13)
+            sample_idx = rng.choice(self.n_docs, size=min(self.n_docs, 20_000), replace=False)
+            self.ivf_centroids = kmeans_centroids(
+                self.emb[sample_idx].astype(np.float64), k
+            ).astype(np.float32)
+            assign = np.argmax(self.emb @ self.ivf_centroids.T, axis=1)
+            self.ivf_members = [
+                np.nonzero(assign == c)[0] for c in range(len(self.ivf_centroids))
+            ]
+
         # inverted postings: token -> (doc_idx array, tf array)
         postings: dict[str, dict[int, int]] = {}
         self.doc_len = np.zeros(self.n_docs, dtype=np.float32)
@@ -114,15 +140,32 @@ class EntityIndex:
 
     # ------------------------------------------------------------------
 
+    def _probe_candidates(self, qvec: np.ndarray) -> np.ndarray | None:
+        """IVF mode: doc indices in the query's nprobe nearest clusters;
+        None = exact mode (score all docs)."""
+        if self.ivf_centroids is None:
+            return None
+        order = np.argsort(-(self.ivf_centroids @ qvec))[:IVF_NPROBE]
+        members = [self.ivf_members[c] for c in order]
+        return np.concatenate(members) if members else np.empty(0, dtype=np.int64)
+
     def _dense_ranked(self, qvec: np.ndarray, prefetch: int) -> list[tuple[str, float]]:
         if self.n_docs == 0:
             return []
-        scores = self.emb @ qvec
-        k = min(prefetch, self.n_docs)
+        cand = self._probe_candidates(qvec)
+        if cand is None:
+            scores = self.emb @ qvec
+            pool = np.arange(self.n_docs)
+        else:
+            if len(cand) == 0:
+                return []
+            scores = self.emb[cand] @ qvec
+            pool = cand
+        k = min(prefetch, len(pool))
         idx = np.argpartition(-scores, k - 1)[:k]
         # deterministic order: score desc, key asc
-        order = sorted(idx.tolist(), key=lambda i: (-float(scores[i]), self.keys[i]))
-        return [(self.keys[i], float(scores[i])) for i in order]
+        order = sorted(idx.tolist(), key=lambda i: (-float(scores[i]), self.keys[pool[i]]))
+        return [(self.keys[pool[i]], float(scores[i])) for i in order]
 
     def _keyword_ranked(self, query: str, prefetch: int) -> list[tuple[str, float]]:
         qtoks = [t.lower() for t in normalize_query_tokens(query)]
@@ -192,19 +235,23 @@ class EntityIndex:
             return []
         prefetch = prefetch_limit(limit)
         out: list[LinkResult | None] = []
-        # chunk so the score matrix stays < ~100 MB
+        # chunk so the score matrix stays < ~100 MB (exact mode)
         chunk = max(1, min(len(mentions), max(256, 25_000_000 // max(1, self.n_docs))))
+        ivf = self.ivf_centroids is not None
         for lo in range(0, len(mentions), chunk):
             batch = mentions[lo : lo + chunk]
             qmat = hash_embeddings(batch)
             norms = np.linalg.norm(qmat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             qmat = qmat / norms
-            all_scores = qmat @ self.emb.T if self.n_docs else np.empty((len(batch), 0))
+            if not ivf:
+                all_scores = qmat @ self.emb.T if self.n_docs else np.empty((len(batch), 0))
             k = min(prefetch, self.n_docs)
             for r, mention in enumerate(batch):
-                scores = all_scores[r]
-                if k > 0:
+                if ivf:
+                    dense = self._dense_ranked(qmat[r], prefetch)
+                elif k > 0:
+                    scores = all_scores[r]
                     idx = np.argpartition(-scores, k - 1)[:k]
                     order = sorted(idx.tolist(), key=lambda i: (-float(scores[i]), self.keys[i]))
                     dense = [(self.keys[i], float(scores[i])) for i in order]

@@ -70,3 +70,28 @@ def test_link_deterministic():
         assert (ra is None) == (rb is None)
         if ra:
             assert (ra.entity_id, ra.fused_score) == (rb.entity_id, rb.fused_score)
+
+
+def test_ivf_mode_large_catalog():
+    """Catalogs above IVF_THRESHOLD docs switch the dense channel to
+    cluster probing; exact-surface queries still link correctly (identical
+    embedding -> same nearest centroid -> probed)."""
+    from coco_search_ray.functions import linker_core
+    from coco_search_ray.sources.synth import generate_catalog
+
+    old = linker_core.IVF_THRESHOLD
+    linker_core.IVF_THRESHOLD = 100  # force IVF on a small catalog
+    try:
+        cat = generate_catalog(200)
+        idx = linker_core.EntityIndex(cat.to_pylist())
+        assert idx.ivf_centroids is not None
+        names = cat.column("canonical_name").to_pylist()
+        ids = cat.column("entity_id").to_pylist()
+        for i in (0, 50, 150):
+            r = idx.link(names[i])
+            assert r is not None
+            # duplicate canonical names resolve to the lexicographically
+            # first matching entity; accept any entity bearing the name
+            assert names[ids.index(r.entity_id)] == names[i]
+    finally:
+        linker_core.IVF_THRESHOLD = old
