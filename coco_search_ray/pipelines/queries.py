@@ -937,3 +937,73 @@ REGISTRY.update(
         "kg_top_tools_salted": (kg_top_tools_salted, None),
     }
 )
+
+
+def q_region_revenue(sf_dir: str) -> pd.DataFrame:
+    """3-hop broadcast join chain: orders -> customer -> nation -> region,
+    revenue per region (each dimension ships once via ray.put)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    customer = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
+    region = pq.read_table(_t(sf_dir, "region"), columns=["r_regionkey", "r_name"])
+    j = broadcast_join(orders, customer, "o_custkey", "c_custkey")
+    j = broadcast_join(j, nation, "c_nationkey", "n_nationkey")
+    j = broadcast_join(j, region, "n_regionkey", "r_regionkey")
+    out = (
+        j.groupby("r_name")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        .to_pandas()
+    )
+    return _round2(out, ["revenue"])
+
+
+Q_REGION_REVENUE_SQL = """
+SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_orders_anti_join(sf_dir: str) -> pd.DataFrame:
+    """Broadcast ANTI-join: orders whose customer is NOT in the BUILDING
+    segment (the reference's read_edges_excluding / except-style filtered
+    scan, deps/db.py:149-202 — key set broadcast, vectorized isin filter)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    exclude = sorted(
+        customer.filter(pc.equal(customer["c_mktsegment"], "BUILDING"))["c_custkey"].to_pylist()
+    )
+    exclude_ref = ray.put(pa.array(exclude, pa.int64()))
+
+    def anti(b: pa.Table) -> pa.Table:
+        from .kg import _deref_once
+
+        mask = pc.invert(pc.is_in(b["o_custkey"], value_set=_deref_once(exclude_ref)))
+        return b.filter(mask)
+
+    out = (
+        orders.map_batches(anti, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        .to_pandas()
+    )
+    return _round2(out, ["revenue"])
+
+
+Q_ORDERS_ANTI_JOIN_SQL = """
+SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_custkey
+"""
+
+
+REGISTRY.update(
+    {
+        "q_region_revenue": (q_region_revenue, Q_REGION_REVENUE_SQL),
+        "q_orders_anti_join": (q_orders_anti_join, Q_ORDERS_ANTI_JOIN_SQL),
+    }
+)
