@@ -14,12 +14,15 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
 
 
-def _ensure_ray():
+def _ensure_ray() -> bool:
+    """Initialise Ray if nobody has; returns True iff THIS call inited
+    (the caller only shuts down a session it created — a driver-owned
+    session must survive main())."""
     import ray
 
+    created = False
     if not ray.is_initialized():
         ray.init(
             address=os.environ.get("RAY_ADDRESS", "local"),
@@ -27,9 +30,11 @@ def _ensure_ray():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+        created = True
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    return created
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -60,7 +65,7 @@ def main(argv: list[str] | None = None) -> int:
         print(ensure_tier(args.tier))
         return 0
 
-    _ensure_ray()
+    owns_session = _ensure_ray()
     import ray
 
     try:
@@ -89,7 +94,7 @@ def main(argv: list[str] | None = None) -> int:
     finally:
         # only shut down a session this process created (the driver owns
         # its own session when it initialised Ray before importing us)
-        if "--keep-ray" not in (argv or sys.argv):
+        if owns_session:
             ray.shutdown()
     return 0
 

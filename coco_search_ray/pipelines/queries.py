@@ -38,15 +38,7 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.
     return ray.data.read_parquet(_t(sf_dir, name), columns=columns)
 
 
-def _round_half_away(df: pd.DataFrame, cols: list[str], dec: int = 2) -> pd.DataFrame:
-    """DuckDB-compatible rounding (half away from zero). numpy/pandas round
-    half-to-even; with identical float64 inputs on both sides, matching the
-    oracle's rounding MODE removes the .xx5-boundary hash mismatches."""
-    scale = 10.0 ** dec
-    for c in cols:
-        x = df[c].to_numpy(dtype=np.float64)
-        df[c] = np.sign(x) * np.floor(np.abs(x) * scale + 0.5) / scale
-    return df
+from ..functions.numeric import round_df_half_away as _round_half_away
 
 
 def _round2(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
@@ -395,9 +387,7 @@ def q_doc_quality(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
-    for c in ["avg_punct_ratio", "avg_stopword_ratio", "avg_word_len"]:
-        out[c] = out[c].round(4)
-    return out
+    return _round_half_away(out, ["avg_punct_ratio", "avg_stopword_ratio", "avg_word_len"], 4)
 
 
 def q_doc_minhash_neardup(sf_dir: str) -> pd.DataFrame:

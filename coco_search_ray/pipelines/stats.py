@@ -22,11 +22,14 @@ def triples_by_pred(triples: ray.data.Dataset) -> ray.data.Dataset:
 
 def top_entities(triples: ray.data.Dataset, k: int = 10) -> ray.data.Dataset:
     """Top-k subjects by emitted-triple count (shape: top-10 source files).
-    Pre-aggregation happens inside the groupby; result is tiny."""
+    Pre-aggregation happens inside the groupby; result is tiny. The sort
+    carries a total tiebreak (subj asc) so a count tie at the k-th
+    boundary never makes the selection nondeterministic (kg_impact /
+    kg_tree pick their BFS roots from this)."""
     return (
         triples.groupby("subj")
         .aggregate(Count(alias_name="n_triples"))
-        .sort("n_triples", descending=True)
+        .sort(["n_triples", "subj"], descending=[True, False])
         .limit(k)
     )
 

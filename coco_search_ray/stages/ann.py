@@ -20,11 +20,31 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.concurrency import auto_pool
+from ..functions.numeric import round_half_away
+
 
 def _normalize(vecs: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(vecs, axis=1, keepdims=True)
     n[n == 0] = 1.0
     return vecs / n
+
+
+def _local_topk_tiesafe(sims_row: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the per-batch top-k with the GLOBAL tiebreak (score
+    desc, id asc): every candidate whose score ties the k-th boundary is
+    considered before truncating, so a smaller-id candidate the final
+    merge would keep is never dropped at the batch level (exact ties are
+    real with hash-embeddings of duplicate texts)."""
+    n = sims_row.shape[0]
+    kk = min(k, n)
+    if kk == n:
+        cand = np.arange(n)
+    else:
+        boundary = np.partition(sims_row, n - kk)[n - kk]  # k-th largest
+        cand = np.nonzero(sims_row >= boundary)[0]
+    order = np.lexsort((ids[cand], -sims_row[cand]))
+    return cand[order[:kk]]
 
 
 def brute_force_topk(
@@ -48,9 +68,8 @@ def brute_force_topk(
             vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
             sims = self.q @ vecs.T  # (nq, batch)
             o_q, o_id, o_s = [], [], []
-            kk = min(k, sims.shape[1])
             for qi in range(sims.shape[0]):
-                idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+                idx = _local_topk_tiesafe(sims[qi], ids, k)
                 for c in idx:
                     o_q.append(qi)
                     o_id.append(int(ids[c]))
@@ -63,13 +82,13 @@ def brute_force_topk(
                 }
             )
 
-    partials = ds.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    partials = ds.map_batches(_Score, batch_format="pyarrow", concurrency=auto_pool()).to_pandas()
     out_rows = []
     for qi, g in partials.groupby("query_id"):
         g = g.sort_values(["cos_sim", id_col], ascending=[False, True]).head(k)
         out_rows.append(g)
     merged = pd.concat(out_rows) if out_rows else partials
-    merged["cos_sim"] = merged["cos_sim"].round(4)
+    merged["cos_sim"] = round_half_away(merged["cos_sim"].to_numpy(), 4)
     return pa.Table.from_pandas(merged.reset_index(drop=True), preserve_index=False)
 
 
@@ -124,14 +143,13 @@ def ivf_topk(
             assign = np.argmax(vecs @ self.cent.T, axis=1)  # (batch,)
             sims = self.q @ vecs.T
             o_q, o_id, o_s = [], [], []
-            kk = min(k, sims.shape[1])
             for qi in range(sims.shape[0]):
                 mask = np.isin(assign, self.probe[qi])
                 if not mask.any():
                     continue
                 cand = np.nonzero(mask)[0]
-                order = cand[np.argsort(-sims[qi, cand])[:kk]]
-                for c in order:
+                sel = cand[_local_topk_tiesafe(sims[qi, cand], ids[cand], k)]
+                for c in sel:
                     o_q.append(qi)
                     o_id.append(int(ids[c]))
                     o_s.append(float(sims[qi, c]))
@@ -143,11 +161,11 @@ def ivf_topk(
                 }
             )
 
-    partials = ds.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 8)).to_pandas()
+    partials = ds.map_batches(_Score, batch_format="pyarrow", concurrency=auto_pool()).to_pandas()
     out_rows = []
     for qi, g in partials.groupby("query_id"):
         g = g.sort_values(["cos_sim", id_col], ascending=[False, True]).head(k)
         out_rows.append(g)
     merged = pd.concat(out_rows) if out_rows else partials
-    merged["cos_sim"] = merged["cos_sim"].round(4)
+    merged["cos_sim"] = round_half_away(merged["cos_sim"].to_numpy(), 4)
     return pa.Table.from_pandas(merged.reset_index(drop=True), preserve_index=False)

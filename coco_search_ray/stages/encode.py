@@ -76,15 +76,17 @@ def encode_dataset(
     ds,
     text_col: str = "text",
     context_col: str | None = None,
-    concurrency=(1, 8),
+    concurrency=None,
     batch_size: int = 1024,
     **kwargs,
 ):
+    from ..functions.concurrency import auto_pool
+
     return ds.map_batches(
         EncoderActor,
         fn_constructor_kwargs={"text_col": text_col, "context_col": context_col, **kwargs},
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_pool(),
         num_cpus=1,
     )

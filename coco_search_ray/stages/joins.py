@@ -17,6 +17,8 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.concurrency import auto_pool
+
 
 def broadcast_join(
     ds: ray.data.Dataset,
@@ -39,7 +41,7 @@ def broadcast_join(
             )
             return out
 
-    return ds.map_batches(_Merge, batch_format="pandas", concurrency=(1, 8))
+    return ds.map_batches(_Merge, batch_format="pandas", concurrency=auto_pool())
 
 
 def hash_join(

@@ -27,8 +27,11 @@ def input_fingerprint(path: str) -> str:
     h = hashlib.sha256(str(size).encode())
     with open(path, "rb") as f:
         h.update(f.read(65536))
-        if size > 131072:
-            f.seek(-65536, os.SEEK_END)
+        if size > 65536:
+            # always cover the tail: seek to max(head_end, size - 64 KiB)
+            # so files in (64 KiB, 128 KiB] hash their remaining bytes too
+            # (overlap with the head read is fine; a gap is not)
+            f.seek(max(65536, size - 65536))
             h.update(f.read(65536))
     return h.hexdigest()
 
