@@ -109,12 +109,120 @@ class MinHasher:
             out.append((band, int.from_bytes(h, "big")))
         return out
 
+    def signatures_batch(self, hash_arrays: list[np.ndarray]) -> np.ndarray:
+        """(n_docs, num_perm) signature matrix — see minhash_signatures."""
+        return minhash_signatures(hash_arrays, self._a, self._b)
+
+    def band_hashes(self, sigs: np.ndarray) -> np.ndarray:
+        """(n_docs, num_bands) bucket keys — see band_hash_matrix."""
+        return band_hash_matrix(sigs, self.num_bands)
+
+
+_FNV_OFFSET = np.uint64(1469598103934665603)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """uint64 hashes of the DISTINCT char k-shingles — the vectorized
+    MinHash input path. One polynomial rolling pass over the code-point
+    array (k multiply-adds over the whole text, wrapping uint64
+    arithmetic), then np.unique; no per-shingle Python/sha calls.
+    Shingling domain matches :func:`char_shingles` (lowercased,
+    whitespace-collapsed)."""
+    t = " ".join(text.lower().split())
+    if not t:
+        return np.empty(0, dtype=np.uint64)
+    codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(codes)
+    if n < k:
+        h = _FNV_OFFSET
+        for c in codes:
+            h = (h ^ c) * _FNV_PRIME
+        return np.array([h], dtype=np.uint64)
+    h = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        h = h * _FNV_PRIME + codes[j : n - k + 1 + j]
+    return np.unique(h)
+
+
+def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    """uint64 hashes of distinct word n-grams (vectorized over the hashed
+    word sequence — rolling combine of per-word hashes)."""
+    words = text.lower().split()
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    wh = np.fromiter((_token_hash(w) for w in words), dtype=np.uint64, count=len(words))
+    if len(wh) < n:
+        h = _FNV_OFFSET
+        for x in wh:
+            h = (h ^ x) * _FNV_PRIME
+        return np.array([h], dtype=np.uint64)
+    h = np.zeros(len(wh) - n + 1, dtype=np.uint64)
+    for j in range(n):
+        h = h * _FNV_PRIME + wh[j : len(wh) - n + 1 + j]
+    return np.unique(h)
+
+
+def minhash_signatures(
+    hash_arrays: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Batched MinHash: (n_docs, num_perm) signature matrix from per-doc
+    shingle-hash arrays. All docs' hashes concatenate into ONE array; each
+    permutation chunk is one vectorized multiply-add and the per-doc mins
+    come from np.minimum.reduceat at the doc boundaries (no per-doc
+    Python). Empty docs get the all-MAX sentinel row."""
+    num_perm = len(a)
+    n = len(hash_arrays)
+    out = np.full((n, num_perm), _MAX_U64, dtype=np.uint64)
+    nonempty = [i for i, h in enumerate(hash_arrays) if len(h)]
+    if not nonempty:
+        return out
+    hv = np.concatenate([hash_arrays[i] for i in nonempty])
+    counts = np.array([len(hash_arrays[i]) for i in nonempty], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(counts[:-1])))
+    # permutation family x -> a*x + b mod 2^64 with a ODD (a bijection):
+    # wrapping multiply-add only — the % prime of the per-set path costs a
+    # 64-bit division per element and dominated the whole LSH stage
+    a_odd = a | np.uint64(1)
+    res = np.empty((len(nonempty), num_perm), dtype=np.uint64)
+    # chunk the permutation axis so the (chunk, total_hashes) intermediate
+    # stays ~64 MB regardless of batch size
+    chunk = max(1, int(8_000_000 // max(1, len(hv))))
+    for lo in range(0, num_perm, chunk):
+        hi = min(num_perm, lo + chunk)
+        permuted = a_odd[lo:hi, None] * hv[None, :] + b[lo:hi, None]
+        res[:, lo:hi] = np.minimum.reduceat(permuted, offsets, axis=1).T
+    out[np.asarray(nonempty)] = res
+    return out
+
+
+def band_hash_matrix(sigs: np.ndarray, num_bands: int) -> np.ndarray:
+    """(n_docs, num_bands) uint64 LSH bucket keys: FNV-1a fold of each
+    band's signature rows — vectorized across all docs at once."""
+    n, num_perm = sigs.shape
+    r = num_perm // num_bands
+    v = sigs.reshape(n, num_bands, r)
+    h = np.full((n, num_bands), _FNV_OFFSET, dtype=np.uint64)
+    for j in range(r):
+        h = (h ^ v[:, :, j]) * _FNV_PRIME
+    return h
+
 
 def jaccard(a: set[str], b: set[str]) -> float:
     if not a and not b:
         return 1.0
     inter = len(a & b)
     union = len(a | b)
+    return inter / union if union else 0.0
+
+
+def jaccard_u64(a: np.ndarray, b: np.ndarray) -> float:
+    """Jaccard over two sorted-unique uint64 hash arrays (the vectorized
+    twin of :func:`jaccard`; equal up to 2^-64 hash collisions)."""
+    if not len(a) and not len(b):
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
     return inter / union if union else 0.0
 
 
@@ -139,20 +247,33 @@ def word_ngrams(text: str, n: int = 3) -> set[str]:
 # ---------------------------------------------------------------------------
 
 
+# token -> 64-bit hash memo: vocabulary is bounded, so each distinct token
+# pays its sha1 once per worker process instead of once per occurrence
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CACHE_MAX = 1_000_000
+
+
+def _token_hash(t: str) -> int:
+    h = _TOKEN_HASH_CACHE.get(t)
+    if h is None:
+        h = stable_hash64(t)
+        if len(_TOKEN_HASH_CACHE) >= _TOKEN_HASH_CACHE_MAX:
+            _TOKEN_HASH_CACHE.clear()
+        _TOKEN_HASH_CACHE[t] = h
+    return h
+
+
 def simhash64(tokens: list[str]) -> int:
-    """64-bit SimHash over a token multiset."""
+    """64-bit SimHash over a token multiset. One (n_tokens, 64) bit-unpack
+    + column sum per document (no per-token numpy round-trips); token
+    hashes are memoized across documents."""
     if not tokens:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in tokens:
-        h = stable_hash64(t)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    hv = np.fromiter((_token_hash(t) for t in tokens), dtype=np.uint64, count=len(tokens))
+    bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
+    set_bits = np.nonzero(acc > 0)[0].astype(np.uint64)
+    return int((np.uint64(1) << set_bits).sum(dtype=np.uint64)) if len(set_bits) else 0
 
 
 def hamming64(a: int, b: int) -> int:

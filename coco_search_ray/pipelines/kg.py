@@ -212,21 +212,9 @@ def unique_mention_linkmap(
     return linkmap
 
 
-_deref_cache: dict[str, object] = {}
-
-
-def _deref_once(ref) -> object:
-    """ray.get with a per-worker-process deserialization cache (a plain
-    function task re-derefs per call otherwise; caching keeps lookup
-    stages stateless so Ray can FUSE them with neighboring task stages —
-    an actor pool would break fusion and force a plasma round-trip)."""
-    key = ref.hex()
-    obj = _deref_cache.get(key)
-    if obj is None:
-        obj = ray.get(ref)
-        _deref_cache.clear()
-        _deref_cache[key] = obj
-    return obj
+# shared worker-side broadcast cache (functions/broadcast.py); the alias
+# keeps the long-standing kg._deref_once import path working
+from ..functions.broadcast import deref_cached as _deref_once
 
 
 def apply_linkmap(

@@ -391,10 +391,11 @@ def q_doc_quality(sf_dir: str) -> pd.DataFrame:
 
 
 def q_doc_minhash_neardup(sf_dir: str) -> pd.DataFrame:
-    """MinHash-LSH near-dup survivors (rows-only)."""
-    docs = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    ds = ray.data.from_arrow(docs)
-    return dedup.neardup_survivors(ds, docs).to_pandas()
+    """MinHash-LSH near-dup survivors. The local documents table arrives
+    as ONE parquet block; repartition so the signature stage parallelizes
+    (a real corpus read has many blocks and skips this)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(16)
+    return dedup.neardup_survivors(ds).to_pandas()
 
 
 def q_doc_simhash_pairs(sf_dir: str) -> pd.DataFrame:
@@ -449,11 +450,10 @@ def q_doc_fingerprint_overlap(sf_dir: str) -> pd.DataFrame:
 
 
 def q_doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
-    """Word-3-gram Jaccard >= 0.5 pairs via LSH blocking (rows-only)."""
-    docs = pq.read_table(_t(sf_dir, "documents"), columns=["doc_id", "text"])
-    ds = ray.data.from_arrow(docs)
+    """Word-3-gram Jaccard >= 0.5 pairs via LSH blocking."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(16)
     cands = dedup.minhash_candidate_pairs(ds, shingle_k=5)
-    out = dedup.verify_pairs_jaccard(cands, docs, threshold=0.5, use_ngrams=True).to_pandas()
+    out = dedup.verify_pairs_jaccard(cands, ds, threshold=0.5, use_ngrams=True).to_pandas()
     return out.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
 
 

@@ -26,18 +26,22 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 from ray.data.aggregate import Count, Min
 
+from ..functions.broadcast import deref_cached
+from ..functions.concurrency import auto_pool
 from ..functions.hashing import (
     MinHasher,
-    char_shingles,
+    char_shingle_hashes,
     content_sha256,
     hamming64,
-    jaccard,
-    word_ngrams,
+    jaccard_u64,
+    word_ngram_hashes,
 )
+from ..functions.numeric import round_half_away
 from .canonicalize import union_find
 
 
@@ -74,36 +78,41 @@ _LSH_NUM_BANDS = 32
 _NEARDUP_JACCARD = 0.6
 
 
-def _minhash_band_explode(
-    batch: pa.Table, text_col: str, id_col: str, hasher: MinHasher, shingle_k: int
+# permutation tables cached per worker PROCESS (stateless map function,
+# not an actor pool: task stages fuse with the upstream read; an actor
+# pool would break fusion and force a plasma hop — CLAUDE.md perf lesson)
+_HASHER_CACHE: dict[tuple[int, int], MinHasher] = {}
+
+
+def _get_hasher(num_perm: int, num_bands: int) -> MinHasher:
+    h = _HASHER_CACHE.get((num_perm, num_bands))
+    if h is None:
+        h = MinHasher(num_perm=num_perm, num_bands=num_bands)
+        _HASHER_CACHE[(num_perm, num_bands)] = h
+    return h
+
+
+def minhash_band_explode(
+    batch: pa.Table, text_col: str, id_col: str, shingle_k: int
 ) -> pa.Table:
-    ids = batch[id_col].to_pylist()
+    """Fully batched: per-doc shingle hashes via one vectorized rolling
+    pass each, ONE (docs x perms) signature matrix per batch
+    (minhash_signatures / reduceat), band keys as one FNV fold — no
+    per-doc Python in the hot path."""
+    hasher = _get_hasher(_LSH_NUM_PERM, _LSH_NUM_BANDS)
+    ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
     texts = batch[text_col].to_pylist()
-    o_id, o_band, o_hash = [], [], []
-    for i, t in zip(ids, texts):
-        sig = hasher.signature(char_shingles(t or "", k=shingle_k))
-        for band, bh in hasher.band_keys(sig):
-            o_id.append(i)
-            o_band.append(band)
-            o_hash.append(bh)
+    hash_arrays = [char_shingle_hashes(t or "", k=shingle_k) for t in texts]
+    sigs = hasher.signatures_batch(hash_arrays)
+    bh = hasher.band_hashes(sigs)  # (n, num_bands)
+    n, nb = bh.shape
     return pa.table(
         {
-            id_col: pa.array(o_id, pa.int64()),
-            "band_id": pa.array(o_band, pa.int32()),
-            "band_hash": pa.array(np.array(o_hash, dtype=np.uint64)),
+            id_col: pa.array(np.repeat(ids, nb)),
+            "band_id": pa.array(np.tile(np.arange(nb, dtype=np.int32), n)),
+            "band_hash": pa.array(bh.ravel()),
         }
     )
-
-
-class _MinhashExplode:
-    """Actor: the permutation tables are built once per worker."""
-
-    def __init__(self, text_col: str, id_col: str, shingle_k: int):
-        self.hasher = MinHasher(num_perm=_LSH_NUM_PERM, num_bands=_LSH_NUM_BANDS)
-        self.text_col, self.id_col, self.shingle_k = text_col, id_col, shingle_k
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        return _minhash_band_explode(batch, self.text_col, self.id_col, self.hasher, self.shingle_k)
 
 
 def _pairs_within_band(df: pd.DataFrame, id_col: str, hash_col: str, max_bucket: int) -> pd.DataFrame:
@@ -148,12 +157,13 @@ def minhash_candidate_pairs(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 5
 ) -> ray.data.Dataset:
     """LSH blocking: Dataset of candidate (a, b) pairs (unverified; may
-    contain duplicates when several bands agree — see note below)."""
+    contain duplicates when several bands agree — see note below).
+    ``batch_size`` bounds the per-task signature matrix so the explode
+    parallelizes even when the input arrives as one big block."""
     bands = ds.map_batches(
-        _MinhashExplode,
-        fn_constructor_kwargs={"text_col": text_col, "id_col": id_col, "shingle_k": shingle_k},
+        lambda b: minhash_band_explode(b, text_col, id_col, shingle_k),
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        batch_size=1024,
     )
     return bands.groupby("band_id").map_groups(
         lambda df: _pairs_within_band(df, id_col, "band_hash", 256), batch_format="pandas"
@@ -165,79 +175,208 @@ def minhash_candidate_pairs(
     # extra all-to-all shuffle.
 
 
+# above this many candidate pairs the pair-touched-doc gather stops being
+# "small" and verification switches to the streaming shuffle-join plan
+_VERIFY_JOIN_THRESHOLD = 2_000_000
+
+
+def _pair_hash_fn(use_ngrams: bool, shingle_k: int):
+    if use_ngrams:
+        return lambda t: word_ngram_hashes(t or "", n=3)
+    return lambda t: char_shingle_hashes(t or "", k=shingle_k)
+
+
+def _verify_against_sets(sets_ref, threshold: float):
+    """Batch verifier over (a, b) rows given a broadcast id -> hash-array
+    dict (only PAIR-TOUCHED docs — never the corpus)."""
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        sets: dict[int, np.ndarray] = deref_cached(sets_ref)
+        empty = np.empty(0, dtype=np.uint64)
+        o_a, o_b, o_j = [], [], []
+        for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
+            j = jaccard_u64(sets.get(a, empty), sets.get(b, empty))
+            if j >= threshold:
+                o_a.append(a)
+                o_b.append(b)
+                o_j.append(round_half_away(j, 6))
+        return pa.table(
+            {
+                "a": pa.array(o_a, pa.int64()),
+                "b": pa.array(o_b, pa.int64()),
+                "jaccard_sim": pa.array(o_j, pa.float64()),
+            }
+        )
+
+    return _verify
+
+
 def verify_pairs_jaccard(
     pairs: ray.data.Dataset,
-    docs: pa.Table,
+    docs: ray.data.Dataset | pa.Table,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = _NEARDUP_JACCARD,
     use_ngrams: bool = False,
     shingle_k: int = 5,
+    num_partitions: int = 8,
 ) -> ray.data.Dataset:
-    """Exact-verify candidate pairs against broadcast doc texts.
-    At 100 TB the verify side would re-join texts by id range; here the
-    doc table is the broadcast small side."""
-    texts_ref = ray.put(dict(zip(docs[id_col].to_pylist(), docs[text_col].to_pylist())))
+    """Exact-verify candidate pairs without ever broadcasting the corpus:
+    driver/heap state stays O(pairs), never O(docs).
 
-    class _Verify:
-        def __init__(self):
-            texts = ray.get(texts_ref)
-            if use_ngrams:
-                self.sets = {i: word_ngrams(t or "", n=3) for i, t in texts.items()}
-            else:
-                self.sets = {i: char_shingles(t or "", k=shingle_k) for i, t in texts.items()}
+    Default plan (pairs provably small after LSH banding + bucket caps):
+    semi-join GATHER — broadcast the pair-touched id set, filter the docs
+    stream to those ids, compute their shingle-hash arrays distributed,
+    broadcast that small dict, verify pairs in parallel. Above
+    _VERIFY_JOIN_THRESHOLD pairs it switches automatically to the fully
+    streaming plan: two hash joins re-attaching texts by id (a-side then
+    b-side), Jaccard per joined row. Both verify with the vectorized
+    hash-set kernels (distinct uint64 shingle hashes, np.intersect1d)."""
+    if isinstance(docs, pa.Table):
+        docs = ray.data.from_arrow(docs.select([id_col, text_col]))
+    else:
+        docs = docs.select_columns([id_col, text_col])
+    hash_fn = _pair_hash_fn(use_ngrams, shingle_k)
+    pairs = pairs.select_columns(["a", "b"]).materialize()
+    if pairs.count() > _VERIFY_JOIN_THRESHOLD:
+        return _verify_via_join(pairs, docs, text_col, id_col, threshold, hash_fn, num_partitions)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            o_a, o_b, o_j = [], [], []
-            for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-                j = jaccard(self.sets[a], self.sets[b])
-                if j >= threshold:
-                    o_a.append(a)
-                    o_b.append(b)
-                    o_j.append(round(j, 6))
-            return pa.table(
-                {
-                    "a": pa.array(o_a, pa.int64()),
-                    "b": pa.array(o_b, pa.int64()),
-                    "jaccard_sim": pa.array(o_j, pa.float64()),
-                }
-            )
+    pdf = pairs.to_pandas().drop_duplicates(subset=["a", "b"])  # O(pairs)
+    if pdf.empty:
+        return ray.data.from_arrow(
+            pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                      "jaccard_sim": pa.array([], pa.float64())})
+        )
+    touched = np.unique(pdf[["a", "b"]].to_numpy().ravel())
+    touched_ref = ray.put(pa.array(touched, pa.int64()))
 
-    return pairs.map_batches(_Verify, batch_format="pyarrow", concurrency=(1, 8))
+    def gather(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[id_col], value_set=deref_cached(touched_ref))
+        hit = batch.filter(mask)
+        hs = [hash_fn(t) for t in hit[text_col].to_pylist()]
+        return pa.table(
+            {
+                id_col: hit[id_col],
+                "_h": pa.array([h.tolist() for h in hs], pa.list_(pa.uint64())),
+            }
+        )
+
+    small = docs.map_batches(gather, batch_format="pyarrow").to_pandas()  # O(touched)
+    sets = {
+        int(i): np.asarray(h, dtype=np.uint64) for i, h in zip(small[id_col], small["_h"])
+    }
+    sets_ref = ray.put(sets)
+    n_blocks = max(1, min(len(pdf) // 4096 + 1, auto_pool()[1]))
+    pair_blocks = ray.data.from_pandas(np.array_split(pdf.reset_index(drop=True), n_blocks))
+    return pair_blocks.map_batches(_verify_against_sets(sets_ref, threshold), batch_format="pyarrow")
+
+
+def _verify_via_join(
+    pairs: ray.data.Dataset,
+    docs: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    hash_fn,
+    num_partitions: int,
+) -> ray.data.Dataset:
+    """Streaming fallback for giant pair sets: re-join texts by id."""
+    docs_a = docs.rename_columns({id_col: "a", text_col: "_text_a"})
+    docs_b = docs.rename_columns({id_col: "b", text_col: "_text_b"})
+    joined = pairs.join(
+        docs_a, join_type="inner", num_partitions=num_partitions, on=("a",)
+    ).join(docs_b, join_type="inner", num_partitions=num_partitions, on=("b",))
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        memo: dict[int, np.ndarray] = {}
+
+        def hashes(i: int, t: str) -> np.ndarray:
+            h = memo.get(i)
+            if h is None:
+                h = hash_fn(t)
+                memo[i] = h
+            return h
+
+        o_a, o_b, o_j = [], [], []
+        for a, b, ta, tb in zip(
+            batch["a"].to_pylist(),
+            batch["b"].to_pylist(),
+            batch["_text_a"].to_pylist(),
+            batch["_text_b"].to_pylist(),
+        ):
+            j = jaccard_u64(hashes(a, ta), hashes(b, tb))
+            if j >= threshold:
+                o_a.append(a)
+                o_b.append(b)
+                o_j.append(round_half_away(j, 6))
+        return pa.table(
+            {
+                "a": pa.array(o_a, pa.int64()),
+                "b": pa.array(o_b, pa.int64()),
+                "jaccard_sim": pa.array(o_j, pa.float64()),
+            }
+        )
+
+    return joined.map_batches(_verify, batch_format="pyarrow")
 
 
 def neardup_survivors(
     ds: ray.data.Dataset,
-    docs: pa.Table,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = _NEARDUP_JACCARD,
 ) -> pa.Table:
-    """Full near-dup dedup: LSH -> verify -> connected components -> keep
-    min id per component. Returns a small table (survivor ids + group
-    size); the component step runs on the driver over verified pairs only
-    (provably small candidate set)."""
-    pairs = (
-        verify_pairs_jaccard(
-            minhash_candidate_pairs(ds, text_col, id_col), docs, text_col, id_col, threshold
-        )
+    """Full near-dup dedup: LSH -> verify (text re-join) -> connected
+    components over PAIR-TOUCHED ids only -> keep min id per component.
+
+    No O(corpus) driver state: union-find runs on the ids that appear in
+    a verified pair (provably small — pairs require agreeing LSH bands
+    AND Jaccard >= threshold), the id->canonical dict for that small set
+    is broadcast, and the per-component sizes come from a native
+    distributed groupby over the docs dataset (singletons fall out as
+    their own group). Returns (doc_id = component min id, group_size)."""
+    verified = (
+        verify_pairs_jaccard(minhash_candidate_pairs(ds, text_col, id_col), ds, text_col, id_col, threshold)
         .to_pandas()
         .drop_duplicates(subset=["a", "b"])
     )
-    all_ids = [str(i) for i in docs[id_col].to_pylist()]
+    touched = sorted({int(x) for x in verified["a"]} | {int(x) for x in verified["b"]})
     mapping = union_find(
-        sorted(all_ids), sorted((str(a), str(b)) for a, b in zip(pairs["a"], pairs["b"]))
+        touched, sorted((int(a), int(b)) for a, b in zip(verified["a"], verified["b"]))
     )
-    groups: dict[str, int] = {}
-    for _id, canon in mapping.items():
-        groups[canon] = groups.get(canon, 0) + 1
-    out = sorted((int(c), n) for c, n in groups.items())
-    return pa.table(
-        {
-            id_col: pa.array([a for a, _ in out], pa.int64()),
-            "group_size": pa.array([n for _, n in out], pa.int64()),
-        }
+    # group sizes are fully determined by the mapping (untouched docs are
+    # singletons of size 1), so NO distributed groupby is needed: one
+    # stateless map over the doc-id stream with two tiny broadcast dicts —
+    # drop merged-away ids, annotate component roots with their size.
+    merged = {i: c for i, c in mapping.items() if i != c}
+    comp_size: dict[int, int] = {}
+    for i, c in mapping.items():
+        comp_size[c] = comp_size.get(c, 0) + 1
+    state_ref = ray.put((merged, comp_size))
+
+    def survivors(batch: pa.Table) -> pa.Table:
+        m, cs = deref_cached(state_ref)
+        o_id, o_n = [], []
+        for i in batch[id_col].to_pylist():
+            if i in m:  # merged into a smaller-id root elsewhere
+                continue
+            o_id.append(i)
+            o_n.append(cs.get(i, 1))
+        return pa.table(
+            {
+                id_col: pa.array(o_id, pa.int64()),
+                "group_size": pa.array(o_n, pa.int64()),
+            }
+        )
+
+    out = (
+        ds.select_columns([id_col])
+        .map_batches(survivors, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(id_col)
+        .reset_index(drop=True)
     )
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
@@ -367,7 +506,7 @@ def embedding_neardup_pairs(
                 }
             )
 
-    return ds.map_batches(_Pairs, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(_Pairs, batch_format="pyarrow", concurrency=auto_pool())
 
 
 def embedding_neardup_pairs_lsh(
@@ -434,7 +573,7 @@ def embedding_neardup_pairs_lsh(
                 if sims[i, j] >= threshold:
                     o_a.append(int(ids[i]))
                     o_b.append(int(ids[j]))
-                    o_s.append(round(float(sims[i, j]), 4))
+                    o_s.append(round_half_away(float(sims[i, j]), 4))
         return pd.DataFrame(
             {
                 "a": pd.Series(o_a, dtype="int64"),
@@ -450,7 +589,7 @@ def embedding_neardup_pairs_lsh(
     # duplicate pairs across tables carry identical cos_sim; callers
     # drop_duplicates on (a, b)
     return (
-        ds.map_batches(_Bucket, batch_format="pyarrow", concurrency=(1, 8))
+        ds.map_batches(_Bucket, batch_format="pyarrow", concurrency=auto_pool())
         .groupby("table_id")
         .map_groups(table_pairs, batch_format="pandas")
     )
