@@ -328,6 +328,23 @@ def _assemble_group_arrow(df: pd.DataFrame) -> pa.Table:
     return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False)
 
 
+ASSEMBLY_BUCKETS = 64
+
+
+def _add_conv_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    """Coarse deterministic shuffle key: stable_hash64(conv_id) %
+    num_buckets, hashed once per DISTINCT conv_id in the batch (conv ids
+    repeat per mention row) and gathered back with index_in/take."""
+    from ..functions.hashing import stable_hash64
+
+    uniq = pc.unique(batch["conv_id"])
+    per_uniq = pa.array(
+        [stable_hash64(s) % num_buckets for s in uniq.to_pylist()], pa.int32()
+    )
+    bucket = pc.take(per_uniq, pc.index_in(batch["conv_id"], value_set=uniq))
+    return batch.append_column("_conv_bucket", bucket)
+
+
 def build_kg(
     paths: list[str] | str,
     catalog: pa.Table,
@@ -380,7 +397,18 @@ def build_kg(
     ds = ds.select_columns(["conv_id", "turn_idx", "mention_ord", "entity_id", "tool"])
     if conv_local_shards:
         return ds.map_batches(_assemble_conv_local_arrow, batch_format="pandas", batch_size=None)
-    return ds.groupby("conv_id").map_groups(_assemble_group_arrow, batch_format="pandas")
+    # general path (input NOT partitioned by conversation): ONE all-to-all
+    # shuffle on the COARSE key hash(conv_id) % ASSEMBLY_BUCKETS — never a
+    # Ray group per conversation (millions of tiny groups at scale;
+    # CLAUDE.md perf lesson) — then the vectorized multi-conversation
+    # kernel per bucket. A bucket holds complete conversations by
+    # construction, which is all assemble_conv_local requires.
+    ds = ds.map_batches(
+        lambda b: _add_conv_bucket(b, ASSEMBLY_BUCKETS), batch_format="pyarrow", batch_size=bs
+    )
+    return ds.groupby("_conv_bucket").map_groups(
+        _assemble_conv_local_arrow, batch_format="pandas"
+    )
 
 
 def build_kg_from_dir(

@@ -47,19 +47,44 @@ def sessionize(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_s: int = 1800,
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Session windows per key: a new session starts when the gap to the
     previous event exceeds ``gap_s``. Output: one row per session with
-    (user_id, session_start, session_end, n_events)."""
+    (user_id, session_start, session_end, n_events).
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(ts_col, kind="mergesort")
-        ts = df[ts_col]
-        gap = ts.diff().dt.total_seconds().fillna(float("inf"))
-        session_id = (gap > gap_s).cumsum()
+    Shuffle shape: ONE Ray group per coarse bucket (hash(key) %
+    num_buckets) — never one group per key (millions of tiny groups at
+    real user cardinality; the per-group overhead dominates — CLAUDE.md
+    perf lesson). Inside a bucket the gap rule is fully vectorized over
+    the (key, ts)-sorted frame: a session break is a key change OR an
+    over-gap step, sessions are one cumsum, stats one pandas groupby."""
+    from ..functions.hashing import stable_hash64
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        col = b[key_col]
+        if pa.types.is_integer(col.type):
+            import numpy as np
+
+            ids = col.to_numpy(zero_copy_only=False)
+            bucket = pa.array((np.abs(ids) % num_buckets).astype(np.int32))
+        else:
+            # hash distinct keys only (keys repeat heavily within a block)
+            uniq = pc.unique(col)
+            per_uniq = pa.array(
+                [stable_hash64(str(u)) % num_buckets for u in uniq.to_pylist()], pa.int32()
+            )
+            bucket = pc.take(per_uniq, pc.index_in(col, value_set=uniq))
+        return b.append_column("_bucket", bucket)
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([key_col, ts_col], kind="mergesort")
+        new_key = df[key_col].ne(df[key_col].shift())
+        gap = df[ts_col].diff().dt.total_seconds()
+        sid = (new_key | (gap > gap_s)).cumsum()
         out = (
-            df.assign(_sid=session_id)
-            .groupby("_sid")
+            df.assign(_sid=sid)
+            .groupby("_sid", sort=True)
             .agg(
                 user_id=(key_col, "first"),
                 session_start=(ts_col, "min"),
@@ -71,4 +96,8 @@ def sessionize(
         out["n_events"] = out["n_events"].astype("int64")
         return out
 
-    return ds.groupby(key_col).map_groups(per_user, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )

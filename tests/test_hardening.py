@@ -68,6 +68,21 @@ def test_build_kg_on_edge_rows(ray_session, tmp_path, smoke_dir):
         assert ds.count() == 0  # 1 mention, no tool -> no triples from edge rows
 
 
+def test_general_assembly_matches_conv_local(ray_session, smoke_dir):
+    """The general (non-conv-partitioned) path — coarse hash(conv_id)
+    buckets + the vectorized multi-conv kernel — must emit exactly the
+    no-shuffle conv-local path's triples (VERDICT r01 #4)."""
+    from coco_search_ray.pipelines.kg import build_kg_from_dir
+
+    key = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    a = build_kg_from_dir(smoke_dir, conv_local_shards=True).to_pandas()
+    b = build_kg_from_dir(smoke_dir, conv_local_shards=False).to_pandas()
+    pd.testing.assert_frame_equal(
+        a[key].sort_values(key, kind="mergesort").reset_index(drop=True),
+        b[key].sort_values(key, kind="mergesort").reset_index(drop=True),
+    )
+
+
 def test_streaming_actor_linker_matches_two_phase(ray_session, smoke_dir):
     from coco_search_ray.pipelines.kg import build_kg_from_dir
 
