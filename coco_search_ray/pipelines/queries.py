@@ -367,15 +367,44 @@ SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text
 
 
 def q_doc_langid(sf_dir: str) -> pd.DataFrame:
-    """Heuristic language ID counts (rows-only: not SQL-expressible)."""
+    """Heuristic language ID counts."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     feats = ds.map_batches(textops.doc_features, batch_format="pyarrow")
     return feats.groupby("lang_detected").aggregate(Count(alias_name="n_docs")).to_pandas()
 
 
+# the stopword lists ARE the language-ID model (functions/text.py
+# _LANG_STOPWORDS); the SQL replays the same decision rule: first 200
+# lowercased word tokens, hits per language, winner = alphabetically
+# first language reaching the strict max, >= 2 hits required else 'und'
+Q_DOC_LANGID_SQL = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(list_slice(regexp_extract_all(text, '\w+'), 1, 200), x -> lower(x)) AS words
+  FROM documents
+), h AS (
+  SELECT doc_id, len(words) AS nw,
+    len(list_filter(words, x -> x IN ('der','die','und','in','den','von','zu','das','mit','sich','des','auf','ist','im','dem','nicht','ein'))) AS de,
+    len(list_filter(words, x -> x IN ('the','and','of','to','a','in','is','it','you','that','was','for','on','are','with','as','i','his','they','be','at'))) AS en,
+    len(list_filter(words, x -> x IN ('de','la','que','el','en','y','a','los','se','del','las','un','por','con','no','una','su'))) AS es,
+    len(list_filter(words, x -> x IN ('le','de','la','et','les','des','en','un','du','une','que','est','pour','qui','dans','par'))) AS fr
+  FROM w
+), lang AS (
+  SELECT CASE
+    WHEN nw = 0 OR greatest(de, en, es, fr) < 2 THEN 'und'
+    WHEN de = greatest(de, en, es, fr) THEN 'de'
+    WHEN en = greatest(de, en, es, fr) THEN 'en'
+    WHEN es = greatest(de, en, es, fr) THEN 'es'
+    ELSE 'fr'
+  END AS lang_detected
+  FROM h
+)
+SELECT lang_detected, count(*) AS n_docs FROM lang GROUP BY lang_detected
+"""
+
+
 def q_doc_quality(sf_dir: str) -> pd.DataFrame:
-    """Per-language quality signal means (rows-only; ratio defs are
-    Python-side)."""
+    """Per-language quality signal means."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
     feats = ds.map_batches(textops.doc_features, batch_format="pyarrow")
     out = (
@@ -390,12 +419,69 @@ def q_doc_quality(sf_dir: str) -> pd.DataFrame:
     return _round_half_away(out, ["avg_punct_ratio", "avg_stopword_ratio", "avg_word_len"], 4)
 
 
+Q_DOC_QUALITY_SQL = r"""
+WITH f AS (
+  SELECT lang, length(text) AS n_chars,
+         regexp_extract_all(text, '\w+') AS words,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+  FROM documents
+), g AS (
+  SELECT lang,
+    CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END AS punct_ratio,
+    CASE WHEN len(words) > 0 THEN len(list_filter(words, x -> lower(x) IN ('the','and','of','to','a','in','is','it','you','that','was','for','on','are','with','as','i','his','they','be','at')))::DOUBLE / len(words) ELSE 0 END AS stopword_ratio,
+    CASE WHEN len(words) > 0 THEN list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words) ELSE 0 END AS mean_word_len
+  FROM f
+)
+SELECT lang, round(avg(punct_ratio), 4) AS avg_punct_ratio,
+       round(avg(stopword_ratio), 4) AS avg_stopword_ratio,
+       round(avg(mean_word_len), 4) AS avg_word_len
+FROM g GROUP BY lang
+"""
+
+
 def q_doc_minhash_neardup(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup survivors. The local documents table arrives
     as ONE parquet block; repartition so the signature stage parallelizes
     (a real corpus read has many blocks and skips this)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(16)
     return dedup.neardup_survivors(ds).to_pandas()
+
+
+# INDEPENDENT brute-force oracle: all-pairs char-5-shingle Jaccard (the
+# same shingling domain as functions/hashing.char_shingle_hashes:
+# lowercased, whitespace-collapsed) via an unnest self-join intersection,
+# then connected components by a recursive transitive closure — this
+# checks LSH recall AND the union-find, not just the aggregation
+Q_DOC_MINHASH_NEARDUP_SQL = r"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct([substr(t, i, 5) for i in range(1, greatest(length(t) - 3, 2))]) AS s FROM d
+), sizes AS (
+  SELECT doc_id, len(s) AS l FROM sh
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n
+  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), e AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE n::DOUBLE / (sa.l + sb.l - n) >= 0.6
+), sym AS (
+  SELECT a AS x, b AS y FROM e UNION SELECT b AS x, a AS y FROM e
+), reach(x, y) AS (
+  SELECT x, y FROM sym
+  UNION
+  SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x
+), lbl AS (
+  SELECT dd.doc_id,
+         least(dd.doc_id, coalesce((SELECT min(r.y) FROM reach r WHERE r.x = dd.doc_id), dd.doc_id)) AS label
+  FROM documents dd
+)
+SELECT label AS doc_id, count(*) AS group_size FROM lbl GROUP BY label ORDER BY doc_id
+"""
 
 
 def q_doc_simhash_pairs(sf_dir: str) -> pd.DataFrame:
@@ -455,6 +541,28 @@ def q_doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
     cands = dedup.minhash_candidate_pairs(ds, shingle_k=5)
     out = dedup.verify_pairs_jaccard(cands, ds, threshold=0.5, use_ngrams=True).to_pandas()
     return out.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# independent brute-force word-3-gram Jaccard (unnest join intersection)
+Q_DOC_NGRAM_JACCARD_SQL = r"""
+WITH d AS (
+  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, greatest(len(w) - 1, 2))]) AS s FROM d
+), sizes AS (
+  SELECT doc_id, len(s) AS l FROM sh
+), ex AS (
+  SELECT doc_id, unnest(s) AS g FROM sh
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n
+  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(n::DOUBLE / (sa.l + sb.l - n), 6) AS jaccard_sim
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE n::DOUBLE / (sa.l + sb.l - n) >= 0.5
+ORDER BY a, b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -600,12 +708,12 @@ REGISTRY: dict[str, tuple] = {
     "q_events_sessions": (q_events_sessions, Q_EVENTS_SESSIONS_SQL),
     "q_doc_stats": (q_doc_stats, Q_DOC_STATS_SQL),
     "q_doc_exact_dedup": (q_doc_exact_dedup, Q_DOC_EXACT_DEDUP_SQL),
-    "q_doc_langid": (q_doc_langid, None),
-    "q_doc_quality": (q_doc_quality, None),
-    "q_doc_minhash_neardup": (q_doc_minhash_neardup, None),
+    "q_doc_langid": (q_doc_langid, Q_DOC_LANGID_SQL),
+    "q_doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
+    "q_doc_minhash_neardup": (q_doc_minhash_neardup, Q_DOC_MINHASH_NEARDUP_SQL),
     "q_doc_simhash_pairs": (q_doc_simhash_pairs, None),
     "q_doc_fingerprint_overlap": (q_doc_fingerprint_overlap, None),
-    "q_doc_ngram_jaccard": (q_doc_ngram_jaccard, None),
+    "q_doc_ngram_jaccard": (q_doc_ngram_jaccard, Q_DOC_NGRAM_JACCARD_SQL),
     "q_ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
     "q_ann_ivf": (q_ann_ivf, None),
     "q_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
