@@ -38,6 +38,34 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> ray.data.
     return ray.data.read_parquet(_t(sf_dir, name), columns=columns)
 
 
+# ---------------------------------------------------------------------------
+# Oracle exports: queries whose INTERMEDIATE product is not SQL-derivable
+# from the driver views (simhash values, rolling fingerprints, KG triples)
+# export that product to a deterministic parquet path as they run; their
+# oracle SQL reads the export back and independently re-derives the
+# DOWNSTREAM computation (pair extraction, components, grouped stats,
+# joins). The exports make the non-SQL half visible to DuckDB; the SQL
+# half is still an independent re-implementation. Paths are keyed by the
+# sf basename and the SQL hardcodes sf0.01 — the driver's gate tier —
+# so these oracles are only meaningful there (documented limitation).
+# ---------------------------------------------------------------------------
+
+_EXPORT_ROOT = "/tmp/coco_oracle_export"
+
+
+def _export_table(sf_dir: str, name: str, table: pa.Table) -> None:
+    d = os.path.join(_EXPORT_ROOT, os.path.basename(os.path.normpath(sf_dir)))
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, f"{name}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+
+
+_EXP = f"{_EXPORT_ROOT}/sf0.01"  # the gate tier's export dir (SQL side)
+_SYNTH_CORRECTNESS = "/tmp/coco_synth/correctness"  # sources/synth._TIER_ROOT default
+
+
 from ..functions.numeric import round_df_half_away as _round_half_away
 
 
@@ -485,18 +513,34 @@ SELECT label AS doc_id, count(*) AS group_size FROM lbl GROUP BY label ORDER BY 
 
 
 def q_doc_simhash_pairs(sf_dir: str) -> pd.DataFrame:
-    """SimHash near-dup candidate pairs at Hamming <= 3 (rows-only)."""
+    """SimHash near-dup pairs at Hamming <= 3. The per-doc simhash column
+    is exported so the oracle can brute-force ALL Hamming-<=3 pairs in
+    SQL — checking the 4x16-bit band guarantee end to end."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    sh = ds.map_batches(textops.doc_simhash, batch_format="pyarrow")
+    sh = ds.map_batches(textops.doc_simhash, batch_format="pyarrow").materialize()
+    _export_table(sf_dir, "doc_simhash", pa.Table.from_pandas(sh.to_pandas(), preserve_index=False))
     out = dedup.simhash_candidate_pairs(sh).to_pandas()
     return out.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
 
 
+Q_DOC_SIMHASH_PAIRS_SQL = f"""
+SELECT a.doc_id AS a, b.doc_id AS b,
+       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+FROM read_parquet('{_EXP}/doc_simhash.parquet') a
+JOIN read_parquet('{_EXP}/doc_simhash.parquet') b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY a, b
+"""
+
+
 def q_doc_fingerprint_overlap(sf_dir: str) -> pd.DataFrame:
     """Docs sharing rolling-hash fingerprints: groupby(fingerprint) ->
-    cross-doc pair counts (rows-only). Copy-detection shape."""
+    cross-doc pair counts. Copy-detection shape. The (doc_id,
+    fingerprint) explosion is exported; the oracle re-derives bucket
+    capping, pair extraction and the shared-count filter in SQL."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    fps = ds.map_batches(textops.doc_fingerprints, batch_format="pyarrow")
+    fps = ds.map_batches(textops.doc_fingerprints, batch_format="pyarrow").materialize()
+    _export_table(sf_dir, "doc_fingerprints", pa.Table.from_pandas(fps.to_pandas(), preserve_index=False))
 
     def add_bucket(b: pa.Table) -> pa.Table:
         # coarse shuffle key: a few hundred groups, inner pandas groupby per
@@ -533,6 +577,20 @@ def q_doc_fingerprint_overlap(sf_dir: str) -> pd.DataFrame:
     )
     out = out.astype({"a": "int64", "b": "int64", "n_shared": "int64"})
     return out[out["n_shared"] >= 5].reset_index(drop=True)
+
+
+Q_DOC_FINGERPRINT_OVERLAP_SQL = f"""
+WITH fp AS (
+  SELECT DISTINCT doc_id, fingerprint FROM read_parquet('{_EXP}/doc_fingerprints.parquet')
+), ok AS (
+  SELECT fingerprint FROM fp GROUP BY fingerprint HAVING count(*) BETWEEN 2 AND 16
+), p AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  WHERE a.fingerprint IN (SELECT fingerprint FROM ok)
+)
+SELECT a, b, count(*) AS n_shared FROM p GROUP BY a, b HAVING count(*) >= 5
+"""
 
 
 def q_doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
@@ -655,6 +713,10 @@ def kg_triples(sf_dir: str):
     if ds is None:
         data_dir = ensure_tier(tier)
         ds = build_kg_from_dir(data_dir).materialize()
+        if tier == "correctness":
+            # make the triple table visible to the export-based kg_*
+            # oracles (downstream stats/joins re-derived in SQL)
+            _export_table(sf_dir, "kg_triples", pa.Table.from_pandas(ds.to_pandas(), preserve_index=False))
         _TRIPLES_CACHE.clear()
         _TRIPLES_CACHE[tier] = ds
     return ds
@@ -666,10 +728,23 @@ def kg_triples_by_pred(sf_dir: str) -> pd.DataFrame:
     return triples_by_pred(kg_triples(sf_dir)).to_pandas()
 
 
+KG_TRIPLES_BY_PRED_SQL = f"""
+SELECT pred, count(*) AS n_triples
+FROM read_parquet('{_EXP}/kg_triples.parquet') GROUP BY pred
+"""
+
+
 def kg_top_entities(sf_dir: str) -> pd.DataFrame:
     from .stats import top_entities
 
     return top_entities(kg_triples(sf_dir), k=10).to_pandas()
+
+
+KG_TOP_ENTITIES_SQL = f"""
+SELECT subj, count(*) AS n_triples
+FROM read_parquet('{_EXP}/kg_triples.parquet')
+GROUP BY subj ORDER BY n_triples DESC, subj LIMIT 10
+"""
 
 
 def kg_qa_summary(sf_dir: str) -> pd.DataFrame:
@@ -681,12 +756,28 @@ def kg_qa_summary(sf_dir: str) -> pd.DataFrame:
 
 
 def kg_normalized_turns(sf_dir: str):
-    """M0 slice over synthetic transcripts (rows-only; ordering invariant
-    is pytest-checked)."""
+    """M0 slice over synthetic transcripts. The oracle replays the full
+    normalization (role fold + whitelist, tool fold + none-collapse,
+    turn_uid derivation) in SQL over the same deterministic synth files —
+    full-table value-hash including every text byte."""
     from .kg import normalized_turns_ds
 
     data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
     return normalized_turns_ds(data_dir)
+
+
+KG_NORMALIZED_TURNS_SQL = f"""
+SELECT conv_id, turn_idx,
+       CASE WHEN lower(trim(role)) IN ('user','assistant','tool','system')
+            THEN lower(trim(role)) ELSE 'other' END AS role,
+       text,
+       CASE WHEN tool IS NULL THEN ''
+            WHEN lower(trim(tool)) = 'none' THEN ''
+            ELSE lower(trim(tool)) END AS tool,
+       ts,
+       conv_id || '#' || turn_idx AS turn_uid
+FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -711,18 +802,18 @@ REGISTRY: dict[str, tuple] = {
     "q_doc_langid": (q_doc_langid, Q_DOC_LANGID_SQL),
     "q_doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
     "q_doc_minhash_neardup": (q_doc_minhash_neardup, Q_DOC_MINHASH_NEARDUP_SQL),
-    "q_doc_simhash_pairs": (q_doc_simhash_pairs, None),
-    "q_doc_fingerprint_overlap": (q_doc_fingerprint_overlap, None),
+    "q_doc_simhash_pairs": (q_doc_simhash_pairs, Q_DOC_SIMHASH_PAIRS_SQL),
+    "q_doc_fingerprint_overlap": (q_doc_fingerprint_overlap, Q_DOC_FINGERPRINT_OVERLAP_SQL),
     "q_doc_ngram_jaccard": (q_doc_ngram_jaccard, Q_DOC_NGRAM_JACCARD_SQL),
     "q_ann_topk": (q_ann_topk, Q_ANN_TOPK_SQL),
     "q_ann_ivf": (q_ann_ivf, None),
     "q_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
     "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
     "kg_triples": (kg_triples, None),
-    "kg_triples_by_pred": (kg_triples_by_pred, None),
-    "kg_top_entities": (kg_top_entities, None),
+    "kg_triples_by_pred": (kg_triples_by_pred, KG_TRIPLES_BY_PRED_SQL),
+    "kg_top_entities": (kg_top_entities, KG_TOP_ENTITIES_SQL),
     "kg_qa_summary": (kg_qa_summary, None),
-    "kg_normalized_turns": (kg_normalized_turns, None),
+    "kg_normalized_turns": (kg_normalized_turns, KG_NORMALIZED_TURNS_SQL),
 }
 
 
@@ -775,6 +866,16 @@ def kg_context_coverage(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.astype({"n_triples": "int64", "n_with_text": "int64"})
+
+
+KG_CONTEXT_COVERAGE_SQL = f"""
+SELECT t.pred, count(*) AS n_triples,
+       sum(CASE WHEN u.text IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_with_text
+FROM read_parquet('{_EXP}/kg_triples.parquet') t
+LEFT JOIN read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet') u
+  ON t.conv_id = u.conv_id AND t.turn_idx = u.turn_idx
+GROUP BY t.pred
+"""
 
 
 def q_hybrid_search(sf_dir: str) -> pd.DataFrame:
@@ -847,7 +948,7 @@ REGISTRY.update(
     {
         "kg_impact": (kg_impact, None),
         "kg_tree": (kg_tree, None),
-        "kg_context_coverage": (kg_context_coverage, None),
+        "kg_context_coverage": (kg_context_coverage, KG_CONTEXT_COVERAGE_SQL),
         "q_hybrid_search": (q_hybrid_search, None),
         "q_doc_encode": (q_doc_encode, None),
         "q_media_features": (q_media_features, None),
@@ -1026,13 +1127,20 @@ def kg_top_tools_salted(sf_dir: str) -> pd.DataFrame:
     )
 
 
+KG_TOP_TOOLS_SALTED_SQL = f"""
+SELECT obj AS tool, count(*) AS n_triples
+FROM read_parquet('{_EXP}/kg_triples.parquet')
+WHERE pred = 'uses_tool' GROUP BY obj
+"""
+
+
 REGISTRY.update(
     {
         "q_lineitem_filter_scan": (q_lineitem_filter_scan, Q_LINEITEM_FILTER_SCAN_SQL),
         "q_events_distinct_users": (q_events_distinct_users, Q_EVENTS_DISTINCT_USERS_SQL),
         "q_orders_monthly": (q_orders_monthly, Q_ORDERS_MONTHLY_SQL),
         "q_events_sliding": (q_events_sliding, Q_EVENTS_SLIDING_SQL),
-        "kg_top_tools_salted": (kg_top_tools_salted, None),
+        "kg_top_tools_salted": (kg_top_tools_salted, KG_TOP_TOOLS_SALTED_SQL),
     }
 )
 
