@@ -8,8 +8,26 @@ Conventions:
 - every callable takes sf_dir and returns Dataset / DataFrame / Table;
 - float aggregates are rounded to 2 decimals on BOTH sides (cosines to 4)
   so value hashes are stable across summation orders;
-- queries with no SQL entry are checked rows-only by the driver (KG
-  pipeline, LSH/SimHash near-dup, language ID — non-SQL-expressible).
+- queries with no SQL entry are checked rows-only by the driver; each
+  documents why in its docstring. The full list and reasons:
+    kg_triples           in-repo single-process oracle (P/R parity pytest);
+                         every downstream stat/join over it IS SQL-checked
+                         via the triple export
+    kg_impact / kg_tree  the claiming ROOT of a shared node is BFS-
+                         expansion-order-defined; the order-free
+                         projection (node, min depth) is green as
+                         kg_reach_tree / kg_reach_impact
+    q_hybrid_search      RRF over hash-embedding dense scores — encoder
+                         not SQL-expressible; RRF math pinned by unit
+                         tests mirroring the reference's own suite
+    q_media_features     synthetic binary decode plumbing, no SQL analog
+    q_ann_ivf            approximate by design (recall < 1); exact twin
+                         q_ann_topk is green, recall pinned in tests
+    q_embedding_neardup_lsh  approximate by design; exact twin
+                         q_embedding_neardup is green
+    q_doc_chunks         separator-driven recursive splitter + greedy
+                         overlap repacking not SQL-expressible; golden
+                         unit tests + green q_doc_chunks_fixed twin
 """
 
 from __future__ import annotations
@@ -705,7 +723,11 @@ _TRIPLES_CACHE: dict[str, object] = {}
 def kg_triples(sf_dir: str):
     """Flagship pipeline output; materialized once per tier per process —
     several kg_* queries consume the same triples, and the driver runs
-    them all in one session."""
+    them all in one session. Rows-only by necessity (mention detection +
+    hybrid linking + canonicalization are not SQL) — correctness is
+    pinned by the in-repo single-process oracle (P/R = 1.0 pytest,
+    oracle/kg_oracle.py) and every downstream stat/join over the triple
+    table IS value-checked via the export oracles."""
     from .kg import build_kg_from_dir
 
     tier = tier_for_sf_dir(sf_dir)
@@ -753,6 +775,27 @@ def kg_qa_summary(sf_dir: str) -> pd.DataFrame:
 
     data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
     return qa_summary(normalized_turns_ds(data_dir)).to_pandas()
+
+
+# replays the mention-EXISTENCE rule (functions/mentions.py) word-for-word
+# in SQL lambdas: snake / camel(>=6, starts lower, lc->UC) / Pascal(>=8) /
+# adjacent-capitalized bigram over the same [A-Za-z0-9_]+ word split
+KG_QA_SUMMARY_SQL = f"""
+WITH t AS (
+  SELECT text, regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9_]+') AS words
+  FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
+), f AS (
+  SELECT CASE
+    WHEN text IS NULL OR text = '' THEN 'empty_text'
+    WHEN len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z0-9]+_[a-zA-Z0-9]+'))) > 0
+      OR len(list_filter(words, w -> length(w) >= 6 AND regexp_matches(w, '^[a-z]') AND regexp_matches(w, '[a-z][A-Z]'))) > 0
+      OR len(list_filter(words, w -> length(w) >= 8 AND regexp_matches(w, '[A-Z][a-z]+[A-Z]'))) > 0
+      OR len(list_filter([i for i in range(1, greatest(len(words), 2))], i -> i < len(words) AND regexp_matches(words[i], '^[A-Z][a-z]+$') AND regexp_matches(words[i + 1], '^[A-Z][a-z]+$'))) > 0
+    THEN 'ok_mentions' ELSE 'no_mentions' END AS qa_status
+  FROM t
+)
+SELECT qa_status, count(*) AS n_turns FROM f GROUP BY qa_status
+"""
 
 
 def kg_normalized_turns(sf_dir: str):
@@ -812,7 +855,7 @@ REGISTRY: dict[str, tuple] = {
     "kg_triples": (kg_triples, None),
     "kg_triples_by_pred": (kg_triples_by_pred, KG_TRIPLES_BY_PRED_SQL),
     "kg_top_entities": (kg_top_entities, KG_TOP_ENTITIES_SQL),
-    "kg_qa_summary": (kg_qa_summary, None),
+    "kg_qa_summary": (kg_qa_summary, KG_QA_SUMMARY_SQL),
     "kg_normalized_turns": (kg_normalized_turns, KG_NORMALIZED_TURNS_SQL),
 }
 
@@ -844,6 +887,54 @@ def kg_tree(sf_dir: str) -> pd.DataFrame:
     edges = triples.filter(expr="pred == 'mentions'").materialize()
     roots = top_entities(edges, k=3).to_pandas()["subj"].tolist()
     return bfs_distributed(edges, roots, max_depth=5, reverse=False)
+
+
+def _kg_reach(sf_dir: str, reverse: bool) -> pd.DataFrame:
+    """Multi-source BFS reachability (node, depth = first-reach level =
+    min distance from the root set): the SQL-checkable projection of the
+    batch tree/impact traversal (kg_tree/kg_impact also carry the
+    claiming root, which is expansion-order-dependent and stays
+    rows-only)."""
+    from ..stages.graph import bfs_distributed
+    from .stats import top_entities
+
+    triples = kg_triples(sf_dir)
+    edges = triples.filter(expr="pred == 'mentions'").materialize()
+    roots = top_entities(edges, k=3).to_pandas()["subj"].tolist()
+    df = bfs_distributed(edges, roots, max_depth=5, reverse=reverse)
+    out = df[["node", "depth"]].sort_values("node").reset_index(drop=True)
+    return out.astype({"depth": "int64"})
+
+
+def kg_reach_tree(sf_dir: str) -> pd.DataFrame:
+    return _kg_reach(sf_dir, reverse=False)
+
+
+def kg_reach_impact(sf_dir: str) -> pd.DataFrame:
+    return _kg_reach(sf_dir, reverse=True)
+
+
+def _kg_reach_sql(src: str, dst: str) -> str:
+    return f"""
+WITH RECURSIVE r AS (
+  SELECT subj FROM (
+    SELECT subj, count(*) AS n FROM read_parquet('{_EXP}/kg_triples.parquet')
+    WHERE pred = 'mentions'
+    GROUP BY subj ORDER BY n DESC, subj LIMIT 3
+  )
+), e AS (
+  SELECT subj, obj FROM read_parquet('{_EXP}/kg_triples.parquet') WHERE pred = 'mentions'
+), step(node, depth) AS (
+  SELECT subj, 0 FROM r
+  UNION
+  SELECT e.{dst}, s.depth + 1 FROM step s JOIN e ON e.{src} = s.node WHERE s.depth < 5
+)
+SELECT node, min(depth)::BIGINT AS depth FROM step GROUP BY node
+"""
+
+
+KG_REACH_TREE_SQL = _kg_reach_sql("subj", "obj")
+KG_REACH_IMPACT_SQL = _kg_reach_sql("obj", "subj")
 
 
 def kg_context_coverage(sf_dir: str) -> pd.DataFrame:
@@ -905,7 +996,10 @@ def q_doc_encode(sf_dir: str) -> pd.DataFrame:
     from ..stages.encode import encode_dataset
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-    enc = encode_dataset(ds, text_col="text")
+    enc = encode_dataset(ds, text_col="text").materialize()
+    exp = enc.select_columns(["doc_id", "lang", "embedding"]).to_pandas()
+    exp["embedding"] = exp["embedding"].map(list)
+    _export_table(sf_dir, "doc_embeddings", pa.Table.from_pandas(exp, preserve_index=False))
 
     def norms(b: pa.Table) -> pa.Table:
         import numpy as np
@@ -922,8 +1016,19 @@ def q_doc_encode(sf_dir: str) -> pd.DataFrame:
         .aggregate(Count(alias_name="n_docs"), Mean("norm", alias_name="mean_norm"))
         .to_pandas()
     )
-    out["mean_norm"] = out["mean_norm"].round(4)
-    return out
+    return _round_half_away(out, ["mean_norm"], 4)
+
+
+# the encoder itself is a deterministic hash-embedding (not expressible in
+# SQL; pinned by unit tests) — the export makes the vectors visible so the
+# norm + grouped-mean math is independently re-derived in SQL
+Q_DOC_ENCODE_SQL = f"""
+WITH n AS (
+  SELECT lang, sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x))) AS norm
+  FROM read_parquet('{_EXP}/doc_embeddings.parquet')
+)
+SELECT lang, count(*) AS n_docs, round(avg(norm), 4) AS mean_norm FROM n GROUP BY lang
+"""
 
 
 def q_media_features(sf_dir: str) -> pd.DataFrame:
@@ -950,7 +1055,7 @@ REGISTRY.update(
         "kg_tree": (kg_tree, None),
         "kg_context_coverage": (kg_context_coverage, KG_CONTEXT_COVERAGE_SQL),
         "q_hybrid_search": (q_hybrid_search, None),
-        "q_doc_encode": (q_doc_encode, None),
+        "q_doc_encode": (q_doc_encode, Q_DOC_ENCODE_SQL),
         "q_media_features": (q_media_features, None),
     }
 )
@@ -976,10 +1081,37 @@ SELECT c_custkey, c_name FROM customer WHERE c_name ILIKE 'Customer%1_'
 """
 
 
+def q_doc_chunks_fixed(sf_dir: str) -> pd.DataFrame:
+    """Fixed-stride windowed chunking, FULL per-chunk verification: the
+    oracle re-derives every (chunk_ord, start, end, chunk_text) row with
+    range + substr."""
+    from ..stages import chunking
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    chunks = ds.map_batches(
+        lambda b: chunking.chunk_documents_fixed(b, window=200, step=140),
+        batch_format="pyarrow",
+    )
+    out = chunks.to_pandas().sort_values(["doc_id", "chunk_ord"]).reset_index(drop=True)
+    return out.astype({"chunk_ord": "int64"})
+
+
+Q_DOC_CHUNKS_FIXED_SQL = """
+WITH c AS (SELECT doc_id, text, length(text) AS L FROM documents),
+x AS (SELECT doc_id, text, L, unnest([s for s in range(0, L, 140)]) AS start FROM c)
+SELECT doc_id, (start // 140)::BIGINT AS chunk_ord, start, least(start + 200, L) AS "end",
+       substr(text, start + 1, least(200, L - start)) AS chunk_text
+FROM x ORDER BY doc_id, chunk_ord
+"""
+
+
 def q_doc_chunks(sf_dir: str) -> pd.DataFrame:
     """Recursive chunking (chunk_size=200/overlap=60 so the tier docs
-    actually split): chunks per doc + offset bounds (rows-only; golden
-    unit tests pin the splitting semantics)."""
+    actually split): chunks per doc + offset bounds (rows-only: the
+    separator-driven recursive splitter + greedy overlap re-packing is
+    not SQL-expressible; golden unit tests pin the splitting semantics
+    and q_doc_chunks_fixed green-checks the explosion shape end to
+    end)."""
     from ..stages import chunking
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1003,6 +1135,9 @@ REGISTRY.update(
     {
         "q_glob_filter": (q_glob_filter, Q_GLOB_FILTER_SQL),
         "q_doc_chunks": (q_doc_chunks, None),
+        "q_doc_chunks_fixed": (q_doc_chunks_fixed, Q_DOC_CHUNKS_FIXED_SQL),
+        "kg_reach_tree": (kg_reach_tree, KG_REACH_TREE_SQL),
+        "kg_reach_impact": (kg_reach_impact, KG_REACH_IMPACT_SQL),
     }
 )
 

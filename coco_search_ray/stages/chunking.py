@@ -92,6 +92,41 @@ def split_text(
     return chunks
 
 
+def chunk_documents_fixed(
+    batch: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 200,
+    step: int = 140,
+) -> pa.Table:
+    """Fixed-stride windowed chunking (the sliding-window twin of the
+    recursive splitter): chunk i covers [i*step, min(i*step + window,
+    len)). Fully closed-form, so a SQL oracle can re-derive every chunk
+    row including its text (substr) — unlike the separator-driven
+    recursive splitter. 1->N explosion, same output shape."""
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    o_id, o_ord, o_start, o_end, o_text = [], [], [], [], []
+    for i, t in zip(ids, texts):
+        t = t or ""
+        for ci, start in enumerate(range(0, len(t), step)):
+            end = min(start + window, len(t))
+            o_id.append(i)
+            o_ord.append(ci)
+            o_start.append(start)
+            o_end.append(end)
+            o_text.append(t[start:end])
+    return pa.table(
+        {
+            id_col: pa.array(o_id, batch[id_col].type),
+            "chunk_ord": pa.array(o_ord, pa.int32()),
+            "start": pa.array(o_start, pa.int64()),
+            "end": pa.array(o_end, pa.int64()),
+            "chunk_text": pa.array(o_text, pa.string()),
+        }
+    )
+
+
 def chunk_documents(
     batch: pa.Table,
     text_col: str = "text",
