@@ -58,13 +58,31 @@ def run_resumable(
     catalog = load_catalog(data_dir)
     mapping = canonical_mapping(catalog.to_pylist())
 
+    # run-global fingerprint: catalog bytes + the canonicalization/link
+    # parameters that shape EVERY shard's linkmap. Any change here must
+    # rebuild all shards — the reference's global re-resolution semantics
+    # (new catalog entries can resolve previously-unlinkable mentions,
+    # deps/extractor.py:387-395).
+    import hashlib
+    import json
+
+    from ..stages.canonicalize import JACCARD_THRESHOLD, MAX_BUCKET
+
+    catalog_fp = input_fingerprint(os.path.join(data_dir, "catalog.parquet"))
+    globals_hash = hashlib.sha256(
+        f"{catalog_fp}|jt={JACCARD_THRESHOLD}|mb={MAX_BUCKET}|encoder=hash-sha256|dim=768".encode()
+    ).hexdigest()
+
     # index-metadata registry + model-mismatch guard (reference shape:
     # management/metadata.py + flow.py:299-315 — warn when an index built
     # with a different embedding model is being updated)
-    import json
-
     meta_path = os.path.join(out_dir, "_index_meta.json")
-    meta = {"encoder": "hash-sha256", "dim": 768, "data_dir": data_dir}
+    meta = {
+        "encoder": "hash-sha256",
+        "dim": 768,
+        "data_dir": data_dir,
+        "globals_hash": globals_hash,
+    }
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             old = json.load(f)
@@ -74,13 +92,16 @@ def run_resumable(
                 f"{old.get('encoder')}/{old.get('dim')}; now using "
                 f"{meta['encoder']}/{meta['dim']} — results will mix models"
             )
+        if old.get("globals_hash") != globals_hash:
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
     else:
         with open(meta_path, "w") as f:
             json.dump(meta, f)
 
     files = transcript_files(data_dir)
     shards = [(f"{i:04d}", p) for i, p in enumerate(files)]
-    todo = pending_shards(out_dir, shards)
+    todo = pending_shards(out_dir, shards, globals_hash)
 
     # deletion semantics (reference flow.py:450-461: rows of files removed
     # from the input are dropped): committed shards with no matching input
@@ -123,7 +144,13 @@ def run_resumable(
         else:
             triples.write_parquet(tmp)
         n_triples = _dir_row_count(tmp)
-        commit_shard(out_dir, shard_id, fp, tmp, {"input_path": path, "triples": n_triples})
+        commit_shard(
+            out_dir,
+            shard_id,
+            fp,
+            tmp,
+            {"input_path": path, "triples": n_triples, "globals_hash": globals_hash},
+        )
         done += 1
 
     return {

@@ -48,9 +48,23 @@ def read_manifest(out_dir: str, shard_id: str) -> dict | None:
         return json.load(f)
 
 
-def shard_is_done(out_dir: str, shard_id: str, input_hash: str) -> bool:
+def shard_is_done(
+    out_dir: str, shard_id: str, input_hash: str, globals_hash: str | None = None
+) -> bool:
+    """A shard is reusable only if BOTH its own input fingerprint AND the
+    run-global fingerprint (catalog + canonicalization/link params) match.
+    The reference re-resolves ALL edges when inputs change because new
+    inputs can resolve previously-external targets
+    (deps/extractor.py:387-395); our analog: a changed catalog changes
+    the linkmap and canonical mapping for EVERY shard, so shard
+    manifests carry the catalog fingerprint and a mismatch invalidates
+    them all."""
     m = read_manifest(out_dir, shard_id)
-    return bool(m and m.get("status") == "done" and m.get("input_hash") == input_hash)
+    if not (m and m.get("status") == "done" and m.get("input_hash") == input_hash):
+        return False
+    if globals_hash is not None and m.get("globals_hash") != globals_hash:
+        return False
+    return True
 
 
 def shard_output_dir(out_dir: str, shard_id: str) -> str:
@@ -85,12 +99,14 @@ def commit_shard(
     os.replace(tmp_mp, mp)
 
 
-def pending_shards(out_dir: str, shards: list[tuple[str, str]]) -> list[tuple[str, str]]:
+def pending_shards(
+    out_dir: str, shards: list[tuple[str, str]], globals_hash: str | None = None
+) -> list[tuple[str, str]]:
     """Anti-join: shards (shard_id, input_path) without a matching done
-    manifest."""
+    manifest (input fingerprint AND run-global fingerprint)."""
     out = []
     for shard_id, path in shards:
-        if not shard_is_done(out_dir, shard_id, input_fingerprint(path)):
+        if not shard_is_done(out_dir, shard_id, input_fingerprint(path), globals_hash):
             out.append((shard_id, path))
     return out
 

@@ -68,6 +68,51 @@ def test_deleted_input_shard_removes_output(ray_session, smoke_dir, tmp_path):
     assert not os.path.isdir(os.path.join(out, "shard=0003"))
 
 
+def test_catalog_change_invalidates_all_shards(ray_session, smoke_dir, tmp_path):
+    """Catalog-aware resume (VERDICT r01 #2): a re-run with a CHANGED
+    catalog (new entities/aliases -> different linkmap + canonical
+    mapping) must rebuild every shard; an unchanged catalog skips all."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coco_search_ray.pipelines.materialize import run_resumable
+
+    data = str(tmp_path / "data")
+    shutil.copytree(smoke_dir, data)
+    out = str(tmp_path / "out")
+    s0 = run_resumable(data, out)
+    assert s0["shards_processed"] == 4
+
+    # unchanged catalog -> all skipped
+    s1 = run_resumable(data, out)
+    assert (s1["shards_processed"], s1["shards_skipped"]) == (0, 4)
+
+    # mutate the catalog: add one entity (same file size is NOT relied on;
+    # the fingerprint covers content)
+    cat_path = os.path.join(data, "catalog.parquet")
+    cat = pq.read_table(cat_path)
+    extra = pa.table(
+        {
+            "entity_id": pa.array(["E999999"], pa.string()),
+            "canonical_name": pa.array(["Brand New"], pa.string()),
+            "aliases": pa.array([["brand_new"]], pa.list_(pa.string())),
+            "entity_type": pa.array(["concept"], pa.string()),
+            "description": pa.array(["Brand New is a concept"], pa.string()),
+        }
+    )
+    pq.write_table(pa.concat_tables([cat, extra.cast(cat.schema)]), cat_path)
+
+    s2 = run_resumable(data, out)
+    assert (s2["shards_processed"], s2["shards_skipped"]) == (4, 0)
+
+    # and stable again afterwards
+    s3 = run_resumable(data, out)
+    assert (s3["shards_processed"], s3["shards_skipped"]) == (0, 4)
+
+
 def test_subj_bucket_partitioned_output(ray_session, smoke_dir, tmp_path):
     """Optional output layout: hash(subj) % B directory partitioning."""
     import os
