@@ -48,6 +48,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
+from ray.data.aggregate import Count as _RayCount
 
 from ..sources.synth import load_catalog, transcript_files
 from ..stages.canonicalize import canonical_mapping
@@ -164,14 +165,19 @@ def _link_chunk(index, mapping: dict[str, str], chunk: list[str]) -> dict:
     return out
 
 
+def _block_unique(b: pa.Table) -> pa.Table:
+    return pa.table({"mention": pc.unique(b["mention"]).drop_null()})
+
+
 def unique_mention_linkmap(
     mention_ds: ray.data.Dataset,
     catalog: pa.Table,
     mapping: dict[str, str],
     parallelism: int | None = None,
+    uniq_blocks: "pd.DataFrame | None" = None,
 ) -> dict[str, str | None]:
-    """Two-phase linking, phase 1: the global mention -> canonical-entity
-    dict.
+    """Two-phase linking, phase 1 (broadcast branch): the global
+    mention -> canonical-entity dict.
 
     Mentions repeat enormously (surface forms are drawn from a bounded
     vocabulary), so instead of every linker actor re-resolving the same
@@ -180,19 +186,11 @@ def unique_mention_linkmap(
       -> tiny global unique (the shuffle moves only distinct short strings)
       -> parallel Ray tasks hybrid-link each unique mention ONCE
       -> broadcast the dict.
-    In-repo scale note: at 10^9+ distinct surface forms the dict outgrows
-    a broadcast; then hash-partition mentions and linkmap on mention and
-    use a partitioned map-side join instead (same two-phase shape)."""
-    import pyarrow.compute as pc
-
-    def block_unique(b: pa.Table) -> pa.Table:
-        return pa.table({"mention": pc.unique(b["mention"]).drop_null()})
-
-    # per-block uniques are tiny (bounded surface vocabulary); union them on
-    # the driver instead of paying a sort-shuffle unique() — its ~5s fixed
-    # cost dominates at any cluster size. Scale path: at 10^8+ distinct
-    # surfaces switch to .unique("mention") (distributed) here.
-    uniq_blocks = mention_ds.map_batches(block_unique, batch_format="pyarrow").to_pandas()
+    Above _DISTINCT_BROADCAST_MAX distinct surfaces build_kg switches
+    AUTOMATICALLY to the distributed branch (linkmap_dataset + a
+    partitioned map-side join) — same two-phase shape, no driver union."""
+    if uniq_blocks is None:
+        uniq_blocks = mention_ds.map_batches(_block_unique, batch_format="pyarrow").to_pandas()
     uniq = sorted(set(uniq_blocks["mention"]))
     # linking the unique set is seconds of CPU; cap fan-out so it reuses
     # warm workers instead of cold-starting a wide task wave
@@ -210,6 +208,36 @@ def unique_mention_linkmap(
     for part in ray.get(futures):
         linkmap.update(part)
     return linkmap
+
+
+# above this many DISTINCT surface forms the linkmap outgrows a broadcast
+# dict and the two-phase path switches to the distributed branch
+_DISTINCT_BROADCAST_MAX = 2_000_000
+
+
+def linkmap_dataset(
+    uniq_ds: ray.data.Dataset, catalog: pa.Table, mapping: dict[str, str]
+) -> ray.data.Dataset:
+    """Two-phase linking, phase 1 (distributed branch): a Dataset of
+    (mention, entity_id) built by linking each globally-distinct mention
+    once in parallel — the prebuilt EntityIndex ships by ref, stateless
+    tasks keep the stage fusable."""
+    from ..functions.linker_core import EntityIndex
+
+    index_ref = ray.put(EntityIndex(catalog.to_pylist()))
+    mapping_ref = ray.put(mapping)
+
+    def link_batch(b: pa.Table) -> pa.Table:
+        idx = _deref_once(index_ref)
+        mp = _deref_once(mapping_ref)
+        mentions = b["mention"].to_pylist()
+        ents = [
+            (mp.get(r.entity_id, r.entity_id) if r else None)
+            for r in idx.link_many(mentions)
+        ]
+        return pa.table({"mention": b["mention"], "entity_id": pa.array(ents, pa.string())})
+
+    return uniq_ds.map_batches(link_batch, batch_format="pyarrow")
 
 
 # shared worker-side broadcast cache (functions/broadcast.py); the alias
@@ -352,6 +380,7 @@ def build_kg(
     concurrency: int | None = None,
     conv_local_shards: bool = False,
     two_phase: bool = True,
+    distributed_linkmap: bool | None = None,
 ) -> ray.data.Dataset:
     """transcript parquet paths + catalog -> streaming Dataset of triples.
 
@@ -390,8 +419,34 @@ def build_kg(
         # mentions dataset is consumed twice (unique pass + lookup pass);
         # pin the small intermediate instead of recomputing the extraction
         ds = ds.materialize()
-        linkmap = unique_mention_linkmap(ds, catalog, mapping, parallelism=concurrency)
-        ds = apply_linkmap(ds, linkmap, batch_size=bs)
+        # SIZE-TRIGGERED branch selection (not a code edit): the per-block
+        # unique pass runs once; its row count upper-bounds the distinct
+        # surface count. Small -> driver union + broadcast dict lookup
+        # (no shuffle). Large -> distributed distinct + partitioned
+        # map-side join (no driver/broadcast state).
+        uniq_blocks_ds = ds.map_batches(_block_unique, batch_format="pyarrow").materialize()
+        use_distributed = (
+            distributed_linkmap
+            if distributed_linkmap is not None
+            else uniq_blocks_ds.count() > _DISTINCT_BROADCAST_MAX
+        )
+        if use_distributed:
+            uniq_ds = uniq_blocks_ds.groupby("mention").aggregate(
+                _RayCount(alias_name="_n")
+            ).select_columns(["mention"])
+            lm_ds = linkmap_dataset(uniq_ds, catalog, mapping)
+            ds = ds.join(
+                lm_ds,
+                join_type="left_outer",
+                num_partitions=max(8, _auto_concurrency()),
+                on=("mention",),
+            )
+        else:
+            linkmap = unique_mention_linkmap(
+                ds, catalog, mapping, parallelism=concurrency,
+                uniq_blocks=uniq_blocks_ds.to_pandas(),
+            )
+            ds = apply_linkmap(ds, linkmap, batch_size=bs)
     else:
         ds = link_stage(ds, catalog, mapping, concurrency=concurrency, batch_size=bs)
     ds = ds.select_columns(["conv_id", "turn_idx", "mention_ord", "entity_id", "tool"])

@@ -83,6 +83,25 @@ def test_general_assembly_matches_conv_local(ray_session, smoke_dir):
     )
 
 
+def test_distributed_linkmap_matches_broadcast(ray_session, smoke_dir):
+    """Forcing the distributed two-phase branch (distributed distinct +
+    partitioned map-side join — the auto-selected path above
+    _DISTINCT_BROADCAST_MAX surfaces) must produce identical triples to
+    the broadcast-dict branch (VERDICT r01 #7)."""
+    from coco_search_ray.pipelines.kg import build_kg
+    from coco_search_ray.sources.synth import load_catalog, transcript_files
+
+    catalog = load_catalog(smoke_dir)
+    paths = transcript_files(smoke_dir)
+    key = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    a = build_kg(paths, catalog, distributed_linkmap=False).to_pandas()
+    b = build_kg(paths, catalog, distributed_linkmap=True).to_pandas()
+    pd.testing.assert_frame_equal(
+        a[key].sort_values(key, kind="mergesort").reset_index(drop=True),
+        b[key].sort_values(key, kind="mergesort").reset_index(drop=True),
+    )
+
+
 def test_streaming_actor_linker_matches_two_phase(ray_session, smoke_dir):
     from coco_search_ray.pipelines.kg import build_kg_from_dir
 
