@@ -1,0 +1,28 @@
+"""Literal family: URLs. Reference analog: link extraction in the
+markdown / gitlab_ci extractors (deps/extractors/markdown.py:409,
+gitlab_ci.py:423 — references to external resources become edges).
+Surfaces attach to the turn's first linked entity as
+(entity, links_to, url).
+"""
+
+from __future__ import annotations
+
+import re
+
+NAME = "urls"
+KIND = "literal"
+PRED = "links_to"
+QUICK = r"https?://"
+
+_RE = re.compile(r"https?://[^\s\"'<>\)\]]+")
+
+
+def extract(text: str) -> list[str]:
+    out: list[str] = []
+    seen: set[str] = set()
+    for m in _RE.finditer(text):
+        u = m.group(0)
+        if u not in seen:
+            seen.add(u)
+            out.append(u)
+    return out

@@ -16,8 +16,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from ..extractors import entity_families, literal_families
 from ..functions.linker_core import EntityIndex, LinkResult
-from ..functions.mentions import detect_mentions
 from ..stages.canonicalize import canonical_mapping
 from ..sources.synth import load_catalog, transcript_files
 
@@ -55,13 +55,15 @@ def oracle_triples(data_dir: str) -> pd.DataFrame:
         for _, r in g.iterrows():
             turn = int(r["turn_idx"])
             tool = _normalize_tool(r["tool"])
+            text = r["text"] or ""
             ents: list[str] = []
-            for m in detect_mentions(r["text"] or ""):
-                res = link(m)
-                if res is not None:
-                    canon = mapping.get(res.entity_id, res.entity_id)
-                    if canon not in ents:
-                        ents.append(canon)
+            for fam in entity_families():
+                for m in fam.extract(text):
+                    res = link(m)
+                    if res is not None:
+                        canon = mapping.get(res.entity_id, res.entity_id)
+                        if canon not in ents:
+                            ents.append(canon)
             if ents:
                 for i in range(len(ents)):
                     for j in range(i + 1, len(ents)):
@@ -71,6 +73,10 @@ def oracle_triples(data_dir: str) -> pd.DataFrame:
                         rows.append((ents[i], "uses_tool", tool, conv_id, turn))
                 if prev_turn is not None and turn - prev_turn == 1 and prev_first is not None:
                     rows.append((ents[0], "replies_to", prev_first, conv_id, turn))
+                # literal families attach to the turn's first entity
+                for fam in literal_families():
+                    for surface in fam.extract(text):
+                        rows.append((ents[0], fam.PRED, surface, conv_id, turn))
                 prev_turn, prev_first = turn, ents[0]
             else:
                 prev_turn, prev_first = turn, None

@@ -92,11 +92,13 @@ def assemble_triples_group(df: pd.DataFrame) -> pd.DataFrame:
         obj.append(o)
         t_idx.append(t)
 
+    has_kind = "kind" in df.columns
     prev_turn = None
     prev_first = None
     for turn, g in df.groupby("turn_idx", sort=True):
+        ge = g[g["kind"] == "entity"] if has_kind else g
         ents: list[str] = []
-        for e in g["entity_id"]:
+        for e in ge["entity_id"]:
             if e is not None and not pd.isna(e) and e not in ents:
                 ents.append(e)
         tool = ""
@@ -114,6 +116,11 @@ def assemble_triples_group(df: pd.DataFrame) -> pd.DataFrame:
                     emit(ents[i], "uses_tool", tool, turn)
             if prev_turn is not None and turn - prev_turn == 1 and prev_first is not None:
                 emit(ents[0], "replies_to", prev_first, turn)
+            # literal families: surface attaches verbatim to the turn's
+            # FIRST entity under the family's predicate
+            if has_kind:
+                for _, lr in g[(g["kind"] != "entity") & g["mention"].notna()].iterrows():
+                    emit(ents[0], lr["kind"], lr["mention"], turn)
             prev_turn, prev_first = turn, ents[0]
         else:
             prev_turn, prev_first = turn, None
@@ -166,7 +173,10 @@ def _link_chunk(index, mapping: dict[str, str], chunk: list[str]) -> dict:
 
 
 def _block_unique(b: pa.Table) -> pa.Table:
-    return pa.table({"mention": pc.unique(b["mention"]).drop_null()})
+    # only ENTITY-kind surfaces are linked; literal families (quotes,
+    # urls, ...) stay verbatim and never enter the linkmap
+    ent = b.filter(pc.equal(b["kind"], "entity")) if "kind" in b.schema.names else b
+    return pa.table({"mention": pc.unique(ent["mention"]).drop_null()})
 
 
 def unique_mention_linkmap(
@@ -262,6 +272,10 @@ def apply_linkmap(
         k, v = _deref_once(table_ref)
         pos = pc.index_in(batch["mention"], value_set=k)
         ents = pc.take(v, pos)
+        if "kind" in batch.schema.names:
+            ents = pc.if_else(
+                pc.equal(batch["kind"], "entity"), ents, pa.scalar(None, pa.string())
+            )
         return batch.append_column("entity_id", ents)
 
     return mention_ds.map_batches(lookup, batch_format="pyarrow", batch_size=batch_size)
@@ -286,9 +300,10 @@ def assemble_conv_local(df: pd.DataFrame) -> pd.DataFrame:
     if df.empty:
         return pd.DataFrame(_EMPTY_TRIPLES)
     df = df.sort_values(["conv_id", "turn_idx", "mention_ord"], kind="mergesort")
+    ent_rows = df[df["kind"] == "entity"] if "kind" in df.columns else df
 
     # linked entities per turn, deduped keep-first in mention order
-    ent = df.dropna(subset=["entity_id"]).drop_duplicates(
+    ent = ent_rows.dropna(subset=["entity_id"]).drop_duplicates(
         subset=["conv_id", "turn_idx", "entity_id"], keep="first"
     )[["conv_id", "turn_idx", "entity_id", "tool"]].copy()
     if ent.empty:
@@ -337,7 +352,28 @@ def assemble_conv_local(df: pd.DataFrame) -> pd.DataFrame:
         }
     )
 
-    out = pd.concat([mentions, uses, replies], ignore_index=True)
+    # literal families: (first entity of the turn, family PRED, surface) —
+    # one vectorized merge against the rank-0 entities, no Python loop
+    parts = [mentions, uses, replies]
+    if "kind" in df.columns:
+        lit = df[(df["kind"] != "entity") & df["mention"].notna()]
+        if not lit.empty:
+            lt = lit.merge(
+                first.rename(columns={"entity_id": "_subj"}), on=["conv_id", "turn_idx"]
+            )
+            parts.append(
+                pd.DataFrame(
+                    {
+                        "subj": lt["_subj"],
+                        "pred": lt["kind"],
+                        "obj": lt["mention"],
+                        "conv_id": lt["conv_id"],
+                        "turn_idx": lt["turn_idx"],
+                    }
+                )
+            )
+
+    out = pd.concat(parts, ignore_index=True)
     out = out.drop_duplicates(subset=["subj", "pred", "obj", "conv_id", "turn_idx"], keep="first")
     out["turn_idx"] = out["turn_idx"].astype("int32")
     return out.reset_index(drop=True)
@@ -414,7 +450,7 @@ def build_kg(
         bs = 8192
     ds = ds.map_batches(normalize_turns, batch_format="pyarrow", batch_size=bs)
     ds = ds.map_batches(extract_mention_rows, batch_format="pyarrow", batch_size=bs)
-    ds = ds.select_columns(["conv_id", "turn_idx", "tool", "mention", "mention_ord"])
+    ds = ds.select_columns(["conv_id", "turn_idx", "tool", "mention", "mention_ord", "kind"])
     if two_phase:
         # mentions dataset is consumed twice (unique pass + lookup pass);
         # pin the small intermediate instead of recomputing the extraction
@@ -441,6 +477,16 @@ def build_kg(
                 num_partitions=max(8, _auto_concurrency()),
                 on=("mention",),
             )
+
+            def _mask_non_entity(b: pa.Table) -> pa.Table:
+                # a literal surface colliding with an entity surface must
+                # NOT pick up its entity_id through the join
+                ents = pc.if_else(
+                    pc.equal(b["kind"], "entity"), b["entity_id"], pa.scalar(None, pa.string())
+                )
+                return b.set_column(b.schema.get_field_index("entity_id"), "entity_id", ents)
+
+            ds = ds.map_batches(_mask_non_entity, batch_format="pyarrow")
         else:
             linkmap = unique_mention_linkmap(
                 ds, catalog, mapping, parallelism=concurrency,
@@ -449,7 +495,12 @@ def build_kg(
             ds = apply_linkmap(ds, linkmap, batch_size=bs)
     else:
         ds = link_stage(ds, catalog, mapping, concurrency=concurrency, batch_size=bs)
-    ds = ds.select_columns(["conv_id", "turn_idx", "mention_ord", "entity_id", "tool"])
+    # literal rows need their SURFACE at assembly (it becomes the triple
+    # object); entity rows need only entity_id — mention strings are
+    # short, so keeping the column through the (optional) shuffle is cheap
+    ds = ds.select_columns(
+        ["conv_id", "turn_idx", "mention_ord", "entity_id", "tool", "mention", "kind"]
+    )
     if conv_local_shards:
         return ds.map_batches(_assemble_conv_local_arrow, batch_format="pandas", batch_size=None)
     # general path (input NOT partitioned by conversation): ONE all-to-all

@@ -889,6 +889,36 @@ def kg_tree(sf_dir: str) -> pd.DataFrame:
     return bfs_distributed(edges, roots, max_depth=5, reverse=False)
 
 
+def kg_literal_mentions(sf_dir: str) -> pd.DataFrame:
+    """Literal-family extraction coverage (extractor registry breadth):
+    mentions per literal kind over the synth transcripts; the oracle
+    replays each family's extraction regex + per-turn dedupe in SQL."""
+    from ..stages.extract import extract_mention_rows
+    from .kg import normalized_turns_ds
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    ds = normalized_turns_ds(data_dir).map_batches(extract_mention_rows, batch_format="pyarrow")
+    lit = ds.filter(expr="kind != 'entity'")
+    return lit.groupby("kind").aggregate(Count(alias_name="n_mentions")).to_pandas()
+
+
+KG_LITERAL_MENTIONS_SQL = f"""
+WITH t AS (
+  SELECT coalesce(text, '') AS text FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
+), q AS (
+  SELECT len(list_distinct(
+    regexp_extract_all(text, '"([^"\n]{{2,60}})"', 1) ||
+    regexp_extract_all(text, '`([^`\n]{{1,60}})`', 1)
+  )) AS n FROM t
+), u AS (
+  SELECT len(list_distinct(regexp_extract_all(text, 'https?://[^\\s"''<>\\)\\]]+'))) AS n FROM t
+)
+SELECT 'links_to' AS kind, sum(n)::BIGINT AS n_mentions FROM u
+UNION ALL
+SELECT 'quotes' AS kind, sum(n)::BIGINT AS n_mentions FROM q
+"""
+
+
 def _kg_reach(sf_dir: str, reverse: bool) -> pd.DataFrame:
     """Multi-source BFS reachability (node, depth = first-reach level =
     min distance from the root set): the SQL-checkable projection of the
@@ -1137,6 +1167,7 @@ REGISTRY.update(
         "q_doc_chunks": (q_doc_chunks, None),
         "q_doc_chunks_fixed": (q_doc_chunks_fixed, Q_DOC_CHUNKS_FIXED_SQL),
         "kg_reach_tree": (kg_reach_tree, KG_REACH_TREE_SQL),
+        "kg_literal_mentions": (kg_literal_mentions, KG_LITERAL_MENTIONS_SQL),
         "kg_reach_impact": (kg_reach_impact, KG_REACH_IMPACT_SQL),
     }
 )

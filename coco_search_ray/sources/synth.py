@@ -167,6 +167,15 @@ def _generate_shard(
                     surface = surface.capitalize()  # case-mangled variant
                 words.append(surface)
                 words.append(_FILLER[(fill_off + len(words)) % n_filler])
+            # literal-family material: quoted phrases and URLs (drive the
+            # quoted_phrases / urls extractor families)
+            if rng.rand() < 0.15:
+                w = _VOCAB[rng.randint(0, len(_VOCAB))]
+                w2 = _VOCAB[rng.randint(0, len(_VOCAB))]
+                words.append(f'"{w} {w2} step"')
+            if rng.rand() < 0.10:
+                w = _VOCAB[rng.randint(0, len(_VOCAB))]
+                words.append(f"https://svc.example/{w}")
             shard["conv_id"].append(conv_id)
             shard["turn_idx"].append(ti)
             shard["role"].append(role)
@@ -205,7 +214,7 @@ def generate_transcripts(
     ``catalog.parquet``. Idempotent: returns immediately if a
     ``_SYNTH_OK`` marker with matching params exists."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v4"
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v5"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:

@@ -1,20 +1,22 @@
-"""M1 — mention extraction: stateless 1->N row explosion in map_batches.
+"""M1 — mention extraction: stateless 1->N row explosion in map_batches,
+driven by the extractor REGISTRY (coco_search_ray/extractors).
 
-Each turn emits zero or more mention rows (conv_id, turn_idx, role, tool,
-mention, mention_ord). The explosion shape mirrors the reference's
-per-record dependency extraction (one file -> list of typed edges;
-deps/extractors/python.py:42-213) expressed as an Arrow-in/Arrow-out
-batch transform: output tables are assembled column-wise, never Python
-row dicts.
+Each turn emits zero or more mention rows (conv_id, turn_idx, role,
+tool, mention, mention_ord, kind). ``kind`` routes the row downstream:
+"entity" rows go through hybrid linking and become triple subjects /
+objects; literal rows (kind = the family's PRED, e.g. "quotes",
+"links_to") keep their surface verbatim and are attached to the turn's
+first linked entity at assembly. The explosion shape mirrors the
+reference's per-record dependency extraction (one file -> list of typed
+edges; deps/extractors/python.py:42-213) with the family dispatch of
+its handler registry (handlers/__init__.py:45-224), expressed as an
+Arrow-in/Arrow-out batch transform.
 
-Turns with no mentions emit nothing: the replies_to adjacency rule only
-consults turns that DO carry entities (first(t) joined to first(t-1)), so
-entity-less turns are irrelevant to triple assembly — dropping them
-halves the mention-row volume through the rest of the pipeline. Per-turn
-QA metrics run on the normalized-turns dataset directly (pipelines/
-stats.py), not on mention rows. ``emit_sentinels=True`` restores a
-(mention null, mention_ord -1) row per empty turn for consumers that
-want a row per turn.
+Turns matching NO family's QUICK fragment are dropped by ONE C-level
+vectorized regex scan before the Python explosion loop ever sees them.
+Turns with no mentions emit nothing (the replies_to adjacency rule only
+consults entity-bearing turns); ``emit_sentinels=True`` restores a
+(mention null, mention_ord -1) row per empty turn.
 """
 
 from __future__ import annotations
@@ -23,12 +25,29 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..functions.mentions import _QUICK_RE, detect_mentions
+from ..extractors import combined_quick_pattern, entity_families, literal_families
 
-# Arrow/RE2 form of functions.mentions._QUICK_RE: rows that can't contain
-# any mention shape are dropped with ONE C-level vectorized scan before the
-# python explosion loop ever sees them.
-_QUICK_PATTERN = _QUICK_RE.pattern
+_QUICK_PATTERN = combined_quick_pattern()
+
+
+def _turn_mentions(text: str) -> tuple[list[str], list[str]]:
+    """(surfaces, kinds) for one turn: entity families first (their order
+    defines entity rank at assembly), then literal families; dedupe
+    keep-first within each family's kind."""
+    surfaces: list[str] = []
+    kinds: list[str] = []
+    seen_entity: set[str] = set()
+    for fam in entity_families():
+        for m in fam.extract(text):
+            if m not in seen_entity:
+                seen_entity.add(m)
+                surfaces.append(m)
+                kinds.append("entity")
+    for fam in literal_families():
+        for m in fam.extract(text):
+            surfaces.append(m)
+            kinds.append(fam.PRED)
+    return surfaces, kinds
 
 
 def extract_mention_rows(batch: pa.Table, emit_sentinels: bool = False) -> pa.Table:
@@ -41,10 +60,15 @@ def extract_mention_rows(batch: pa.Table, emit_sentinels: bool = False) -> pa.Ta
     texts = batch["text"].to_pylist()
     counts = np.empty(len(texts), dtype=np.int64)
     all_mentions: list[str] = []
+    all_kinds: list[str] = []
     for r, text in enumerate(texts):
-        m = detect_mentions(text) if text else []
+        if text:
+            m, k = _turn_mentions(text)
+        else:
+            m, k = [], []
         counts[r] = len(m)
         all_mentions.extend(m)
+        all_kinds.extend(k)
 
     # repeat-index gather: the passthrough columns never leave Arrow
     idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
@@ -61,6 +85,7 @@ def extract_mention_rows(batch: pa.Table, emit_sentinels: bool = False) -> pa.Ta
             "tool": pc.take(batch["tool"], idx_arr),
             "mention": pa.array(all_mentions, pa.string()),
             "mention_ord": pa.array(ords, pa.int32()),
+            "kind": pa.array(all_kinds, pa.string()),
         }
     )
 
@@ -78,9 +103,10 @@ def _extract_with_sentinels(batch: pa.Table) -> pa.Table:
     o_tool: list[str] = []
     o_mention: list[str | None] = []
     o_ord: list[int] = []
+    o_kind: list[str] = []
 
     for conv, turn, role, tool, text in zip(conv_ids, turn_idxs, roles, tools, texts):
-        mentions = detect_mentions(text) if text else []
+        mentions, kinds = _turn_mentions(text) if text else ([], [])
         if not mentions:
             o_conv.append(conv)
             o_turn.append(turn)
@@ -88,14 +114,16 @@ def _extract_with_sentinels(batch: pa.Table) -> pa.Table:
             o_tool.append(tool)
             o_mention.append(None)
             o_ord.append(-1)
+            o_kind.append("")
             continue
-        for i, m in enumerate(mentions):
+        for i, (m, k) in enumerate(zip(mentions, kinds)):
             o_conv.append(conv)
             o_turn.append(turn)
             o_role.append(role)
             o_tool.append(tool)
             o_mention.append(m)
             o_ord.append(i)
+            o_kind.append(k)
 
     return pa.table(
         {
@@ -105,5 +133,6 @@ def _extract_with_sentinels(batch: pa.Table) -> pa.Table:
             "tool": pa.array(o_tool, pa.string()),
             "mention": pa.array(o_mention, pa.string()),
             "mention_ord": pa.array(o_ord, pa.int32()),
+            "kind": pa.array(o_kind, pa.string()),
         }
     )

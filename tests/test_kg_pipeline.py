@@ -63,7 +63,7 @@ def test_triple_precision_recall(pipeline_df, oracle_df):
 def test_pipeline_nonempty_and_schema(pipeline_df):
     assert len(pipeline_df) > 100
     assert list(pipeline_df.columns) == TRIPLE_KEY
-    assert set(pipeline_df["pred"].unique()) <= {"mentions", "uses_tool", "replies_to"}
+    assert set(pipeline_df["pred"].unique()) <= {"mentions", "uses_tool", "replies_to", "quotes", "links_to"}
 
 
 def test_exact_dedup_invariant(pipeline_df):
