@@ -43,6 +43,7 @@ per-actor memoization; catalog ships once per actor via ray.put.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -543,6 +544,8 @@ def normalized_turns_ds(data_dir: str) -> ray.data.Dataset:
 
 CONTEXT_MAX_CHARS = 400  # bounded provenance (the reference caps expanded
 # context at 50 lines x 200 chars; search/context_expander.py:28-29)
+CONTEXT_MAX_WINDOW = 8  # hard cap on the +-k turn window (a triple's
+# expanded context is <= (2k+1) x CONTEXT_MAX_CHARS chars by construction)
 
 
 def triples_with_context(
@@ -571,4 +574,61 @@ def triples_with_context(
         join_type="left_outer",
         num_partitions=num_partitions,
         on=("conv_id", "turn_idx"),
+    )
+
+
+def triples_with_window_context(
+    triples: ray.data.Dataset,
+    data_dir: str,
+    window: int = 1,
+    num_partitions: int = 16,
+    max_chars: int = CONTEXT_MAX_CHARS,
+) -> ray.data.Dataset:
+    """Context expansion to a +-``window``-turn range: the reference
+    expands a hit to its enclosing block with hard caps
+    (search/context_expander.py:165-, caps at 28-29); the transcript
+    analog expands a triple to the surrounding turns of its conversation.
+
+    Expressed as a JOIN AGAINST TURN RANGES, never per-row Python: each
+    triple explodes into 2k+1 probe rows (ctx_off in [-k..k], ctx turn =
+    turn_idx + ctx_off — one vectorized Arrow pass), which hash-join the
+    truncated turn table on (conv_id, turn). Output: one row per (triple,
+    offset) with ctx_text (null when the conversation has no such turn).
+    Caps: window <= CONTEXT_MAX_WINDOW (raises otherwise), per-turn text
+    <= max_chars, so a triple's total context <= (2k+1) * max_chars."""
+    if window < 0 or window > CONTEXT_MAX_WINDOW:
+        raise ValueError(f"window must be in [0, {CONTEXT_MAX_WINDOW}], got {window}")
+
+    offs = list(range(-window, window + 1))
+
+    def explode(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), len(offs)))
+        out = pa.table(
+            {
+                "subj": pc.take(b["subj"], idx),
+                "pred": pc.take(b["pred"], idx),
+                "obj": pc.take(b["obj"], idx),
+                "conv_id": pc.take(b["conv_id"], idx),
+                "turn_idx": pc.take(b["turn_idx"], idx),
+            }
+        )
+        off_col = pa.array(np.tile(np.array(offs, dtype=np.int32), n))
+        ctx_turn = pc.add(pc.cast(out["turn_idx"], pa.int32()), off_col)
+        return out.append_column("ctx_off", off_col).append_column("ctx_turn", ctx_turn)
+
+    turns = normalized_turns_ds(data_dir).select_columns(["conv_id", "turn_idx", "text"])
+
+    def truncate(b: pa.Table) -> pa.Table:
+        t = pc.utf8_slice_codeunits(b["text"], 0, max_chars)
+        return pa.table(
+            {"conv_id": b["conv_id"], "ctx_turn": pc.cast(b["turn_idx"], pa.int32()), "ctx_text": t}
+        )
+
+    ctx_turns = turns.map_batches(truncate, batch_format="pyarrow")
+    return triples.map_batches(explode, batch_format="pyarrow").join(
+        ctx_turns,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("conv_id", "ctx_turn"),
     )

@@ -889,6 +889,70 @@ def kg_tree(sf_dir: str) -> pd.DataFrame:
     return bfs_distributed(edges, roots, max_depth=5, reverse=False)
 
 
+def kg_top_objects(sf_dir: str) -> pd.DataFrame:
+    """Object-side top-10 (stats parity with get_dep_stats_detailed's
+    top target files)."""
+    from .stats import top_objects
+
+    return top_objects(kg_triples(sf_dir), k=10).to_pandas()
+
+
+KG_TOP_OBJECTS_SQL = f"""
+SELECT obj, count(*) AS n_triples
+FROM read_parquet('{_EXP}/kg_triples.parquet')
+GROUP BY obj ORDER BY n_triples DESC, obj LIMIT 10
+"""
+
+
+def kg_pred_detailed(sf_dir: str) -> pd.DataFrame:
+    """Per-pred detailed stats: totals + distinct subject/object counts."""
+    from .stats import pred_detailed
+
+    return pred_detailed(kg_triples(sf_dir))
+
+
+KG_PRED_DETAILED_SQL = f"""
+SELECT pred, count(*) AS n_triples,
+       count(DISTINCT subj) AS n_subjects,
+       count(DISTINCT obj) AS n_objects
+FROM read_parquet('{_EXP}/kg_triples.parquet') GROUP BY pred
+"""
+
+
+def kg_context_window(sf_dir: str) -> pd.DataFrame:
+    """+-1-turn window expansion coverage per (pred, offset): how many
+    (triple, offset) probes found a turn (bounded join against turn
+    ranges — the reference's capped context expansion re-expressed)."""
+    from .kg import triples_with_window_context
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    joined = triples_with_window_context(kg_triples(sf_dir), data_dir, window=1)
+
+    def flag(b: pa.Table) -> pa.Table:
+        has = pc.cast(pc.is_valid(b["ctx_text"]), pa.int64())
+        return pa.table({"pred": b["pred"], "ctx_off": b["ctx_off"], "has_text": has})
+
+    out = (
+        joined.map_batches(flag, batch_format="pyarrow")
+        .groupby(["pred", "ctx_off"])
+        .aggregate(Count(alias_name="n_rows"), Sum("has_text", alias_name="n_with_text"))
+        .to_pandas()
+    )
+    return out.astype({"ctx_off": "int64", "n_rows": "int64", "n_with_text": "int64"})
+
+
+KG_CONTEXT_WINDOW_SQL = f"""
+WITH offs AS (SELECT unnest([-1, 0, 1]) AS ctx_off),
+t AS (SELECT pred, conv_id, turn_idx FROM read_parquet('{_EXP}/kg_triples.parquet')),
+x AS (SELECT t.pred, o.ctx_off, t.conv_id, t.turn_idx + o.ctx_off AS ct FROM t CROSS JOIN offs o)
+SELECT x.pred, x.ctx_off, count(*) AS n_rows,
+       sum(CASE WHEN u.text IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_with_text
+FROM x LEFT JOIN read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet') u
+  ON x.conv_id = u.conv_id AND x.ct = u.turn_idx
+GROUP BY x.pred, x.ctx_off
+"""
+
+
 def kg_literal_mentions(sf_dir: str) -> pd.DataFrame:
     """Literal-family extraction coverage (extractor registry breadth):
     mentions per literal kind over the synth transcripts; the oracle
@@ -1168,6 +1232,9 @@ REGISTRY.update(
         "q_doc_chunks_fixed": (q_doc_chunks_fixed, Q_DOC_CHUNKS_FIXED_SQL),
         "kg_reach_tree": (kg_reach_tree, KG_REACH_TREE_SQL),
         "kg_literal_mentions": (kg_literal_mentions, KG_LITERAL_MENTIONS_SQL),
+        "kg_top_objects": (kg_top_objects, KG_TOP_OBJECTS_SQL),
+        "kg_pred_detailed": (kg_pred_detailed, KG_PRED_DETAILED_SQL),
+        "kg_context_window": (kg_context_window, KG_CONTEXT_WINDOW_SQL),
         "kg_reach_impact": (kg_reach_impact, KG_REACH_IMPACT_SQL),
     }
 )

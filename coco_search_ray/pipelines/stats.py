@@ -34,6 +34,38 @@ def top_entities(triples: ray.data.Dataset, k: int = 10) -> ray.data.Dataset:
     )
 
 
+def top_objects(triples: ray.data.Dataset, k: int = 10) -> ray.data.Dataset:
+    """Object-side top-k (the reference reports top-10 source AND target
+    files, deps/query.py:424-473 — top_entities is the source side, this
+    is the target side). Same total tiebreak discipline."""
+    return (
+        triples.groupby("obj")
+        .aggregate(Count(alias_name="n_triples"))
+        .sort(["n_triples", "obj"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def pred_detailed(triples: ray.data.Dataset) -> "pd.DataFrame":
+    """Per-predicate detailed stats: total triples + distinct subject /
+    object counts (get_dep_stats_detailed shape). Distinct counts use the
+    shuffle-friendly two-level groupby (distinct pairs first, then
+    count) — never a driver-side set."""
+    import pandas as pd
+
+    n = triples.groupby("pred").aggregate(Count(alias_name="n_triples")).to_pandas()
+    ds_subj = (
+        triples.groupby(["pred", "subj"]).aggregate(Count(alias_name="_n"))
+        .groupby("pred").aggregate(Count(alias_name="n_subjects")).to_pandas()
+    )
+    ds_obj = (
+        triples.groupby(["pred", "obj"]).aggregate(Count(alias_name="_n"))
+        .groupby("pred").aggregate(Count(alias_name="n_objects")).to_pandas()
+    )
+    out = n.merge(ds_subj, on="pred").merge(ds_obj, on="pred")
+    return out.astype({"n_triples": "int64", "n_subjects": "int64", "n_objects": "int64"})
+
+
 def turn_qa_status(batch: pa.Table) -> pa.Table:
     """Per-turn QA status over normalized turns: ok_mentions / no_mentions
     / empty_text (shape: parse_status ok/partial/error/no_grammar)."""

@@ -60,6 +60,29 @@ def test_triple_precision_recall(pipeline_df, oracle_df):
     assert r >= 0.95, f"recall {r}"
 
 
+def test_window_context_caps_and_coverage(ray_session, smoke_dir):
+    """+-k window expansion: hard window cap enforced, per-turn text cap
+    enforced, offset-0 rows always find their source turn."""
+    import pytest
+
+    from coco_search_ray.pipelines.kg import (
+        CONTEXT_MAX_CHARS,
+        CONTEXT_MAX_WINDOW,
+        build_kg_from_dir,
+        triples_with_window_context,
+    )
+
+    triples = build_kg_from_dir(smoke_dir).materialize()
+    with pytest.raises(ValueError):
+        triples_with_window_context(triples, smoke_dir, window=CONTEXT_MAX_WINDOW + 1)
+    out = triples_with_window_context(triples, smoke_dir, window=1).to_pandas()
+    assert set(out["ctx_off"]) == {-1, 0, 1}
+    assert out["ctx_text"].dropna().str.len().max() <= CONTEXT_MAX_CHARS
+    at0 = out[out["ctx_off"] == 0]
+    assert at0["ctx_text"].notna().all()  # every triple's own turn exists
+    assert len(out) == 3 * triples.count()
+
+
 def test_pipeline_nonempty_and_schema(pipeline_df):
     assert len(pipeline_df) > 100
     assert list(pipeline_df.columns) == TRIPLE_KEY
