@@ -1,0 +1,102 @@
+"""Config-file surface: a validated YAML config with environment
+substitution — the reference's ``cocosearch.yaml`` shape (pydantic
+schema config/schema.py:39-123; ``${VAR}`` / ``${VAR:-default}`` env
+bridging config/env_substitution.py + config/resolver.py).
+
+Loaded by the CLI (``job.py --config``) and usable programmatically:
+
+    cfg = load_config("pipeline.yaml")
+    build_kg(..., **cfg.kg_kwargs())
+
+Unknown keys FAIL FAST (pydantic extra="forbid") — a typo'd option must
+never be silently ignored.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import yaml
+from pydantic import BaseModel, Field
+
+_ENV_RE = re.compile(r"\$\{(?P<name>[A-Za-z_][A-Za-z0-9_]*)(?::-(?P<default>[^}]*))?\}")
+
+
+def substitute_env(value, env: dict[str, str] | None = None):
+    """Recursively substitute ``${VAR}`` / ``${VAR:-default}`` in string
+    values. An unset variable without a default raises (the reference
+    fails configuration early rather than passing '' downstream)."""
+    env = os.environ if env is None else env
+    if isinstance(value, str):
+
+        def repl(m: re.Match) -> str:
+            name = m.group("name")
+            if name in env:
+                return env[name]
+            if m.group("default") is not None:
+                return m.group("default")
+            raise KeyError(f"config references unset environment variable {name!r}")
+
+        return _ENV_RE.sub(repl, value)
+    if isinstance(value, dict):
+        return {k: substitute_env(v, env) for k, v in value.items()}
+    if isinstance(value, list):
+        return [substitute_env(v, env) for v in value]
+    return value
+
+
+class ChunkingConfig(BaseModel, extra="forbid"):
+    chunk_size: int = Field(1000, ge=1)
+    chunk_overlap: int = Field(300, ge=0)
+
+
+class EncoderConfig(BaseModel, extra="forbid"):
+    name: str = "hash-sha256"
+    dim: int = Field(768, ge=1)
+
+
+class LinkingConfig(BaseModel, extra="forbid"):
+    # reference retrieval constants (hybrid.py:29-37): copied exactly —
+    # they define matching behavior and hence triple P/R
+    rrf_k: int = Field(60, ge=1)
+    definition_boost: float = Field(2.0, gt=0)
+    prefetch_cap: int = Field(100, ge=1)
+    min_score: float = Field(0.0, ge=0)
+
+
+class CanonicalizationConfig(BaseModel, extra="forbid"):
+    jaccard_threshold: float = Field(0.3, ge=0, le=1)
+    max_bucket: int = Field(64, ge=2)
+
+
+class KgConfig(BaseModel, extra="forbid"):
+    conv_local_shards: bool = True
+    two_phase: bool = True
+    distributed_linkmap: bool | None = None
+    concurrency: int | None = None
+
+
+class PipelineConfig(BaseModel, extra="forbid"):
+    data_dir: str | None = None
+    out_dir: str | None = None
+    chunking: ChunkingConfig = ChunkingConfig()
+    encoder: EncoderConfig = EncoderConfig()
+    linking: LinkingConfig = LinkingConfig()
+    canonicalization: CanonicalizationConfig = CanonicalizationConfig()
+    kg: KgConfig = KgConfig()
+
+    def kg_kwargs(self) -> dict:
+        """kwargs for pipelines.kg.build_kg."""
+        return {
+            "conv_local_shards": self.kg.conv_local_shards,
+            "two_phase": self.kg.two_phase,
+            "distributed_linkmap": self.kg.distributed_linkmap,
+            "concurrency": self.kg.concurrency,
+        }
+
+
+def load_config(path: str, env: dict[str, str] | None = None) -> PipelineConfig:
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return PipelineConfig.model_validate(substitute_env(raw, env))

@@ -17,6 +17,11 @@ QUICK = r'"[^"\n]{2,60}"|`[^`\n]{1,60}`'
 _RE = re.compile(QUICK)
 
 
+def maybe(text: str) -> bool:
+    """Cheap substring precheck — the regex only runs on rows that pass."""
+    return '"' in text or "`" in text
+
+
 def extract(text: str) -> list[str]:
     out: list[str] = []
     seen: set[str] = set()

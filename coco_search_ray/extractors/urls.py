@@ -17,6 +17,11 @@ QUICK = r"https?://"
 _RE = re.compile(r"https?://[^\s\"'<>\)\]]+")
 
 
+def maybe(text: str) -> bool:
+    """Cheap substring precheck — the regex only runs on rows that pass."""
+    return "http" in text
+
+
 def extract(text: str) -> list[str]:
     out: list[str] = []
     seen: set[str] = set()

@@ -65,31 +65,33 @@ def detect_mentions(text: str) -> list[str]:
     """Return candidate mention surface forms in first-occurrence order.
     Ordering uses the word INDEX (words are non-overlapping and
     position-ordered, so index order == byte-position order) — findall is
-    much cheaper than materializing match objects for offsets."""
+    much cheaper than materializing match objects for offsets.
+
+    Single pass over the word list (this runs once per turn at 10^7+
+    turns per block of work): at index i, a "Cap Cap" bigram starting at
+    i is emitted, and an identifier-class word is emitted unless it
+    participates in ANY bigram (capitalized with a capitalized
+    neighbor). A bigram at i and an identifier at i are mutually
+    exclusive, so index order needs no sort."""
     if not _QUICK_RE.search(text):
         return []
     words = _WORD_RE.findall(text)
+    n = len(words)
     classes = [_classify(w) for w in words]
-    found: list[tuple[int, str]] = []
-
-    used_in_bigram: set[int] = set()
-    for i in range(len(words) - 1):
-        if classes[i][0] and classes[i + 1][0]:
-            found.append((i, f"{words[i]} {words[i + 1]}"))
-            used_in_bigram.add(i)
-            used_in_bigram.add(i + 1)
-
-    for i, w in enumerate(words):
-        if i in used_in_bigram:
-            continue
-        if classes[i][1]:
-            found.append((i, w))
-
-    found.sort(key=lambda t: t[0])
     out: list[str] = []
     seen: set[str] = set()
-    for _, surface in found:
-        if surface not in seen:
-            seen.add(surface)
-            out.append(surface)
+    for i in range(n):
+        cap_i, ident_i = classes[i]
+        cap_next = i + 1 < n and classes[i + 1][0]
+        if cap_i and cap_next:
+            surface = f"{words[i]} {words[i + 1]}"
+            if surface not in seen:
+                seen.add(surface)
+                out.append(surface)
+        in_bigram = cap_i and (cap_next or (i > 0 and classes[i - 1][0]))
+        if ident_i and not in_bigram:
+            w = words[i]
+            if w not in seen:
+                seen.add(w)
+                out.append(w)
     return out

@@ -42,8 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build")
-    b.add_argument("--data", required=True)
-    b.add_argument("--out", required=True)
+    b.add_argument("--data")
+    b.add_argument("--out")
+    b.add_argument("--config", help="YAML pipeline config (env-substituted)")
     b.add_argument("--no-resume", action="store_true")
 
     s = sub.add_parser("stats")
@@ -74,9 +75,22 @@ def main(argv: list[str] | None = None) -> int:
 
             from .pipelines.materialize import run_resumable
 
-            if args.no_resume and os.path.isdir(args.out):
-                shutil.rmtree(args.out)
-            stats = run_resumable(args.data, args.out)
+            kg_kwargs = None
+            data, out = args.data, args.out
+            if args.config:
+                from .config import load_config
+
+                cfg = load_config(args.config)
+                data = data or cfg.data_dir
+                out = out or cfg.out_dir
+                kg_kwargs = {
+                    k: v for k, v in cfg.kg_kwargs().items() if k != "conv_local_shards"
+                } | {"conv_local_shards": cfg.kg.conv_local_shards}
+            if not data or not out:
+                p.error("build requires --data/--out (directly or via --config)")
+            if args.no_resume and os.path.isdir(out):
+                shutil.rmtree(out)
+            stats = run_resumable(data, out, kg_kwargs=kg_kwargs)
             print(json.dumps(stats))
         elif args.cmd == "stats":
             from .pipelines.materialize import read_triples

@@ -75,10 +75,31 @@ def _auto_concurrency() -> int:
     return max(1, min(16, cpus // 2))
 
 
+def _pred_of_code(code: int) -> str:
+    from ..stages.extract import LITERAL_PREDS
+
+    return LITERAL_PREDS[int(code) - 1]
+
+
+def _normalize_assembly_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Accept both assembly schemas: the pipeline's single-value form
+    (val + kind_code) and the legacy explicit form (entity_id [+ kind]).
+    Normalized columns: entity_id (null on literal rows), surface (the
+    literal object), kind_code (0 = entity)."""
+    if "val" in df.columns:
+        is_ent = df["kind_code"] == 0
+        return df.assign(entity_id=df["val"].where(is_ent), surface=df["val"])
+    if "kind_code" not in df.columns:
+        df = df.assign(kind_code=0)
+    return df.assign(surface=df.get("mention", df["entity_id"]))
+
+
 def assemble_triples_group(df: pd.DataFrame) -> pd.DataFrame:
     """Per-conversation triple assembly over linked mention rows.
     Input: one conversation's rows (conv_id, turn_idx, mention_ord,
-    entity_id, tool). Deterministic: sorts by (turn_idx, mention_ord)."""
+    val/entity_id, kind_code, tool). Deterministic: sorts by
+    (turn_idx, mention_ord)."""
+    df = _normalize_assembly_frame(df)
     df = df.sort_values(["turn_idx", "mention_ord"], kind="mergesort")
     conv_id = df["conv_id"].iloc[0]
 
@@ -93,11 +114,10 @@ def assemble_triples_group(df: pd.DataFrame) -> pd.DataFrame:
         obj.append(o)
         t_idx.append(t)
 
-    has_kind = "kind" in df.columns
     prev_turn = None
     prev_first = None
     for turn, g in df.groupby("turn_idx", sort=True):
-        ge = g[g["kind"] == "entity"] if has_kind else g
+        ge = g[g["kind_code"] == 0]
         ents: list[str] = []
         for e in ge["entity_id"]:
             if e is not None and not pd.isna(e) and e not in ents:
@@ -119,9 +139,8 @@ def assemble_triples_group(df: pd.DataFrame) -> pd.DataFrame:
                 emit(ents[0], "replies_to", prev_first, turn)
             # literal families: surface attaches verbatim to the turn's
             # FIRST entity under the family's predicate
-            if has_kind:
-                for _, lr in g[(g["kind"] != "entity") & g["mention"].notna()].iterrows():
-                    emit(ents[0], lr["kind"], lr["mention"], turn)
+            for _, lr in g[(g["kind_code"] > 0) & g["surface"].notna()].iterrows():
+                emit(ents[0], _pred_of_code(lr["kind_code"]), lr["surface"], turn)
             prev_turn, prev_first = turn, ents[0]
         else:
             prev_turn, prev_first = turn, None
@@ -176,8 +195,9 @@ def _link_chunk(index, mapping: dict[str, str], chunk: list[str]) -> dict:
 def _block_unique(b: pa.Table) -> pa.Table:
     # only ENTITY-kind surfaces are linked; literal families (quotes,
     # urls, ...) stay verbatim and never enter the linkmap
-    ent = b.filter(pc.equal(b["kind"], "entity")) if "kind" in b.schema.names else b
-    return pa.table({"mention": pc.unique(ent["mention"]).drop_null()})
+    if "kind_code" in b.schema.names:
+        b = b.filter(pc.equal(b["kind_code"], pa.scalar(0, pa.int8())))
+    return pa.table({"mention": pc.unique(b["mention"]).drop_null()})
 
 
 def unique_mention_linkmap(
@@ -256,6 +276,25 @@ def linkmap_dataset(
 from ..functions.broadcast import deref_cached as _deref_once
 
 
+def _to_assembly_schema(b: pa.Table) -> pa.Table:
+    """Collapse a linked mention batch (mention + entity_id + kind_code)
+    to the narrow assembly schema: ONE value column (entity id for entity
+    rows, verbatim surface for literal rows — a literal surface that
+    collides with an entity surface must NOT pick up its entity_id)."""
+    is_ent = pc.equal(b["kind_code"], pa.scalar(0, pa.int8()))
+    val = pc.if_else(is_ent, b["entity_id"], b["mention"])
+    return pa.table(
+        {
+            "conv_id": b["conv_id"],
+            "turn_idx": b["turn_idx"],
+            "mention_ord": b["mention_ord"],
+            "tool": b["tool"],
+            "kind_code": b["kind_code"],
+            "val": val,
+        }
+    )
+
+
 def apply_linkmap(
     mention_ds: ray.data.Dataset, linkmap: dict[str, str | None], batch_size: int | None
 ) -> ray.data.Dataset:
@@ -273,9 +312,21 @@ def apply_linkmap(
         k, v = _deref_once(table_ref)
         pos = pc.index_in(batch["mention"], value_set=k)
         ents = pc.take(v, pos)
-        if "kind" in batch.schema.names:
-            ents = pc.if_else(
-                pc.equal(batch["kind"], "entity"), ents, pa.scalar(None, pa.string())
+        if "kind_code" in batch.schema.names:
+            # ONE value column for assembly: linked entity id for entity
+            # rows, the verbatim surface for literal rows — the wide
+            # mention stream carries a single string column, not two
+            is_ent = pc.equal(batch["kind_code"], pa.scalar(0, pa.int8()))
+            val = pc.if_else(is_ent, ents, batch["mention"])
+            return pa.table(
+                {
+                    "conv_id": batch["conv_id"],
+                    "turn_idx": batch["turn_idx"],
+                    "mention_ord": batch["mention_ord"],
+                    "tool": batch["tool"],
+                    "kind_code": batch["kind_code"],
+                    "val": val,
+                }
             )
         return batch.append_column("entity_id", ents)
 
@@ -300,8 +351,9 @@ def assemble_conv_local(df: pd.DataFrame) -> pd.DataFrame:
     conv-disjoint-shards layout)."""
     if df.empty:
         return pd.DataFrame(_EMPTY_TRIPLES)
+    df = _normalize_assembly_frame(df)
     df = df.sort_values(["conv_id", "turn_idx", "mention_ord"], kind="mergesort")
-    ent_rows = df[df["kind"] == "entity"] if "kind" in df.columns else df
+    ent_rows = df[df["kind_code"] == 0]
 
     # linked entities per turn, deduped keep-first in mention order
     ent = ent_rows.dropna(subset=["entity_id"]).drop_duplicates(
@@ -356,23 +408,25 @@ def assemble_conv_local(df: pd.DataFrame) -> pd.DataFrame:
     # literal families: (first entity of the turn, family PRED, surface) —
     # one vectorized merge against the rank-0 entities, no Python loop
     parts = [mentions, uses, replies]
-    if "kind" in df.columns:
-        lit = df[(df["kind"] != "entity") & df["mention"].notna()]
-        if not lit.empty:
-            lt = lit.merge(
-                first.rename(columns={"entity_id": "_subj"}), on=["conv_id", "turn_idx"]
+    lit = df[(df["kind_code"] > 0) & df["surface"].notna()]
+    if not lit.empty:
+        from ..stages.extract import LITERAL_PREDS
+
+        pred_map = {i + 1: p for i, p in enumerate(LITERAL_PREDS)}
+        lt = lit.merge(
+            first.rename(columns={"entity_id": "_subj"}), on=["conv_id", "turn_idx"]
+        )
+        parts.append(
+            pd.DataFrame(
+                {
+                    "subj": lt["_subj"],
+                    "pred": lt["kind_code"].map(pred_map),
+                    "obj": lt["surface"],
+                    "conv_id": lt["conv_id"],
+                    "turn_idx": lt["turn_idx"],
+                }
             )
-            parts.append(
-                pd.DataFrame(
-                    {
-                        "subj": lt["_subj"],
-                        "pred": lt["kind"],
-                        "obj": lt["mention"],
-                        "conv_id": lt["conv_id"],
-                        "turn_idx": lt["turn_idx"],
-                    }
-                )
-            )
+        )
 
     out = pd.concat(parts, ignore_index=True)
     out = out.drop_duplicates(subset=["subj", "pred", "obj", "conv_id", "turn_idx"], keep="first")
@@ -449,9 +503,14 @@ def build_kg(
     else:
         ds = ray.data.read_parquet(paths)
         bs = 8192
-    ds = ds.map_batches(normalize_turns, batch_format="pyarrow", batch_size=bs)
-    ds = ds.map_batches(extract_mention_rows, batch_format="pyarrow", batch_size=bs)
-    ds = ds.select_columns(["conv_id", "turn_idx", "tool", "mention", "mention_ord", "kind"])
+    ds = ds.map_batches(
+        lambda b: normalize_turns(b, with_uid=False), batch_format="pyarrow", batch_size=bs
+    )
+    ds = ds.map_batches(
+        lambda b: extract_mention_rows(b, include_role=False),
+        batch_format="pyarrow",
+        batch_size=bs,
+    )
     if two_phase:
         # mentions dataset is consumed twice (unique pass + lookup pass);
         # pin the small intermediate instead of recomputing the extraction
@@ -479,15 +538,7 @@ def build_kg(
                 on=("mention",),
             )
 
-            def _mask_non_entity(b: pa.Table) -> pa.Table:
-                # a literal surface colliding with an entity surface must
-                # NOT pick up its entity_id through the join
-                ents = pc.if_else(
-                    pc.equal(b["kind"], "entity"), b["entity_id"], pa.scalar(None, pa.string())
-                )
-                return b.set_column(b.schema.get_field_index("entity_id"), "entity_id", ents)
-
-            ds = ds.map_batches(_mask_non_entity, batch_format="pyarrow")
+            ds = ds.map_batches(_to_assembly_schema, batch_format="pyarrow")
         else:
             linkmap = unique_mention_linkmap(
                 ds, catalog, mapping, parallelism=concurrency,
@@ -496,12 +547,7 @@ def build_kg(
             ds = apply_linkmap(ds, linkmap, batch_size=bs)
     else:
         ds = link_stage(ds, catalog, mapping, concurrency=concurrency, batch_size=bs)
-    # literal rows need their SURFACE at assembly (it becomes the triple
-    # object); entity rows need only entity_id — mention strings are
-    # short, so keeping the column through the (optional) shuffle is cheap
-    ds = ds.select_columns(
-        ["conv_id", "turn_idx", "mention_ord", "entity_id", "tool", "mention", "kind"]
-    )
+        ds = ds.map_batches(_to_assembly_schema, batch_format="pyarrow")
     if conv_local_shards:
         return ds.map_batches(_assemble_conv_local_arrow, batch_format="pandas", batch_size=None)
     # general path (input NOT partitioned by conversation): ONE all-to-all

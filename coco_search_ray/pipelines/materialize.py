@@ -49,6 +49,7 @@ def run_resumable(
     concurrency: int | None = None,
     fail_after_shards: int | None = None,
     subj_buckets: int | None = None,
+    kg_kwargs: dict | None = None,
 ) -> dict:
     """Build the triple table for ``data_dir`` under ``out_dir``; skips
     shards already committed with a matching input fingerprint.
@@ -122,7 +123,8 @@ def run_resumable(
         fp = input_fingerprint(path)
         tmp = os.path.join(out_dir, f"_tmp_shard_{shard_id}")
         shutil.rmtree(tmp, ignore_errors=True)
-        triples = build_kg([path], catalog, mapping, concurrency=concurrency, conv_local_shards=True)
+        kw = {"concurrency": concurrency, "conv_local_shards": True, **(kg_kwargs or {})}
+        triples = build_kg([path], catalog, mapping, **kw)
         if subj_buckets:
             # secondary layout: partition each shard's output by
             # hash(subj) % B (uniform by construction — SURVEY.md §7.4) so

@@ -957,13 +957,15 @@ def kg_literal_mentions(sf_dir: str) -> pd.DataFrame:
     """Literal-family extraction coverage (extractor registry breadth):
     mentions per literal kind over the synth transcripts; the oracle
     replays each family's extraction regex + per-turn dedupe in SQL."""
-    from ..stages.extract import extract_mention_rows
+    from ..stages.extract import extract_mention_rows, kind_code_to_pred
     from .kg import normalized_turns_ds
 
     data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
     ds = normalized_turns_ds(data_dir).map_batches(extract_mention_rows, batch_format="pyarrow")
-    lit = ds.filter(expr="kind != 'entity'")
-    return lit.groupby("kind").aggregate(Count(alias_name="n_mentions")).to_pandas()
+    lit = ds.filter(expr="kind_code > 0")
+    out = lit.groupby("kind_code").aggregate(Count(alias_name="n_mentions")).to_pandas()
+    out["kind"] = out["kind_code"].map(kind_code_to_pred)
+    return out[["kind", "n_mentions"]].astype({"n_mentions": "int64"})
 
 
 KG_LITERAL_MENTIONS_SQL = f"""

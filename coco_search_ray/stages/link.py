@@ -72,11 +72,11 @@ class LinkerActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mentions = batch["mention"].to_pylist()
-        if "kind" in batch.schema.names:
+        if "kind_code" in batch.schema.names:
             # literal-kind rows (quotes, urls, ...) never link — their
             # surface stays verbatim through to assembly
-            kinds = batch["kind"].to_pylist()
-            mentions = [m if k == "entity" else None for m, k in zip(mentions, kinds)]
+            kinds = batch["kind_code"].to_pylist()
+            mentions = [m if k == 0 else None for m, k in zip(mentions, kinds)]
         self._link_all(mentions)
         entity_ids: list[str | None] = []
         surfaces: list[str | None] = []

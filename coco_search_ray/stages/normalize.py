@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 _VALID_ROLES = {"user", "assistant", "tool", "system"}
 
 
-def normalize_turns(batch: pa.Table) -> pa.Table:
+def normalize_turns(batch: pa.Table, with_uid: bool = True) -> pa.Table:
     role = pc.utf8_lower(pc.utf8_trim_whitespace(batch["role"]))
     # unexpected roles -> "other" (skip-and-log semantics: bad records are
     # normalized, never dropped silently; reference flow.py:446-448 logs+skips)
@@ -27,18 +27,19 @@ def normalize_turns(batch: pa.Table) -> pa.Table:
     tool = pc.if_else(pc.is_valid(tool), tool, pa.scalar(""))
     tool = pc.if_else(pc.equal(tool, pa.scalar("none")), pa.scalar(""), tool)
 
-    turn_uid = pc.binary_join_element_wise(
-        batch["conv_id"], pc.cast(batch["turn_idx"], pa.string()), "#"
-    )
-
-    return pa.table(
-        {
-            "conv_id": batch["conv_id"],
-            "turn_idx": batch["turn_idx"],
-            "role": role,
-            "text": batch["text"],
-            "tool": tool,
-            "ts": batch["ts"],
-            "turn_uid": turn_uid,
-        }
-    )
+    cols = {
+        "conv_id": batch["conv_id"],
+        "turn_idx": batch["turn_idx"],
+        "role": role,
+        "text": batch["text"],
+        "tool": tool,
+        "ts": batch["ts"],
+    }
+    if with_uid:
+        # provenance uid — skipped on the KG hot path (the extraction
+        # stage drops it immediately; building 10^7 string concats per
+        # block of work for a discarded column is pure waste)
+        cols["turn_uid"] = pc.binary_join_element_wise(
+            batch["conv_id"], pc.cast(batch["turn_idx"], pa.string()), "#"
+        )
+    return pa.table(cols)

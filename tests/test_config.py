@@ -1,0 +1,55 @@
+"""Config-file surface: YAML + env substitution + fail-fast validation
+(reference cocosearch.yaml shape, config/schema.py + env_substitution)."""
+
+import pytest
+
+
+def test_defaults_match_reference_constants(tmp_path):
+    from coco_search_ray.config import load_config
+
+    p = tmp_path / "empty.yaml"
+    p.write_text("")
+    cfg = load_config(str(p))
+    assert cfg.linking.rrf_k == 60
+    assert cfg.linking.definition_boost == 2.0
+    assert cfg.linking.prefetch_cap == 100
+    assert cfg.chunking.chunk_size == 1000 and cfg.chunking.chunk_overlap == 300
+    assert cfg.encoder.dim == 768
+    assert cfg.kg_kwargs()["conv_local_shards"] is True
+
+
+def test_env_substitution(tmp_path):
+    from coco_search_ray.config import load_config
+
+    p = tmp_path / "c.yaml"
+    p.write_text("data_dir: ${COCO_TEST_DATA}\nout_dir: ${COCO_UNSET:-/tmp/fallback}\n")
+    cfg = load_config(str(p), env={"COCO_TEST_DATA": "/data/x"})
+    assert cfg.data_dir == "/data/x"
+    assert cfg.out_dir == "/tmp/fallback"
+    p.write_text("data_dir: ${COCO_REALLY_UNSET}\n")
+    with pytest.raises(KeyError):
+        load_config(str(p), env={})
+
+
+def test_unknown_key_fails_fast(tmp_path):
+    from coco_search_ray.config import load_config
+
+    p = tmp_path / "bad.yaml"
+    p.write_text("chunking:\n  chunk_sise: 100\n")
+    with pytest.raises(Exception):
+        load_config(str(p))
+
+
+def test_cli_build_with_config(ray_session, smoke_dir, tmp_path, capsys):
+    import json
+
+    from coco_search_ray.job import main
+
+    cfgp = tmp_path / "p.yaml"
+    out = tmp_path / "out"
+    cfgp.write_text(
+        f"data_dir: {smoke_dir}\nout_dir: {out}\nkg:\n  two_phase: true\n"
+    )
+    assert main(["build", "--config", str(cfgp)]) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["shards_processed"] == 4
