@@ -83,6 +83,7 @@ def run_resumable(
         "dim": 768,
         "data_dir": data_dir,
         "globals_hash": globals_hash,
+        "schema_version": TRIPLE_SCHEMA_VERSION,
     }
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -164,10 +165,16 @@ def run_resumable(
     }
 
 
-def read_triples(out_dir: str):
-    """All committed triples as a streaming Dataset."""
-    import ray.data
+# schema history of the triple table (for feature detection on existing
+# output — the reference's check_symbol_columns_exist / column feature
+# detection shape, search/db.py:118-170, indexer/schema_migration.py):
+#   v1: subj, pred, obj, conv_id, turn_idx    (r01 layout)
+#   v2: same columns; pred domain extended with literal-family predicates
+TRIPLE_SCHEMA_VERSION = 2
+TRIPLE_COLUMNS = ["subj", "pred", "obj", "conv_id", "turn_idx"]
 
+
+def _committed_files(out_dir: str) -> list[str]:
     files = []
     for d in sorted(os.listdir(out_dir)):
         if d.startswith("shard="):
@@ -175,4 +182,72 @@ def read_triples(out_dir: str):
                 files.extend(
                     os.path.join(root, n) for n in sorted(names) if n.endswith(".parquet")
                 )
-    return ray.data.read_parquet(files)
+    return files
+
+
+def detect_output_features(out_dir: str) -> dict:
+    """Feature-detect an existing triple table before consuming it:
+    the UNION of columns across shard files (parquet footers only),
+    which expected columns are missing entirely (older layout), which
+    are present only in some shards (mixed-version table), and the
+    writer's recorded schema version. Consumers use this instead of
+    assuming the current layout — reading an index written by an older
+    version is DEFINED behavior (missing columns null-filled by
+    read_triples), not an undefined crash."""
+    import json
+
+    files = _committed_files(out_dir)
+    if not files:
+        return {"columns": [], "missing": TRIPLE_COLUMNS, "partial": [],
+                "extra": [], "schema_version": None, "n_files": 0}
+    fields: dict[str, object] = {}
+    presence: dict[str, int] = {}
+    for f in files:
+        sch = pq.read_schema(f)
+        for field in sch:
+            fields.setdefault(field.name, field)
+            presence[field.name] = presence.get(field.name, 0) + 1
+    cols = list(fields)
+    meta_path = os.path.join(out_dir, "_index_meta.json")
+    version = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            version = json.load(f).get("schema_version")
+    return {
+        "columns": cols,
+        "missing": [c for c in TRIPLE_COLUMNS if c not in fields],
+        "partial": [c for c, n in presence.items() if n < len(files)],
+        "extra": [c for c in cols if c not in TRIPLE_COLUMNS and c != "subj_bucket"],
+        "schema_version": version,
+        "n_files": len(files),
+        "_fields": fields,
+    }
+
+
+def read_triples(out_dir: str):
+    """All committed triples as a streaming Dataset. Schema-tolerant
+    (the read-side migration — reference schema_migration /
+    check_symbol_columns_exist semantics): the read uses the UNION
+    schema across shards, so a column absent from some shards (written
+    by an older version) is null-filled there, and a column absent
+    everywhere is appended as nulls — every consumer sees the current
+    TRIPLE_COLUMNS."""
+    import pyarrow as pa
+    import ray.data
+
+    files = _committed_files(out_dir)
+    feats = detect_output_features(out_dir)
+    fields = feats.pop("_fields")
+    union_schema = pa.schema([fields[c] for c in fields])
+    ds = ray.data.read_parquet(files, schema=union_schema)
+    missing = feats["missing"]
+    if missing:
+
+        def add_missing(b: pa.Table) -> pa.Table:
+            for c in missing:
+                typ = pa.int32() if c == "turn_idx" else pa.string()
+                b = b.append_column(c, pa.nulls(b.num_rows, typ))
+            return b
+
+        ds = ds.map_batches(add_missing, batch_format="pyarrow")
+    return ds

@@ -68,6 +68,54 @@ def test_deleted_input_shard_removes_output(ray_session, smoke_dir, tmp_path):
     assert not os.path.isdir(os.path.join(out, "shard=0003"))
 
 
+def test_schema_feature_detection_and_tolerant_read(ray_session, smoke_dir, tmp_path):
+    """Reading an OLDER triple-table layout is defined: feature detection
+    reports the missing column, read_triples null-fills it."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from coco_search_ray.pipelines.materialize import (
+        detect_output_features,
+        read_triples,
+        run_resumable,
+    )
+
+    out = str(tmp_path / "out")
+    run_resumable(smoke_dir, out)
+    feats = detect_output_features(out)
+    assert feats["missing"] == [] and feats["schema_version"] == 2
+
+    # simulate a MIXED-version table: strip conv_id from one shard's files
+    shard0 = os.path.join(out, "shard=0000")
+    for name in os.listdir(shard0):
+        if name.endswith(".parquet"):
+            p = os.path.join(shard0, name)
+            t = pq.read_table(p).drop_columns(["conv_id"])
+            pq.write_table(t, p)
+    feats = detect_output_features(out)
+    assert "conv_id" in feats["partial"] and feats["missing"] == []
+    df = read_triples(out).to_pandas()
+    assert df["conv_id"].isna().any()  # the stripped shard, null-filled
+    assert df["conv_id"].notna().any()  # the intact shards keep values
+    assert set(df.columns) >= {"subj", "pred", "obj", "conv_id", "turn_idx"}
+
+    # simulate a uniformly OLDER table: strip conv_id everywhere
+    for d in os.listdir(out):
+        if d.startswith("shard="):
+            for name in os.listdir(os.path.join(out, d)):
+                if name.endswith(".parquet"):
+                    p = os.path.join(out, d, name)
+                    t = pq.read_table(p)
+                    if "conv_id" in t.schema.names:
+                        pq.write_table(t.drop_columns(["conv_id"]), p)
+    feats = detect_output_features(out)
+    assert feats["missing"] == ["conv_id"]
+    df = read_triples(out).to_pandas()
+    assert df["conv_id"].isna().all()
+    assert set(df.columns) >= {"subj", "pred", "obj", "conv_id", "turn_idx"}
+
+
 def test_catalog_change_invalidates_all_shards(ray_session, smoke_dir, tmp_path):
     """Catalog-aware resume (VERDICT r01 #2): a re-run with a CHANGED
     catalog (new entities/aliases -> different linkmap + canonical
