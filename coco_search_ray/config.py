@@ -75,6 +75,9 @@ class KgConfig(BaseModel, extra="forbid"):
     two_phase: bool = True
     distributed_linkmap: bool | None = None
     concurrency: int | None = None
+    # directories of user extractor modules (duck-typed, loaded per
+    # worker — the reference's override-resolution surface)
+    extractor_dirs: list[str] = []
 
 
 class PipelineConfig(BaseModel, extra="forbid"):
@@ -93,6 +96,7 @@ class PipelineConfig(BaseModel, extra="forbid"):
             "two_phase": self.kg.two_phase,
             "distributed_linkmap": self.kg.distributed_linkmap,
             "concurrency": self.kg.concurrency,
+            "extractor_dirs": list(self.kg.extractor_dirs),
         }
 
 

@@ -29,6 +29,8 @@ import pkgutil
 from types import ModuleType
 
 REGISTRY: dict[str, ModuleType] = {}
+REGISTRY_VERSION = 0  # bumped on every registration; snapshot holders
+# (the extraction stage) compare it to refresh cheaply per batch
 
 
 def _validate(mod: ModuleType) -> None:
@@ -41,21 +43,72 @@ def _validate(mod: ModuleType) -> None:
         raise TypeError(f"literal extractor {mod.NAME} needs PRED")
 
 
+def _register(mod: ModuleType, origin: str) -> None:
+    global REGISTRY_VERSION
+    _validate(mod)
+    if mod.NAME in REGISTRY:
+        raise ValueError(
+            f"duplicate extractor NAME {mod.NAME!r}: "
+            f"{REGISTRY[mod.NAME].__name__} vs {origin}"
+        )
+    REGISTRY[mod.NAME] = mod
+    REGISTRY_VERSION += 1
+
+
 def _discover() -> None:
     for info in pkgutil.iter_modules(__path__):
         if info.name.startswith("_"):
             continue
         mod = importlib.import_module(f"{__name__}.{info.name}")
-        _validate(mod)
-        if mod.NAME in REGISTRY:
-            raise ValueError(
-                f"duplicate extractor NAME {mod.NAME!r}: "
-                f"{REGISTRY[mod.NAME].__name__} vs {mod.__name__}"
-            )
-        REGISTRY[mod.NAME] = mod
+        _register(mod, mod.__name__)
 
 
 _discover()
+
+
+def load_directory(path: str) -> list[str]:
+    """Load user extractor modules from a directory — the reference's
+    override-resolution surface (tree-sitter .scm files resolve
+    project > user > built-in, symbols.py:113-144; handler templates are
+    drop-in modules). Every *.py file is imported, validated against the
+    same duck-typed protocol, and registered (fail-fast on NAME
+    conflicts with built-ins or each other). Returns the loaded NAMEs.
+
+    Snapshot holders (the extraction stage) refresh on REGISTRY_VERSION,
+    so families loaded in a process are picked up on the next batch;
+    Ray WORKER processes load them via build_kg(extractor_dirs=[...])
+    (ensure_directories runs once per worker inside the map function).
+    """
+    import importlib.util
+    import os
+
+    loaded: list[str] = []
+    for fname in sorted(os.listdir(path)):
+        if not fname.endswith(".py") or fname.startswith("_"):
+            continue
+        spec = importlib.util.spec_from_file_location(
+            f"coco_search_ray_ext_{fname[:-3]}", os.path.join(path, fname)
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        _register(mod, fname)
+        loaded.append(mod.NAME)
+    return loaded
+
+
+_LOADED_DIRS: set[str] = set()
+
+
+def ensure_directories(dirs) -> None:
+    """Idempotent per-process form of load_directory (safe to call from
+    every map task; a directory loads once per worker process)."""
+    import os
+
+    for d in dirs or []:
+        d = os.path.abspath(d)
+        if d not in _LOADED_DIRS:
+            load_directory(d)
+            _LOADED_DIRS.add(d)
 
 
 def entity_families() -> list[ModuleType]:

@@ -75,12 +75,6 @@ def _auto_concurrency() -> int:
     return max(1, min(16, cpus // 2))
 
 
-def _pred_of_code(code: int) -> str:
-    from ..stages.extract import LITERAL_PREDS
-
-    return LITERAL_PREDS[int(code) - 1]
-
-
 def _normalize_assembly_frame(df: pd.DataFrame) -> pd.DataFrame:
     """Accept both assembly schemas: the pipeline's single-value form
     (val + kind_code) and the legacy explicit form (entity_id [+ kind]).
@@ -94,11 +88,24 @@ def _normalize_assembly_frame(df: pd.DataFrame) -> pd.DataFrame:
     return df.assign(surface=df.get("mention", df["entity_id"]))
 
 
-def assemble_triples_group(df: pd.DataFrame) -> pd.DataFrame:
+def _literal_preds(literal_preds: list[str] | None) -> list[str]:
+    """Default pred decoding from the CURRENT process plan (explicit
+    lists come from the driver's captured plan via build_kg closures)."""
+    if literal_preds is not None:
+        return literal_preds
+    from ..stages.extract import _get_snapshot
+
+    return _get_snapshot().literal_preds
+
+
+def assemble_triples_group(
+    df: pd.DataFrame, literal_preds: list[str] | None = None
+) -> pd.DataFrame:
     """Per-conversation triple assembly over linked mention rows.
     Input: one conversation's rows (conv_id, turn_idx, mention_ord,
     val/entity_id, kind_code, tool). Deterministic: sorts by
     (turn_idx, mention_ord)."""
+    preds = _literal_preds(literal_preds)
     df = _normalize_assembly_frame(df)
     df = df.sort_values(["turn_idx", "mention_ord"], kind="mergesort")
     conv_id = df["conv_id"].iloc[0]
@@ -140,7 +147,7 @@ def assemble_triples_group(df: pd.DataFrame) -> pd.DataFrame:
             # literal families: surface attaches verbatim to the turn's
             # FIRST entity under the family's predicate
             for _, lr in g[(g["kind_code"] > 0) & g["surface"].notna()].iterrows():
-                emit(ents[0], _pred_of_code(lr["kind_code"]), lr["surface"], turn)
+                emit(ents[0], preds[int(lr["kind_code"]) - 1], lr["surface"], turn)
             prev_turn, prev_first = turn, ents[0]
         else:
             prev_turn, prev_first = turn, None
@@ -342,7 +349,9 @@ _EMPTY_TRIPLES = {
 }
 
 
-def assemble_conv_local(df: pd.DataFrame) -> pd.DataFrame:
+def assemble_conv_local(
+    df: pd.DataFrame, literal_preds: list[str] | None = None
+) -> pd.DataFrame:
     """Vectorized triple assembly over a conv-complete batch (pandas
     merges, no per-conversation python loop). Semantically identical to
     assemble_triples_group applied per conversation (pytest cross-checked
@@ -410,9 +419,7 @@ def assemble_conv_local(df: pd.DataFrame) -> pd.DataFrame:
     parts = [mentions, uses, replies]
     lit = df[(df["kind_code"] > 0) & df["surface"].notna()]
     if not lit.empty:
-        from ..stages.extract import LITERAL_PREDS
-
-        pred_map = {i + 1: p for i, p in enumerate(LITERAL_PREDS)}
+        pred_map = {i + 1: p for i, p in enumerate(_literal_preds(literal_preds))}
         lt = lit.merge(
             first.rename(columns={"entity_id": "_subj"}), on=["conv_id", "turn_idx"]
         )
@@ -434,11 +441,11 @@ def assemble_conv_local(df: pd.DataFrame) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
-def _assemble_conv_local_arrow(df: pd.DataFrame) -> pa.Table:
+def _assemble_conv_local_arrow(df: pd.DataFrame, literal_preds: list[str] | None = None) -> pa.Table:
     """Arrow wrapper with the explicit TRIPLE_SCHEMA so empty outputs keep
     their schema (a Dataset whose every block is an empty pandas frame
     loses column information)."""
-    out = assemble_conv_local(df)
+    out = assemble_conv_local(df, literal_preds)
     return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False)
 
 
@@ -472,6 +479,7 @@ def build_kg(
     conv_local_shards: bool = False,
     two_phase: bool = True,
     distributed_linkmap: bool | None = None,
+    extractor_dirs: list[str] | None = None,
 ) -> ray.data.Dataset:
     """transcript parquet paths + catalog -> streaming Dataset of triples.
 
@@ -503,14 +511,41 @@ def build_kg(
     else:
         ds = ray.data.read_parquet(paths)
         bs = 8192
+    # external extractor families (registry override surface): load dirs
+    # in the driver, CAPTURE the family plan (names + preds, ordered),
+    # and ship plan + dirs through every registry-touching closure —
+    # extraction and assembly (pred decoding). kind codes are positional
+    # in the captured plan, so every worker agrees regardless of what
+    # other families its process happens to have registered.
+    from ..stages.extract import family_plan
+
+    dirs = list(extractor_dirs or [])
+    if dirs:
+        from ..extractors import ensure_directories
+
+        ensure_directories(dirs)
+    ent_names, lit_specs = family_plan()
+    lit_preds = [p for _n, p in lit_specs]
+
+    def _ensure_dirs():
+        if dirs:
+            from ..extractors import ensure_directories as _ed
+
+            _ed(dirs)
+
+    def _extract(b: pa.Table) -> pa.Table:
+        _ensure_dirs()
+        return extract_mention_rows(
+            b, include_role=False, entity_names=ent_names, literal_specs=lit_specs
+        )
+
+    def _assemble(df: pd.DataFrame) -> pa.Table:
+        return _assemble_conv_local_arrow(df, literal_preds=lit_preds)
+
     ds = ds.map_batches(
         lambda b: normalize_turns(b, with_uid=False), batch_format="pyarrow", batch_size=bs
     )
-    ds = ds.map_batches(
-        lambda b: extract_mention_rows(b, include_role=False),
-        batch_format="pyarrow",
-        batch_size=bs,
-    )
+    ds = ds.map_batches(_extract, batch_format="pyarrow", batch_size=bs)
     if two_phase:
         # mentions dataset is consumed twice (unique pass + lookup pass);
         # pin the small intermediate instead of recomputing the extraction
@@ -549,7 +584,7 @@ def build_kg(
         ds = link_stage(ds, catalog, mapping, concurrency=concurrency, batch_size=bs)
         ds = ds.map_batches(_to_assembly_schema, batch_format="pyarrow")
     if conv_local_shards:
-        return ds.map_batches(_assemble_conv_local_arrow, batch_format="pandas", batch_size=None)
+        return ds.map_batches(_assemble, batch_format="pandas", batch_size=None)
     # general path (input NOT partitioned by conversation): ONE all-to-all
     # shuffle on the COARSE key hash(conv_id) % ASSEMBLY_BUCKETS — never a
     # Ray group per conversation (millions of tiny groups at scale;
@@ -559,9 +594,7 @@ def build_kg(
     ds = ds.map_batches(
         lambda b: _add_conv_bucket(b, ASSEMBLY_BUCKETS), batch_format="pyarrow", batch_size=bs
     )
-    return ds.groupby("_conv_bucket").map_groups(
-        _assemble_conv_local_arrow, batch_format="pandas"
-    )
+    return ds.groupby("_conv_bucket").map_groups(_assemble, batch_format="pandas")
 
 
 def build_kg_from_dir(

@@ -957,14 +957,19 @@ def kg_literal_mentions(sf_dir: str) -> pd.DataFrame:
     """Literal-family extraction coverage (extractor registry breadth):
     mentions per literal kind over the synth transcripts; the oracle
     replays each family's extraction regex + per-turn dedupe in SQL."""
-    from ..stages.extract import extract_mention_rows, kind_code_to_pred
+    from ..stages.extract import extract_mention_rows, family_plan
     from .kg import normalized_turns_ds
 
+    ent_names, lit_specs = family_plan()  # captured in the driver
     data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
-    ds = normalized_turns_ds(data_dir).map_batches(extract_mention_rows, batch_format="pyarrow")
+    ds = normalized_turns_ds(data_dir).map_batches(
+        lambda b: extract_mention_rows(b, entity_names=ent_names, literal_specs=lit_specs),
+        batch_format="pyarrow",
+    )
     lit = ds.filter(expr="kind_code > 0")
     out = lit.groupby("kind_code").aggregate(Count(alias_name="n_mentions")).to_pandas()
-    out["kind"] = out["kind_code"].map(kind_code_to_pred)
+    preds = {i + 1: p for i, (_n, p) in enumerate(lit_specs)}
+    out["kind"] = out["kind_code"].map(preds)
     return out[["kind", "n_mentions"]].astype({"n_mentions": "int64"})
 
 
@@ -978,10 +983,16 @@ WITH t AS (
   )) AS n FROM t
 ), u AS (
   SELECT len(list_distinct(regexp_extract_all(text, 'https?://[^\\s"''<>\\)\\]]+'))) AS n FROM t
+), e AS (
+  SELECT len(list_distinct(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}'))) AS n FROM t
+), p AS (
+  SELECT len(list_distinct(regexp_extract_all(text,
+    '(?:^|[\\s(''"`])(/(?:[A-Za-z0-9._-]+/)+[A-Za-z0-9_-]+\\.[A-Za-z0-9]{{1,8}})', 1))) AS n FROM t
 )
 SELECT 'links_to' AS kind, sum(n)::BIGINT AS n_mentions FROM u
-UNION ALL
-SELECT 'quotes' AS kind, sum(n)::BIGINT AS n_mentions FROM q
+UNION ALL SELECT 'mentions_email', sum(n)::BIGINT FROM e
+UNION ALL SELECT 'quotes', sum(n)::BIGINT FROM q
+UNION ALL SELECT 'references_path', sum(n)::BIGINT FROM p
 """
 
 

@@ -176,6 +176,12 @@ def _generate_shard(
             if rng.rand() < 0.10:
                 w = _VOCAB[rng.randint(0, len(_VOCAB))]
                 words.append(f"https://svc.example/{w}")
+            if rng.rand() < 0.06:
+                w = _VOCAB[rng.randint(0, len(_VOCAB))]
+                words.append(f"/var/log/{w}.log")
+            if rng.rand() < 0.05:
+                w = _VOCAB[rng.randint(0, len(_VOCAB))]
+                words.append(f"{w}@svc.example")
             shard["conv_id"].append(conv_id)
             shard["turn_idx"].append(ti)
             shard["role"].append(role)
@@ -214,7 +220,7 @@ def generate_transcripts(
     ``catalog.parquet``. Idempotent: returns immediately if a
     ``_SYNTH_OK`` marker with matching params exists."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v5"
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v6"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:

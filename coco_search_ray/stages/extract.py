@@ -26,48 +26,98 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..extractors import combined_quick_pattern, entity_families, literal_families
+from .. import extractors
+from ..extractors import entity_families, literal_families
 
-_QUICK_PATTERN = combined_quick_pattern()
-
-# registry SNAPSHOT at import: the per-turn loop must never re-sort the
-# registry (it runs 10^7+ times per block of work)
-_ENTITY_FAMS = entity_families()
-_ENTITY_EXTRACTS = [m.extract for m in _ENTITY_FAMS]
-_LITERAL_FAMS = literal_families()
-LITERAL_PREDS: list[str] = [m.PRED for m in _LITERAL_FAMS]
-# kind_code: 0 = entity, i+1 = LITERAL_PREDS[i], -1 = sentinel row
+# kind_code: 0 = entity, i+1 = the i-th literal family OF THE PLAN,
+# -1 = sentinel row. The PLAN (which families, in which order) is
+# captured ONCE in the driver (family_plan()) and shipped through task
+# closures — codes are positional in the plan, NEVER per-worker registry
+# state: a worker that loaded an extra external family in an earlier
+# pipeline of the same process must not shift another pipeline's codes,
+# and a worker missing an external family simply contributes no rows of
+# that code (its other codes stay aligned).
 KIND_ENTITY = 0
 
 
-def kind_code_to_pred(code: int) -> str:
+def family_plan() -> tuple[tuple[str, ...], tuple[tuple[str, str], ...]]:
+    """(entity family names, ((literal name, pred), ...)) from the
+    CURRENT process registry — capture this in the driver and pass it to
+    extract_mention_rows / assembly so every worker agrees."""
+    return (
+        tuple(m.NAME for m in entity_families()),
+        tuple((m.NAME, m.PRED) for m in literal_families()),
+    )
+
+
+class _Snapshot:
+    __slots__ = ("quick", "entity_extracts", "literal_steps", "literal_preds")
+
+    def __init__(self, entity_names, literal_specs):
+        reg = extractors.REGISTRY
+        ent = [reg[n] for n in entity_names if n in reg]
+        self.quick = "|".join(
+            f"(?:{m.QUICK})"
+            for m in ent + [reg[n] for n, _p in literal_specs if n in reg]
+        )
+        self.entity_extracts = [m.extract for m in ent]
+        self.literal_steps = [
+            (np.int8(i + 1), reg[n].extract, getattr(reg[n], "maybe", None))
+            for i, (n, _p) in enumerate(literal_specs)
+            if n in reg
+        ]
+        self.literal_preds = [p for _n, p in literal_specs]
+
+
+_SNAPSHOTS: dict[tuple, _Snapshot] = {}
+
+
+def _get_snapshot(entity_names=None, literal_specs=None) -> _Snapshot:
+    if entity_names is None or literal_specs is None:
+        entity_names, literal_specs = family_plan()
+    key = (entity_names, literal_specs, extractors.REGISTRY_VERSION)
+    snap = _SNAPSHOTS.get(key)
+    if snap is None:
+        if len(_SNAPSHOTS) > 64:
+            _SNAPSHOTS.clear()
+        snap = _Snapshot(entity_names, literal_specs)
+        _SNAPSHOTS[key] = snap
+    return snap
+
+
+def kind_code_to_pred(code: int, literal_specs=None) -> str:
     """Inverse of the kind_code encoding (for stats / literal queries)."""
-    return "entity" if code == KIND_ENTITY else LITERAL_PREDS[code - 1]
-
-
-_LITERAL_STEPS = [
-    (np.int8(i + 1), m.extract, getattr(m, "maybe", None)) for i, m in enumerate(_LITERAL_FAMS)
-]
+    if code == KIND_ENTITY:
+        return "entity"
+    preds = (
+        [p for _n, p in literal_specs]
+        if literal_specs is not None
+        else _get_snapshot().literal_preds
+    )
+    return preds[code - 1]
 
 
 _K0 = np.int8(KIND_ENTITY)
 
 
-def _turn_mentions(text: str) -> tuple[list[str], list[np.int8]]:
+def _turn_mentions(text: str, snap: _Snapshot | None = None) -> tuple[list[str], list[np.int8]]:
     """(surfaces, kind codes) for one turn: entity families first (their
     order defines entity rank at assembly), then literal families."""
-    if len(_ENTITY_EXTRACTS) == 1:
-        surfaces = list(_ENTITY_EXTRACTS[0](text))
+    if snap is None:
+        snap = _get_snapshot()
+    ents = snap.entity_extracts
+    if len(ents) == 1:
+        surfaces = list(ents[0](text))
     else:
         surfaces = []
         seen: set[str] = set()
-        for ex in _ENTITY_EXTRACTS:
+        for ex in ents:
             for m in ex(text):
                 if m not in seen:
                     seen.add(m)
                     surfaces.append(m)
     kinds = [_K0] * len(surfaces)
-    for code, extract, maybe in _LITERAL_STEPS:
+    for code, extract, maybe in snap.literal_steps:
         if maybe is not None and not maybe(text):
             continue
         for m in extract(text):
@@ -77,12 +127,17 @@ def _turn_mentions(text: str) -> tuple[list[str], list[np.int8]]:
 
 
 def extract_mention_rows(
-    batch: pa.Table, emit_sentinels: bool = False, include_role: bool = True
+    batch: pa.Table,
+    emit_sentinels: bool = False,
+    include_role: bool = True,
+    entity_names: tuple[str, ...] | None = None,
+    literal_specs: tuple[tuple[str, str], ...] | None = None,
 ) -> pa.Table:
+    snap = _get_snapshot(entity_names, literal_specs)
     if emit_sentinels:
-        return _extract_with_sentinels(batch)
+        return _extract_with_sentinels(batch, snap)
     if batch.num_rows:
-        mask = pc.match_substring_regex(batch["text"], _QUICK_PATTERN)
+        mask = pc.match_substring_regex(batch["text"], snap.quick)
         batch = batch.filter(pc.fill_null(mask, False))
 
     texts = batch["text"].to_pylist()
@@ -97,8 +152,10 @@ def extract_mention_rows(
     lit_code: list[int] = []
     lit_surface: list[str] = []
     lit_ord: list[int] = []
-    single_entity = len(_ENTITY_EXTRACTS) == 1
-    ent_extract = _ENTITY_EXTRACTS[0]
+    ent_extracts = snap.entity_extracts
+    literal_steps = snap.literal_steps
+    single_entity = len(ent_extracts) == 1
+    ent_extract = ent_extracts[0]
     for r, text in enumerate(texts):
         if not text:
             counts[r] = 0
@@ -108,7 +165,7 @@ def extract_mention_rows(
         else:
             m = []
             seen: set[str] = set()
-            for ex in _ENTITY_EXTRACTS:
+            for ex in ent_extracts:
                 for s in ex(text):
                     if s not in seen:
                         seen.add(s)
@@ -116,7 +173,7 @@ def extract_mention_rows(
         counts[r] = len(m)
         all_mentions.extend(m)
         nxt = len(m)
-        for code, extract, maybe in _LITERAL_STEPS:
+        for code, extract, maybe in literal_steps:
             if maybe is not None and not maybe(text):
                 continue
             for s in extract(text):
@@ -158,7 +215,7 @@ def extract_mention_rows(
     return pa.table(cols)
 
 
-def _extract_with_sentinels(batch: pa.Table) -> pa.Table:
+def _extract_with_sentinels(batch: pa.Table, snap: _Snapshot | None = None) -> pa.Table:
     conv_ids = batch["conv_id"].to_pylist()
     turn_idxs = batch["turn_idx"].to_pylist()
     roles = batch["role"].to_pylist()
@@ -174,7 +231,7 @@ def _extract_with_sentinels(batch: pa.Table) -> pa.Table:
     o_kind: list[int] = []
 
     for conv, turn, role, tool, text in zip(conv_ids, turn_idxs, roles, tools, texts):
-        mentions, kinds = _turn_mentions(text) if text else ([], [])
+        mentions, kinds = _turn_mentions(text, snap) if text else ([], [])
         if not mentions:
             o_conv.append(conv)
             o_turn.append(turn)

@@ -9,7 +9,7 @@ import pyarrow.parquet as pq
 def test_registry_discovery_and_order():
     from coco_search_ray import extractors
 
-    assert set(extractors.REGISTRY) >= {"identifiers", "quoted_phrases", "urls"}
+    assert set(extractors.REGISTRY) >= {"identifiers", "quoted_phrases", "urls", "emails", "file_paths"}
     assert [m.KIND for m in extractors.entity_families()] == ["entity"]
     lits = extractors.literal_families()
     assert [m.NAME for m in lits] == sorted(m.NAME for m in lits)
@@ -41,6 +41,69 @@ def test_quoted_and_url_extract():
     got = urls.extract(t2)
     assert got[0] == "https://svc.example/billing"
     assert len(got) == 2
+
+
+def test_email_and_path_extract():
+    from coco_search_ray.extractors import emails, paths
+
+    t = "ping ops@svc.example and ops@svc.example then see /var/log/app.log or (/etc/conf/main.yaml)"
+    assert emails.extract(t) == ["ops@svc.example"]
+    assert paths.extract(t) == ["/var/log/app.log", "/etc/conf/main.yaml"]
+    assert paths.extract("ratio 3/4 and https://a.b/c.d") == []  # prose + urls excluded
+
+
+def test_external_extractor_directory(ray_session, smoke_dir, tmp_path):
+    """User extractor modules load from a directory (the reference's
+    project-override resolution surface) and flow through the full
+    distributed pipeline — extraction in workers, pred decoding at
+    assembly — via build_kg(extractor_dirs=[...])."""
+    import pyarrow.parquet as pq
+
+    from coco_search_ray.pipelines.kg import build_kg
+    from coco_search_ray.sources.synth import load_catalog
+
+    ext_dir = tmp_path / "ext"
+    ext_dir.mkdir()
+    (ext_dir / "tickets.py").write_text(
+        'import re\n'
+        'NAME = "tickets"\n'
+        'KIND = "literal"\n'
+        'PRED = "mentions_ticket"\n'
+        'QUICK = r"[A-Z]{2,5}-[0-9]+"\n'
+        "_RE = re.compile(QUICK)\n"
+        "def maybe(text):\n    return '-' in text\n"
+        "def extract(text):\n"
+        "    out, seen = [], set()\n"
+        "    for m in _RE.finditer(text):\n"
+        "        t = m.group(0)\n"
+        "        if t not in seen:\n"
+        "            seen.add(t); out.append(t)\n"
+        "    return out\n"
+    )
+    catalog = load_catalog(smoke_dir)
+    surface = catalog.column("canonical_name")[0].as_py()
+    t = pa.table(
+        {
+            "conv_id": pa.array(["c1"], pa.string()),
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": pa.array(["user"], pa.string()),
+            "text": pa.array([f"{surface} tracked in PROJ-123 and PROJ-123"], pa.string()),
+            "tool": pa.array([""], pa.string()),
+            "ts": pa.array([0], pa.timestamp("us")),
+        }
+    )
+    p = str(tmp_path / "ticket.parquet")
+    pq.write_table(t, p)
+    df = build_kg([p], catalog, extractor_dirs=[str(ext_dir)]).to_pandas()
+    assert ("mentions_ticket", "PROJ-123") in set(zip(df["pred"], df["obj"]))
+    # loading again is idempotent; a conflicting NAME fails fast
+    from coco_search_ray import extractors
+
+    extractors.ensure_directories([str(ext_dir)])
+    import pytest
+
+    with pytest.raises(ValueError):
+        extractors.load_directory(str(ext_dir))
 
 
 def test_literal_triples_end_to_end(ray_session, smoke_dir, tmp_path):
