@@ -1139,8 +1139,8 @@ SELECT lang, count(*) AS n_docs, round(avg(norm), 4) AS mean_norm FROM n GROUP B
 
 
 def q_media_features(sf_dir: str) -> pd.DataFrame:
-    """Multimodal plumbing: synthetic binary payloads through the
-    actor-pool decode stage; per-status counts (all ok)."""
+    """Multimodal plumbing: image/audio/video payloads through the
+    per-kind actor-pool decode stage; (kind, status) counts (all ok)."""
     import ray as _ray
     import ray.data as _rd
 
@@ -1150,9 +1150,11 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
     ds = _rd.from_arrow(generate_media_table(n))
     feats = media_features(ds)
     return (
-        feats.groupby("decode_status")
+        feats.groupby(["kind", "decode_status"])
         .aggregate(Count(alias_name="n_media"))
         .to_pandas()
+        .sort_values(["kind", "decode_status"])
+        .reset_index(drop=True)
     )
 
 

@@ -1,17 +1,20 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
-columns with typed metadata, processed by actor-pool map_batches stages.
+columns with typed metadata, processed by actor-pool map_batches stages
+— decode, feature-extract, resize, frame-sample.
 
 The Ray-side mechanics here are real and tested — schema, small batch
-sizes for wide binary rows, actor signature, output layout. The actual
-codec work is STUBBED: the container ships no image/audio libraries, so
-``decode_image`` raises NotImplementedError unless a library is present
-(import-try seam) and the default pipeline uses ``fake_decode`` — a
-deterministic header parse of the synthetic payload format. A real
-decoder drops into MediaDecodeActor.decode without touching the
-pipeline shape.
+sizes for wide binary rows, actor signatures, 1->N frame explosion,
+output layouts. The actual codec work is STUBBED: the container ships no
+image/audio libraries, so ``decode_image`` raises NotImplementedError
+unless a library is present (import-try seam) and the default pipeline
+uses the deterministic fake formats below. A real decoder drops into
+``MediaDecodeActor(decode_fn=...)`` without touching the pipeline shape.
 
-Payload format for the synthetic generator (deterministic):
-  b"IMG1" + width:uint16 + height:uint16 + channels:uint8 + raw bytes
+Deterministic payload formats (synthetic generator):
+  IMG1: b"IMG1" + width:u16 + height:u16 + channels:u8 + raw u8 bytes
+  AUD1: b"AUD1" + rate:u32 + n_samples:u32 + int16 samples
+  VID1: b"VID1" + n_frames:u16 + n_frames x (len:u32 + IMG1 blob)
+
 Wide-row guidance: batch_size stays SMALL (64-256) so
 batch x concurrency fits worker heaps; blocks of binary rows should not
 be split absurdly small — raise target_max_block_size instead.
@@ -25,6 +28,15 @@ import numpy as np
 import pyarrow as pa
 
 MAGIC = b"IMG1"
+MAGIC_AUDIO = b"AUD1"
+MAGIC_VIDEO = b"VID1"
+
+EMB_DIM = 64
+
+
+# ---------------------------------------------------------------------------
+# synthetic payloads (deterministic)
+# ---------------------------------------------------------------------------
 
 
 def make_fake_image(width: int, height: int, channels: int, seed: int) -> bytes:
@@ -33,18 +45,41 @@ def make_fake_image(width: int, height: int, channels: int, seed: int) -> bytes:
     return MAGIC + struct.pack("<HHB", width, height, channels) + raw
 
 
+def make_fake_audio(rate: int, n_samples: int, seed: int) -> bytes:
+    rng = np.random.RandomState(seed)
+    samples = (rng.randn(n_samples) * 3000).astype(np.int16)
+    return MAGIC_AUDIO + struct.pack("<II", rate, n_samples) + samples.tobytes()
+
+
+def make_fake_video(width: int, height: int, n_frames: int, seed: int) -> bytes:
+    frames = [make_fake_image(width, height, 3, seed + 31 * f) for f in range(n_frames)]
+    out = [MAGIC_VIDEO, struct.pack("<H", n_frames)]
+    for fr in frames:
+        out.append(struct.pack("<I", len(fr)))
+        out.append(fr)
+    return b"".join(out)
+
+
 def generate_media_table(n: int = 64, seed: int = 42) -> pa.Table:
-    """Synthetic media table: (media_id, kind, payload:binary, meta)."""
+    """Synthetic media table: (media_id, kind, payload:binary, meta).
+    Kinds cycle image/audio/video so every decode path is exercised."""
     rng = np.random.RandomState(seed)
     ids, kinds, payloads, widths, heights = [], [], [], [], []
     for i in range(n):
         w = int(rng.choice([32, 48, 64]))
         h = int(rng.choice([32, 48, 64]))
+        kind = ("image", "audio", "video")[i % 3]
+        if kind == "image":
+            payloads.append(make_fake_image(w, h, 3, seed + i))
+        elif kind == "audio":
+            payloads.append(make_fake_audio(16000, 1600 + 16 * int(rng.randint(0, 50)), seed + i))
+            w = h = 0
+        else:
+            payloads.append(make_fake_video(w, h, 4 + int(rng.randint(0, 5)), seed + i))
         ids.append(i)
-        kinds.append("image")
+        kinds.append(kind)
         widths.append(w)
         heights.append(h)
-        payloads.append(make_fake_image(w, h, 3, seed + i))
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),
@@ -56,11 +91,17 @@ def generate_media_table(n: int = 64, seed: int = 42) -> pa.Table:
     )
 
 
+# ---------------------------------------------------------------------------
+# decoders (stub seam + deterministic fakes)
+# ---------------------------------------------------------------------------
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Real-decoder seam: uses PIL/cv2 when available, else raises."""
+    """Real-decoder seam: uses PIL when available, else raises."""
     try:  # pragma: no cover - libs absent in this container
-        import PIL.Image  # noqa: F401
         import io
+
+        import PIL.Image  # noqa: F401
 
         return np.asarray(PIL.Image.open(io.BytesIO(payload)))
     except ImportError as e:
@@ -77,49 +118,110 @@ def fake_decode(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload[9:], dtype=np.uint8).reshape(h, w, c)
 
 
+def encode_fake_image(img: np.ndarray) -> bytes:
+    h, w, c = img.shape
+    return MAGIC + struct.pack("<HHB", w, h, c) + img.astype(np.uint8).tobytes()
+
+
+def fake_decode_audio(payload: bytes) -> tuple[int, np.ndarray]:
+    assert payload[:4] == MAGIC_AUDIO, "not an AUD1 payload"
+    rate, n = struct.unpack("<II", payload[4:12])
+    return rate, np.frombuffer(payload[12 : 12 + 2 * n], dtype=np.int16)
+
+
+def iter_fake_video_frames(payload: bytes):
+    """Yield raw IMG1 frame blobs from a VID1 payload (no decode)."""
+    assert payload[:4] == MAGIC_VIDEO, "not a VID1 payload"
+    (n_frames,) = struct.unpack("<H", payload[4:6])
+    pos = 6
+    for _ in range(n_frames):
+        (ln,) = struct.unpack("<I", payload[pos : pos + 4])
+        pos += 4
+        yield payload[pos : pos + ln]
+        pos += ln
+
+
+# ---------------------------------------------------------------------------
+# feature extraction (actor pool, per-kind dispatch)
+# ---------------------------------------------------------------------------
+
+
+def _image_features(img: np.ndarray) -> tuple[list[float], list[float], np.ndarray]:
+    mean = img.reshape(-1, img.shape[2]).mean(axis=0)
+    std = img.reshape(-1, img.shape[2]).std(axis=0)
+    gray = img.mean(axis=2)
+    # fixed-size embedding: resize-by-striding to an 8x8 grid
+    ys = np.linspace(0, gray.shape[0] - 1, 8).astype(int)
+    xs = np.linspace(0, gray.shape[1] - 1, 8).astype(int)
+    emb = gray[np.ix_(ys, xs)].ravel() / 255.0
+    return mean.tolist(), std.tolist(), emb.astype(np.float32)
+
+
+def _audio_features(rate: int, samples: np.ndarray) -> tuple[list[float], list[float], np.ndarray]:
+    x = samples.astype(np.float64)
+    rms = float(np.sqrt((x**2).mean())) if len(x) else 0.0
+    zc = float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8))))) if len(x) > 1 else 0.0
+    # embedding: 64-bin downsampled |waveform| envelope
+    idx = np.linspace(0, max(len(x) - 1, 0), EMB_DIM).astype(int)
+    emb = (np.abs(x[idx]) / 32768.0).astype(np.float32) if len(x) else np.zeros(EMB_DIM, np.float32)
+    return [rms], [zc], emb
+
+
 class MediaDecodeActor:
-    """Actor-pool stage: decode -> per-image features (mean/std per
-    channel + a deterministic 'embedding' via downsampled grayscale).
-    decode_fn is injected so a real codec swaps in."""
+    """Actor-pool stage: per-kind decode -> features + a deterministic
+    fixed-size 'embedding'. decode_fn is injected so a real image codec
+    swaps in; audio/video use the deterministic fake formats. Video
+    features = mean over sampled frames (every ``frame_stride``-th)."""
 
-    def __init__(self, decode_fn=fake_decode, feat_dim: int = 64):
+    def __init__(self, decode_fn=fake_decode, frame_stride: int = 2):
         self.decode = decode_fn
-        self.feat_dim = feat_dim
+        self.frame_stride = max(1, frame_stride)
 
-    def _features(self, img: np.ndarray) -> tuple[list[float], list[float], np.ndarray]:
-        mean = img.reshape(-1, img.shape[2]).mean(axis=0)
-        std = img.reshape(-1, img.shape[2]).std(axis=0)
-        gray = img.mean(axis=2)
-        # fixed-size embedding: resize-by-striding to an 8x8 grid
-        ys = np.linspace(0, gray.shape[0] - 1, 8).astype(int)
-        xs = np.linspace(0, gray.shape[1] - 1, 8).astype(int)
-        emb = gray[np.ix_(ys, xs)].ravel() / 255.0
-        return mean.tolist(), std.tolist(), emb.astype(np.float32)
+    def _one(self, kind: str, payload: bytes):
+        if kind == "image":
+            return _image_features(self.decode(payload))
+        if kind == "audio":
+            rate, samples = fake_decode_audio(payload)
+            return _audio_features(rate, samples)
+        if kind == "video":
+            frames = list(iter_fake_video_frames(payload))[:: self.frame_stride]
+            feats = [_image_features(self.decode(f)) for f in frames]
+            if not feats:
+                raise ValueError("empty video")
+            mean = np.mean([f[0] for f in feats], axis=0).tolist()
+            std = np.mean([f[1] for f in feats], axis=0).tolist()
+            emb = np.mean([f[2] for f in feats], axis=0).astype(np.float32)
+            return mean, std, emb
+        raise ValueError(f"unknown media kind {kind!r}")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
-        o_id, o_mean, o_std, o_emb, o_status = [], [], [], [], []
-        for i, p in zip(ids, payloads):
+        o_id, o_kind, o_mean, o_std, o_emb, o_status = [], [], [], [], [], []
+        for i, k, p in zip(ids, kinds, payloads):
             try:
-                img = self.decode(p)
-                mean, std, emb = self._features(img)
+                mean, std, emb = self._one(k, p)
                 status = "ok"
             except Exception:  # noqa: BLE001 — skip-and-log semantics
-                mean, std, emb = [], [], np.zeros(64, dtype=np.float32)
+                mean, std, emb = [], [], np.zeros(EMB_DIM, dtype=np.float32)
                 status = "decode_error"
             o_id.append(i)
+            o_kind.append(k)
             o_mean.append(mean)
             o_std.append(std)
             o_emb.append(emb)
             o_status.append(status)
         emb_arr = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.concatenate(o_emb) if o_emb else np.empty(0, np.float32), pa.float32()),
-            64,
+            pa.array(
+                np.concatenate(o_emb) if o_emb else np.empty(0, np.float32), pa.float32()
+            ),
+            EMB_DIM,
         )
         return pa.table(
             {
                 "media_id": pa.array(o_id, pa.int64()),
+                "kind": pa.array(o_kind, pa.string()),
                 "channel_mean": pa.array(o_mean, pa.list_(pa.float64())),
                 "channel_std": pa.array(o_std, pa.list_(pa.float64())),
                 "embedding": emb_arr,
@@ -128,12 +230,101 @@ class MediaDecodeActor:
         )
 
 
-def media_features(ds, concurrency=(1, 4), batch_size: int = 64):
+def media_features(ds, concurrency=None, batch_size: int = 64):
     """Wide binary rows -> SMALL batches; actor pool holds the codec."""
+    from ..functions.concurrency import auto_pool
+
     return ds.map_batches(
         MediaDecodeActor,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
+        concurrency=concurrency or auto_pool(cap=8),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# resize + frame-sample stages
+# ---------------------------------------------------------------------------
+
+
+class ImageResizeActor:
+    """Actor-pool stage: decode -> nearest-neighbor resize -> re-encode.
+    Non-image rows pass through unchanged (their payload is not an
+    image). Deterministic: index-grid sampling, no interpolation."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16, decode_fn=fake_decode):
+        self.out_w, self.out_h = out_w, out_h
+        self.decode = decode_fn
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        ys = np.linspace(0, img.shape[0] - 1, self.out_h).astype(int)
+        xs = np.linspace(0, img.shape[1] - 1, self.out_w).astype(int)
+        return img[np.ix_(ys, xs)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        o_payload, o_w, o_h = [], [], []
+        for k, p in zip(kinds, payloads):
+            if k != "image":
+                o_payload.append(p)
+                o_w.append(0)
+                o_h.append(0)
+                continue
+            img = self._resize(self.decode(p))
+            o_payload.append(encode_fake_image(img))
+            o_w.append(self.out_w)
+            o_h.append(self.out_h)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload": pa.array(o_payload, pa.binary()),
+                "width": pa.array(o_w, pa.int32()),
+                "height": pa.array(o_h, pa.int32()),
+            }
+        )
+
+
+def resize_images(ds, out_w: int = 16, out_h: int = 16, concurrency=None, batch_size: int = 64):
+    from ..functions.concurrency import auto_pool
+
+    return ds.map_batches(
+        ImageResizeActor,
+        fn_constructor_kwargs={"out_w": out_w, "out_h": out_h},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or auto_pool(cap=8),
+        num_cpus=1,
+    )
+
+
+def sample_frames(ds, stride: int = 2, batch_size: int = 32):
+    """1->N explosion: one row per SAMPLED frame of each video (every
+    ``stride``-th frame), payload = the frame's IMG1 blob. Stateless
+    tasks — frame slicing is pure byte work, no codec state."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        o_id, o_frame, o_payload = [], [], []
+        for i, k, p in zip(ids, kinds, payloads):
+            if k != "video":
+                continue
+            for fi, blob in enumerate(iter_fake_video_frames(p)):
+                if fi % stride == 0:
+                    o_id.append(i)
+                    o_frame.append(fi)
+                    o_payload.append(blob)
+        return pa.table(
+            {
+                "media_id": pa.array(o_id, pa.int64()),
+                "frame_idx": pa.array(o_frame, pa.int32()),
+                "kind": pa.array(["image"] * len(o_id), pa.string()),
+                "payload": pa.array(o_payload, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=batch_size)

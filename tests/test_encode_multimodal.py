@@ -51,8 +51,12 @@ def test_media_pipeline(ray_session):
     out = media_features(ds).to_pandas()
     assert len(out) == 32
     assert (out["decode_status"] == "ok").all()
+    assert set(out["kind"]) == {"image", "audio", "video"}
     assert len(out.iloc[0]["embedding"]) == 64
-    assert all(len(m) == 3 for m in out["channel_mean"])
+    img = out[out["kind"].isin(["image", "video"])]
+    assert all(len(m) == 3 for m in img["channel_mean"])
+    aud = out[out["kind"] == "audio"]
+    assert all(len(m) == 1 for m in aud["channel_mean"])  # [rms]
 
 
 def test_media_pipeline_skips_bad_payloads(ray_session):
@@ -72,3 +76,37 @@ def test_media_pipeline_skips_bad_payloads(ray_session):
     ds = ray.data.from_arrow(pa.concat_tables([t, bad]))
     out = media_features(ds).to_pandas()
     assert (out["decode_status"] == "decode_error").sum() == 1  # skip-and-log, job survives
+
+
+def test_media_resize_and_frame_sample(ray_session):
+    import ray.data
+    from coco_search_ray.stages.multimodal import (
+        fake_decode,
+        generate_media_table,
+        iter_fake_video_frames,
+        resize_images,
+        sample_frames,
+    )
+
+    t = generate_media_table(12)
+    ds = ray.data.from_arrow(t)
+
+    resized = resize_images(ds, out_w=16, out_h=16).to_pandas()
+    img_rows = resized[resized["kind"] == "image"]
+    assert (img_rows["width"] == 16).all() and (img_rows["height"] == 16).all()
+    shape = fake_decode(img_rows.iloc[0]["payload"]).shape
+    assert shape == (16, 16, 3)
+    # non-image payloads pass through untouched
+    aud = resized[resized["kind"] == "audio"].iloc[0]
+    orig = t.to_pandas()
+    assert aud["payload"] == orig[orig["media_id"] == aud["media_id"]].iloc[0]["payload"]
+
+    frames = sample_frames(ds, stride=2).to_pandas()
+    assert (frames["frame_idx"] % 2 == 0).all()
+    # every sampled frame decodes as a standalone image
+    assert fake_decode(frames.iloc[0]["payload"]).ndim == 3
+    vids = orig[orig["kind"] == "video"]
+    expect = sum(
+        len(list(iter_fake_video_frames(p))[::2]) for p in vids["payload"]
+    )
+    assert len(frames) == expect
