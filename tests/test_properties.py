@@ -108,3 +108,125 @@ def test_minhash_identity(tokens):
     mh = MinHasher(num_perm=32, num_bands=8)
     assert (mh.signature(tokens) == mh.signature(set(tokens))).all()
     assert jaccard(tokens, tokens) == 1.0
+
+
+# ---------------------------------------------------------------------------
+# round-2 kernels: vectorized paths vs readable spec implementations
+# ---------------------------------------------------------------------------
+
+_words = st.lists(
+    st.text(alphabet=string.ascii_letters + string.digits + "_", min_size=1, max_size=12),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(_words)
+@settings(max_examples=200, deadline=None)
+def test_detect_mentions_single_pass_matches_spec(words):
+    """The single-pass detector == the original two-pass spec (bigrams
+    with used-in-bigram suppression, then identifiers, sorted by index,
+    deduped keep-first)."""
+    import re
+
+    from coco_search_ray.functions.mentions import (
+        _CAP_WORD_RE,
+        _is_identifier_mention,
+        detect_mentions,
+    )
+
+    text = " ".join(words)
+    got = detect_mentions(text)
+
+    # spec re-implementation (the pre-optimization shape)
+    wlist = re.findall(r"[A-Za-z0-9_]+", text)
+    caps = [_CAP_WORD_RE.match(w) is not None for w in wlist]
+    found, used = [], set()
+    for i in range(len(wlist) - 1):
+        if caps[i] and caps[i + 1]:
+            found.append((i, f"{wlist[i]} {wlist[i + 1]}"))
+            used.add(i)
+            used.add(i + 1)
+    for i, w in enumerate(wlist):
+        if i not in used and _is_identifier_mention(w):
+            found.append((i, w))
+    found.sort(key=lambda t: t[0])
+    expect, seen = [], set()
+    for _, s in found:
+        if s not in seen:
+            seen.add(s)
+            expect.append(s)
+    assert got == expect
+
+
+@given(_text)
+@settings(max_examples=200, deadline=None)
+def test_shingle_hash_sets_match_string_sets(text):
+    """Hashed-shingle cardinalities and Jaccard == string-set versions
+    (equal up to 2^-64 collisions, which hypothesis will never hit)."""
+    from coco_search_ray.functions.hashing import (
+        char_shingle_hashes,
+        char_shingles,
+        jaccard,
+        jaccard_u64,
+        word_ngram_hashes,
+        word_ngrams,
+    )
+
+    assert len(char_shingle_hashes(text, 5)) == len(char_shingles(text, 5))
+    assert len(word_ngram_hashes(text, 3)) == len(word_ngrams(text, 3))
+    other = text[::-1]
+    a, b = char_shingle_hashes(text, 5), char_shingle_hashes(other, 5)
+    assert abs(jaccard_u64(a, b) - jaccard(char_shingles(text, 5), char_shingles(other, 5))) < 1e-12
+
+
+@given(st.lists(_text, min_size=1, max_size=8))
+@settings(max_examples=50, deadline=None)
+def test_minhash_batch_independent_of_batching(texts):
+    """signatures_batch rows depend only on the doc, not on which other
+    docs share the batch (reduceat boundary correctness)."""
+    import numpy as np
+
+    from coco_search_ray.functions.hashing import MinHasher, char_shingle_hashes
+
+    h = MinHasher(num_perm=32, num_bands=8)
+    arrays = [char_shingle_hashes(t, 5) for t in texts]
+    batched = h.signatures_batch(arrays)
+    for i, arr in enumerate(arrays):
+        single = h.signatures_batch([arr])
+        assert np.array_equal(batched[i], single[0])
+    bands = h.band_hashes(batched)
+    assert bands.shape == (len(texts), 8)
+
+
+@given(st.lists(st.text(alphabet=string.ascii_lowercase + " ", min_size=0, max_size=40), min_size=0, max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_simhash_vectorized_matches_spec(tokens):
+    """Vectorized simhash64 == the per-token bit-count spec."""
+    from coco_search_ray.functions.hashing import simhash64, stable_hash64
+
+    got = simhash64(tokens)
+    acc = [0] * 64
+    for t in tokens:
+        hv = stable_hash64(t)
+        for i in range(64):
+            acc[i] += 1 if (hv >> i) & 1 else -1
+    expect = 0
+    for i in range(64):
+        if acc[i] > 0:
+            expect |= 1 << i
+    assert got == expect
+
+
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), st.integers(min_value=0, max_value=6))
+@settings(max_examples=300, deadline=None)
+def test_round_half_away_matches_decimal(x, dec):
+    """round_half_away == decimal ROUND_HALF_UP on the float's exact
+    binary value (the DuckDB-compatible mode)."""
+    import decimal
+
+    from coco_search_ray.functions.numeric import round_half_away
+
+    got = round_half_away(x, dec)
+    d = decimal.Decimal(x).quantize(decimal.Decimal(1).scaleb(-dec), rounding=decimal.ROUND_HALF_UP)
+    assert abs(got - float(d)) < 1e-9 * max(1.0, abs(x))
