@@ -197,7 +197,7 @@ def q_orders_by_priority(sf_dir: str) -> pd.DataFrame:
         return pa.table({"l_orderkey": b["l_orderkey"], "revenue": r})
 
     lineitem = lineitem.map_batches(rev, batch_format="pyarrow")
-    joined = hash_join(orders, lineitem, on="o_orderkey", right_on="l_orderkey", num_partitions=8)
+    joined = hash_join(orders, lineitem, on="o_orderkey", right_on="l_orderkey")
     out = (
         joined.groupby("o_orderpriority")
         .aggregate(Count(alias_name="n_items"), Sum("revenue", alias_name="revenue"))

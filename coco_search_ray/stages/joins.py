@@ -49,9 +49,13 @@ def hash_join(
     right: ray.data.Dataset,
     on: str,
     right_on: str | None = None,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     join_type: str = "inner",
 ) -> ray.data.Dataset:
+    if num_partitions is None:
+        # ~cluster CPUs / 2: enough join tasks to keep cores busy without
+        # drowning a small exchange in per-partition fixed costs
+        num_partitions = max(8, auto_pool()[1])
     return left.join(
         right,
         join_type=join_type,
