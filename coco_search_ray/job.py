@@ -46,6 +46,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--out")
     b.add_argument("--config", help="YAML pipeline config (env-substituted)")
     b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--group-size", type=int, default=1,
+                   help="input files per pipeline run / manifest (resume granularity)")
 
     s = sub.add_parser("stats")
     s.add_argument("--out", required=True)
@@ -90,7 +92,7 @@ def main(argv: list[str] | None = None) -> int:
                 p.error("build requires --data/--out (directly or via --config)")
             if args.no_resume and os.path.isdir(out):
                 shutil.rmtree(out)
-            stats = run_resumable(data, out, kg_kwargs=kg_kwargs)
+            stats = run_resumable(data, out, kg_kwargs=kg_kwargs, group_size=args.group_size)
             print(json.dumps(stats))
         elif args.cmd == "stats":
             from .pipelines.materialize import read_triples

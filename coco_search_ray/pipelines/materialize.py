@@ -28,7 +28,7 @@ from ..state.manifest import (
     commit_shard,
     input_fingerprint,
     list_manifests,
-    pending_shards,
+    shard_is_done,
     shard_output_dir,
 )
 from .kg import build_kg
@@ -50,11 +50,22 @@ def run_resumable(
     fail_after_shards: int | None = None,
     subj_buckets: int | None = None,
     kg_kwargs: dict | None = None,
+    group_size: int = 1,
 ) -> dict:
     """Build the triple table for ``data_dir`` under ``out_dir``; skips
     shards already committed with a matching input fingerprint.
     ``fail_after_shards`` injects a crash after N shard commits (used by
-    the resume test). Returns run stats."""
+    the resume test). Returns run stats.
+
+    ``group_size``: input files per pipeline run / manifest. 1 = finest
+    checkpoint granularity (one manifest per file). At small shard sizes
+    the per-shard FIXED cost (pipeline setup, unique pass, linkmap,
+    barriers) dominates — grouping amortizes it G-fold at the price of
+    G-file resume granularity. Measured on the 128-file / 30M-turn
+    bench tier at 32 cpus: G=1 ~4.8 s/shard (~620 s total), G=16 56 s
+    total, one streaming non-resumable build 23 s; noop rerun 0.6 s.
+    Changing G renames the shard ids, which invalidates all manifests —
+    pick it once per output dir."""
     os.makedirs(out_dir, exist_ok=True)
     catalog = load_catalog(data_dir)
     mapping = canonical_mapping(catalog.to_pylist())
@@ -102,8 +113,27 @@ def run_resumable(
             json.dump(meta, f)
 
     files = transcript_files(data_dir)
-    shards = [(f"{i:04d}", p) for i, p in enumerate(files)]
-    todo = pending_shards(out_dir, shards, globals_hash)
+    gs = max(1, group_size)
+    if gs == 1:
+        shards = [(f"{i:04d}", [p]) for i, p in enumerate(files)]
+    else:
+        shards = [
+            (f"g{gi:04d}", files[lo : lo + gs])
+            for gi, lo in enumerate(range(0, len(files), gs))
+        ]
+
+    def _input_hash(paths: list[str]) -> str:
+        if len(paths) == 1:
+            return input_fingerprint(paths[0])
+        return hashlib.sha256(
+            "|".join(input_fingerprint(p) for p in paths).encode()
+        ).hexdigest()
+
+    todo = [
+        (sid, paths)
+        for sid, paths in shards
+        if not shard_is_done(out_dir, sid, _input_hash(paths), globals_hash)
+    ]
 
     # deletion semantics (reference flow.py:450-461: rows of files removed
     # from the input are dropped): committed shards with no matching input
@@ -118,14 +148,14 @@ def run_resumable(
             deleted += 1
 
     done = 0
-    for shard_id, path in todo:
+    for shard_id, paths in todo:
         if fail_after_shards is not None and done >= fail_after_shards:
             raise RuntimeError(f"injected failure after {done} shards")
-        fp = input_fingerprint(path)
+        fp = _input_hash(paths)
         tmp = os.path.join(out_dir, f"_tmp_shard_{shard_id}")
         shutil.rmtree(tmp, ignore_errors=True)
         kw = {"concurrency": concurrency, "conv_local_shards": True, **(kg_kwargs or {})}
-        triples = build_kg([path], catalog, mapping, **kw)
+        triples = build_kg(paths, catalog, mapping, **kw)
         if subj_buckets:
             # secondary layout: partition each shard's output by
             # hash(subj) % B (uniform by construction — SURVEY.md §7.4) so
@@ -152,7 +182,7 @@ def run_resumable(
             shard_id,
             fp,
             tmp,
-            {"input_path": path, "triples": n_triples, "globals_hash": globals_hash},
+            {"input_paths": paths, "triples": n_triples, "globals_hash": globals_hash},
         )
         done += 1
 

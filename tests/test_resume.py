@@ -175,3 +175,28 @@ def test_subj_bucket_partitioned_output(ray_session, smoke_dir, tmp_path):
     df = read_triples(out).to_pandas()
     assert len(df) > 100
     assert {"subj", "pred", "obj", "conv_id", "turn_idx"} <= set(df.columns)
+
+
+def test_shard_groups_resume_and_equivalence(ray_session, smoke_dir, tmp_path):
+    """group_size > 1: G-file groups build in one pipeline each, crash/
+    resume works at group granularity, and the triple set is byte-equal
+    to the per-file layout."""
+    import pandas as pd
+    import pytest
+
+    from coco_search_ray.pipelines.materialize import read_triples, run_resumable
+
+    fine = str(tmp_path / "fine")
+    run_resumable(smoke_dir, fine)  # 4 files, 4 manifests
+
+    grouped = str(tmp_path / "grouped")
+    with pytest.raises(RuntimeError):
+        run_resumable(smoke_dir, grouped, group_size=2, fail_after_shards=1)
+    s = run_resumable(smoke_dir, grouped, group_size=2)
+    assert s["shards_total"] == 2
+    assert (s["shards_processed"], s["shards_skipped"]) == (1, 1)  # crash kept group 0
+
+    key = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    a = read_triples(fine).to_pandas()[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = read_triples(grouped).to_pandas()[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
