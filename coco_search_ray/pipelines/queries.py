@@ -568,33 +568,42 @@ def q_doc_fingerprint_overlap(sf_dir: str) -> pd.DataFrame:
             "fp_bucket", pc.cast(pc.bit_wise_and(b["fingerprint"], pa.scalar(255, pa.uint64())), pa.int32())
         )
 
-    def pairs_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        outs = []
-        for _fp, g in df.groupby("fingerprint", sort=True):
-            # fingerprints shared by many docs are vocabulary-level noise,
-            # not copied passages; cap the bucket low
-            ids = sorted(set(g["doc_id"].tolist()))
-            if 2 <= len(ids) <= 16:
-                outs.append(
-                    pd.DataFrame(
-                        [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]],
-                        columns=["a", "b"],
-                    )
-                )
-        if not outs:
-            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")})
-        return pd.concat(outs, ignore_index=True)
-
-    out = (
+    # numpy over the sorted fingerprint runs inside each coarse bucket
+    # (one frame per GROUP — never a pandas groupby loop emitting a frame
+    # per fingerprint); fingerprints shared by many docs are vocabulary-
+    # level noise, not copied passages, so the run cap stays low (16)
+    pairs = (
         fps.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("fp_bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-        .groupby(["a", "b"])
-        .aggregate(Count(alias_name="n_shared"))
+        .map_groups(
+            lambda df: dedup._pairs_within_band(df, "doc_id", "fingerprint", 16),
+            batch_format="pandas",
+        )
+    )
+
+    # shared-count per pair: coarse hash(a)%16 buckets + ONE inner pandas
+    # groupby per bucket — a native Ray aggregate here means tens of
+    # thousands of tiny groups (the per-group overhead dominates; same
+    # lesson as the band-pair kernels). A pair's rows share a bucket by
+    # construction (keyed on a).
+    def add_pair_bucket(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        a = b["a"].to_numpy(zero_copy_only=False)
+        return b.append_column("_pb", pa.array((np.abs(a) % 16).astype(np.int32)))
+
+    def count_in_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["a", "b"], as_index=False).size().rename(columns={"size": "n_shared"})
+        return g[g["n_shared"] >= 5]
+
+    out = (
+        pairs.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(count_in_bucket, batch_format="pandas")
         .to_pandas()
     )
     out = out.astype({"a": "int64", "b": "int64", "n_shared": "int64"})
-    return out[out["n_shared"] >= 5].reset_index(drop=True)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 Q_DOC_FINGERPRINT_OVERLAP_SQL = f"""
