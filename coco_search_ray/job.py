@@ -60,12 +60,26 @@ def main(argv: list[str] | None = None) -> int:
     g = sub.add_parser("synth")
     g.add_argument("--tier", default="smoke")
 
+    r = sub.add_parser("query", help="run a registry query (see list-queries)")
+    r.add_argument("--name", required=True)
+    r.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    r.add_argument("--limit", type=int, default=20)
+
+    sub.add_parser("list-queries")
+
     args = p.parse_args(argv)
 
     if args.cmd == "synth":
         from .sources.synth import ensure_tier
 
         print(ensure_tier(args.tier))
+        return 0
+
+    if args.cmd == "list-queries":
+        from .pipelines.queries import REGISTRY
+
+        for name, (_fn, sql) in REGISTRY.items():
+            print(f"{name}\t{'sql-checked' if sql else 'rows-only'}")
         return 0
 
     owns_session = _ensure_ray()
@@ -101,6 +115,17 @@ def main(argv: list[str] | None = None) -> int:
             triples = read_triples(args.out)
             print(triples_by_pred(triples).to_pandas().to_string(index=False))
             print(top_entities(triples, 10).to_pandas().to_string(index=False))
+        elif args.cmd == "query":
+            from .pipelines.queries import REGISTRY
+
+            if args.name not in REGISTRY:
+                p.error(f"unknown query {args.name!r}; see list-queries")
+            fn, _sql = REGISTRY[args.name]
+            res = fn(args.sf_dir)
+            if hasattr(res, "to_pandas"):
+                res = res.to_pandas()
+            print(res.head(args.limit).to_string(index=False))
+            print(f"[{len(res)} rows]")
         elif args.cmd == "search":
             from .pipelines.search import search_catalog
             from .sources.synth import load_catalog
