@@ -379,6 +379,50 @@ FROM per_session GROUP BY user_id
 # ---------------------------------------------------------------------------
 
 
+def q_events_asof(sf_dir: str) -> pd.DataFrame:
+    """As-of join (an operator Ray Data lacks): each purchase event
+    attaches the user's latest STRICTLY-prior click. Coarse key buckets +
+    per-bucket merge_asof; DuckDB's native ASOF JOIN is the oracle."""
+    from ..stages.asof import asof_join
+
+    left = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]).filter(
+        expr="event_type == 'purchase'"
+    ).drop_columns(["event_type"])
+    right = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"]).filter(
+        expr="event_type == 'click'"
+    ).drop_columns(["event_type"])
+    out = asof_join(
+        left,
+        right,
+        key_col="user_id",
+        ts_col="ts",
+        left_cols=["event_id", "value"],
+        right_cols={"ts": "click_ts", "value": "click_value"},
+    ).to_pandas()
+    out = out.rename(columns={"value": "purchase_value"})
+    out = _round_half_away(out, ["purchase_value"], 2)
+    # half-away rounding on a column with NaNs: round only the valid rows
+    mask = out["click_value"].notna()
+    out.loc[mask, "click_value"] = _round_half_away(
+        out.loc[mask, ["click_value"]].copy(), ["click_value"], 2
+    )["click_value"]
+    return (
+        out[["event_id", "user_id", "ts", "purchase_value", "click_ts", "click_value"]]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+
+Q_EVENTS_ASOF_SQL = """
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts, round(p.value, 2) AS purchase_value,
+       c.ts AS click_ts, round(c.value, 2) AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
+ORDER BY p.event_id
+"""
+
+
 def q_doc_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
     feats = ds.map_batches(textops.doc_features, batch_format="pyarrow")
@@ -849,6 +893,7 @@ REGISTRY: dict[str, tuple] = {
     "q_events_tumbling": (q_events_tumbling, Q_EVENTS_TUMBLING_SQL),
     "q_events_user_stats": (q_events_user_stats, Q_EVENTS_USER_STATS_SQL),
     "q_events_sessions": (q_events_sessions, Q_EVENTS_SESSIONS_SQL),
+    "q_events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),
     "q_doc_stats": (q_doc_stats, Q_DOC_STATS_SQL),
     "q_doc_exact_dedup": (q_doc_exact_dedup, Q_DOC_EXACT_DEDUP_SQL),
     "q_doc_langid": (q_doc_langid, Q_DOC_LANGID_SQL),

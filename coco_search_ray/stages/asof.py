@@ -1,0 +1,122 @@
+"""As-of join — an operator Ray Data lacks (SURVEY custom-operator
+track): for every LEFT row, attach the latest RIGHT row of the same key
+with right.ts strictly before left.ts (backward as-of, strict).
+
+Expression: union both sides into one stream with a side flag, ONE
+shuffle on the coarse key bucket hash(key) % B (a key's rows land in one
+bucket, both sides), then one pandas merge_asof per bucket over the
+ts-sorted frames — never one Ray group per key, never a global sort.
+DuckDB's native ASOF JOIN is the oracle for the registry query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.hashing import stable_hash64
+
+
+def add_key_bucket(batch: pa.Table, key_col: str, num_buckets: int, out_col: str = "_bucket") -> pa.Table:
+    """Deterministic coarse shuffle key for integer or string keys
+    (strings hashed once per DISTINCT value per batch)."""
+    col = batch[key_col]
+    if pa.types.is_integer(col.type):
+        ids = col.to_numpy(zero_copy_only=False)
+        bucket = pa.array((np.abs(ids) % num_buckets).astype(np.int32))
+    else:
+        uniq = pc.unique(col)
+        per_uniq = pa.array(
+            [stable_hash64(str(u)) % num_buckets for u in uniq.to_pylist()], pa.int32()
+        )
+        bucket = pc.take(per_uniq, pc.index_in(col, value_set=uniq))
+    return batch.append_column(out_col, bucket)
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    left_cols: list[str],
+    right_cols: dict[str, str],
+    num_buckets: int = 64,
+    allow_exact: bool = False,
+) -> ray.data.Dataset:
+    """Backward as-of join.
+
+    left_cols:  left columns carried to the output (beyond key/ts).
+    right_cols: {right column -> output name} contributed by the matched
+                right row (map the right ts_col to e.g. 'click_ts' to
+                keep the matched timestamp). Nulls when no right row
+                precedes the left row for that key.
+    """
+    out_names = list(right_cols.values())
+
+    # each tagger nulls the OTHER side's columns with their true types
+    # (a float64 placeholder would promote int columns through the union);
+    # both schemas resolve once, driver-side, metadata only
+    right_schema = right.schema()
+    rtypes = dict(zip(right_schema.names, right_schema.types))
+    left_schema = left.schema()
+    ltypes = dict(zip(left_schema.names, left_schema.types))
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {key_col: b[key_col], ts_col: b[ts_col]}
+        for c in left_cols:
+            cols[c] = pa.nulls(b.num_rows, ltypes[c])
+        for rc, name in right_cols.items():
+            cols[name] = b[rc]
+        t = pa.table(cols).append_column("_side", pa.array(np.ones(b.num_rows, np.int8)))
+        return add_key_bucket(t, key_col, num_buckets)
+
+    def tag_left_typed(b: pa.Table) -> pa.Table:
+        cols = {key_col: b[key_col], ts_col: b[ts_col]}
+        for c in left_cols:
+            cols[c] = b[c]
+        for rc, name in right_cols.items():
+            cols[name] = pa.nulls(b.num_rows, rtypes[rc])
+        t = pa.table(cols).append_column("_side", pa.array(np.zeros(b.num_rows, np.int8)))
+        return add_key_bucket(t, key_col, num_buckets)
+
+    lt = left.map_batches(tag_left_typed, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    both = lt.union(rt)
+
+    # integer columns pick up nulls from the OTHER side's rows in the
+    # union block, which pandas promotes to float64; after the side
+    # filter they are null-free again, so cast back
+    int_left = [c for c in left_cols if pa.types.is_integer(ltypes[c])]
+    int_right = [n for rc, n in right_cols.items() if pa.types.is_integer(rtypes[rc])]
+
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0][[key_col, ts_col] + left_cols].sort_values(
+            ts_col, kind="mergesort"
+        )
+        for c in int_left:
+            l[c] = l[c].astype("int64")
+        r = df[df["_side"] == 1][[key_col] + out_names].copy()
+        for c in int_right:
+            r[c] = r[c].astype("int64")
+        if l.empty:
+            return l.iloc[0:0].assign(**{n: pd.Series(dtype="object") for n in out_names})
+        # the right frame's join axis is ITS ts (exported or not via
+        # right_cols); reconstruct it for merge_asof ordering
+        r["_rts"] = df[df["_side"] == 1][ts_col].values
+        r = r.sort_values("_rts", kind="mergesort")
+        out = pd.merge_asof(
+            l.rename(columns={ts_col: "_lts"}).sort_values("_lts", kind="mergesort"),
+            r,
+            left_on="_lts",
+            right_on="_rts",
+            by=key_col,
+            direction="backward",
+            allow_exact_matches=allow_exact,
+        )
+        out = out.rename(columns={"_lts": ts_col}).drop(columns=["_rts"])
+        return out
+
+    return both.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")

@@ -184,3 +184,57 @@ def test_tumbling_bucket_vectorized():
     b = out["hour_bucket"].to_pylist()
     assert b[0] + 1 == b[1]  # boundary crossing
     assert b[2] == b[1] + 1  # 02:30 -> one bucket later than 01:00? (floor)
+
+
+def test_asof_join_matches_pandas(ray_session):
+    """Distributed as-of join (coarse key buckets + per-bucket
+    merge_asof) == one global pandas merge_asof, across bucket
+    boundaries, with strict inequality and int dtypes preserved."""
+    import numpy as np
+    import ray.data
+
+    from coco_search_ray.stages.asof import asof_join
+
+    rng = np.random.RandomState(7)
+    n = 400
+    left = pd.DataFrame(
+        {
+            "k": rng.randint(0, 150, n),  # > num_buckets keys
+            "ts": pd.to_datetime(rng.randint(0, 50_000, n), unit="s"),
+            "row_id": np.arange(n),
+            "v": rng.rand(n),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 150, 300),
+            "ts": pd.to_datetime(rng.randint(0, 50_000, 300), unit="s"),
+            "v": rng.rand(300),
+        }
+    ).drop_duplicates(subset=["k", "ts"])
+
+    got = (
+        asof_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            key_col="k",
+            ts_col="ts",
+            left_cols=["row_id", "v"],
+            right_cols={"ts": "r_ts", "v": "r_v"},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("row_id")
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts"),
+        right.sort_values("ts").rename(columns={"v": "r_v"}).assign(r_ts=lambda d: d["ts"]),
+        on="ts",
+        by="k",
+        direction="backward",
+        allow_exact_matches=False,
+    ).sort_values("row_id").reset_index(drop=True)
+    cols = ["row_id", "k", "ts", "v", "r_ts", "r_v"]
+    assert got["row_id"].dtype == np.int64
+    pd.testing.assert_frame_equal(got[cols], exp[cols])
