@@ -90,13 +90,37 @@ class PipelineConfig(BaseModel, extra="forbid"):
     kg: KgConfig = KgConfig()
 
     def kg_kwargs(self) -> dict:
-        """kwargs for pipelines.kg.build_kg."""
+        """kwargs for pipelines.kg.build_kg (incl. the linking constants
+        threaded into every EntityIndex the build creates)."""
         return {
             "conv_local_shards": self.kg.conv_local_shards,
             "two_phase": self.kg.two_phase,
             "distributed_linkmap": self.kg.distributed_linkmap,
             "concurrency": self.kg.concurrency,
             "extractor_dirs": list(self.kg.extractor_dirs),
+            "link_params": self.link_params(),
+        }
+
+    def link_params(self) -> dict:
+        """EntityIndex retrieval constants (linking section)."""
+        return {
+            "rrf_k": self.linking.rrf_k,
+            "boost": self.linking.definition_boost,
+            "prefetch_cap": self.linking.prefetch_cap,
+        }
+
+    def canon_params(self) -> dict:
+        """canonical_mapping kwargs (canonicalization section)."""
+        return {
+            "threshold": self.canonicalization.jaccard_threshold,
+            "max_bucket": self.canonicalization.max_bucket,
+        }
+
+    def chunk_kwargs(self) -> dict:
+        """stages.chunking.chunk_documents kwargs (chunking section)."""
+        return {
+            "chunk_size": self.chunking.chunk_size,
+            "chunk_overlap": self.chunking.chunk_overlap,
         }
 
 

@@ -11,6 +11,8 @@ from __future__ import annotations
 import ray
 
 _deref_cache: dict[str, object] = {}
+_CACHE_MAX = 4  # a stage may legitimately hold a few broadcast objects;
+# a single slot would make two refs evict each other every batch
 
 
 def deref_cached(ref) -> object:
@@ -18,6 +20,7 @@ def deref_cached(ref) -> object:
     obj = _deref_cache.get(key)
     if obj is None:
         obj = ray.get(ref)
-        _deref_cache.clear()
+        if len(_deref_cache) >= _CACHE_MAX:
+            _deref_cache.clear()
         _deref_cache[key] = obj
     return obj

@@ -66,7 +66,21 @@ class EntityIndex:
     docs/retrieval.md:70-75).
     """
 
-    def __init__(self, catalog_rows: list[dict], dim: int = EMBED_DIM):
+    def __init__(
+        self,
+        catalog_rows: list[dict],
+        dim: int = EMBED_DIM,
+        rrf_k: int | None = None,
+        boost: float | None = None,
+        prefetch_cap: int | None = None,
+    ):
+        # the retrieval constants (reference hybrid.py:29-37) are the
+        # config surface (linking section); None = reference defaults
+        from .rrf import CANONICAL_BOOST, MAX_PREFETCH, RRF_K
+
+        self.rrf_k = RRF_K if rrf_k is None else rrf_k
+        self.boost = CANONICAL_BOOST if boost is None else boost
+        self.prefetch_cap = MAX_PREFETCH if prefetch_cap is None else prefetch_cap
         keys: list[str] = []
         entity_ids: list[str] = []
         surfaces: list[str] = []
@@ -202,14 +216,16 @@ class EntityIndex:
         semantic-only path (no keyword channel; the canonical boost still
         applies — reference hybrid.py:577-596 boosts the vector-only path
         too)."""
-        prefetch = prefetch_limit(limit)
+        prefetch = prefetch_limit(limit, self.prefetch_cap)
         qvec = hash_embeddings([query])[0]
         qn = np.linalg.norm(qvec)
         if qn > 0:
             qvec = qvec / qn
         dense = self._dense_ranked(qvec, prefetch)
         keyword = self._keyword_ranked(query, prefetch) if hybrid else []
-        fused = apply_canonical_boost(rrf_fuse(dense, keyword), self.is_canonical)
+        fused = apply_canonical_boost(
+            rrf_fuse(dense, keyword, k=self.rrf_k), self.is_canonical, multiplier=self.boost
+        )
         out = []
         for c in fused[:limit]:
             eid, surface = c.key.split("|", 1)
@@ -258,7 +274,9 @@ class EntityIndex:
                 else:
                     dense = []
                 keyword = self._keyword_ranked(mention, prefetch)
-                fused = apply_canonical_boost(rrf_fuse(dense, keyword), self.is_canonical)
+                fused = apply_canonical_boost(
+                    rrf_fuse(dense, keyword, k=self.rrf_k), self.is_canonical, multiplier=self.boost
+                )
                 res: LinkResult | None = None
                 for c in fused[:limit]:
                     dense_exact = (

@@ -106,6 +106,6 @@ def apply_canonical_boost(
     return out
 
 
-def prefetch_limit(limit: int) -> int:
-    """Dynamic per-backend candidate prefetch: min(2*limit, MAX_PREFETCH)."""
-    return min(2 * limit, MAX_PREFETCH)
+def prefetch_limit(limit: int, cap: int = MAX_PREFETCH) -> int:
+    """Dynamic per-backend candidate prefetch: min(2*limit, cap)."""
+    return min(2 * limit, cap)

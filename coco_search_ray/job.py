@@ -92,6 +92,7 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.materialize import run_resumable
 
             kg_kwargs = None
+            canon_params = None
             data, out = args.data, args.out
             if args.config:
                 from .config import load_config
@@ -99,14 +100,16 @@ def main(argv: list[str] | None = None) -> int:
                 cfg = load_config(args.config)
                 data = data or cfg.data_dir
                 out = out or cfg.out_dir
-                kg_kwargs = {
-                    k: v for k, v in cfg.kg_kwargs().items() if k != "conv_local_shards"
-                } | {"conv_local_shards": cfg.kg.conv_local_shards}
+                kg_kwargs = cfg.kg_kwargs()
+                canon_params = cfg.canon_params()
             if not data or not out:
                 p.error("build requires --data/--out (directly or via --config)")
             if args.no_resume and os.path.isdir(out):
                 shutil.rmtree(out)
-            stats = run_resumable(data, out, kg_kwargs=kg_kwargs, group_size=args.group_size)
+            stats = run_resumable(
+                data, out, kg_kwargs=kg_kwargs, group_size=args.group_size,
+                canon_params=canon_params,
+            )
             print(json.dumps(stats))
         elif args.cmd == "stats":
             from .pipelines.materialize import read_triples

@@ -167,13 +167,14 @@ def link_stage(
     mapping: dict[str, str],
     concurrency: int | None = None,
     batch_size: int | None = 8192,
+    link_params: dict | None = None,
 ) -> ray.data.Dataset:
     """Broadcast-join linking: the PREBUILT EntityIndex + canonical
     mapping ship once via ray.put; one actor pool links AND canonicalizes
     (stages/link.py)."""
     from ..functions.linker_core import EntityIndex
 
-    index_ref = ray.put(EntityIndex(catalog.to_pylist()))
+    index_ref = ray.put(EntityIndex(catalog.to_pylist(), **(link_params or {})))
     mapping_ref = ray.put(mapping)
     conc = concurrency or _auto_concurrency()
     return mention_ds.map_batches(
@@ -213,6 +214,7 @@ def unique_mention_linkmap(
     mapping: dict[str, str],
     parallelism: int | None = None,
     uniq_blocks: "pd.DataFrame | None" = None,
+    link_params: dict | None = None,
 ) -> dict[str, str | None]:
     """Two-phase linking, phase 1 (broadcast branch): the global
     mention -> canonical-entity dict.
@@ -235,7 +237,7 @@ def unique_mention_linkmap(
     par = parallelism or min(8, max(2, _auto_concurrency()))
     from ..functions.linker_core import EntityIndex
 
-    index_ref = ray.put(EntityIndex(catalog.to_pylist()))
+    index_ref = ray.put(EntityIndex(catalog.to_pylist(), **(link_params or {})))
     mapping_ref = ray.put(mapping)
     chunk_size = max(64, -(-len(uniq) // par))
     futures = [
@@ -254,7 +256,10 @@ _DISTINCT_BROADCAST_MAX = 2_000_000
 
 
 def linkmap_dataset(
-    uniq_ds: ray.data.Dataset, catalog: pa.Table, mapping: dict[str, str]
+    uniq_ds: ray.data.Dataset,
+    catalog: pa.Table,
+    mapping: dict[str, str],
+    link_params: dict | None = None,
 ) -> ray.data.Dataset:
     """Two-phase linking, phase 1 (distributed branch): a Dataset of
     (mention, entity_id) built by linking each globally-distinct mention
@@ -262,12 +267,13 @@ def linkmap_dataset(
     tasks keep the stage fusable."""
     from ..functions.linker_core import EntityIndex
 
-    index_ref = ray.put(EntityIndex(catalog.to_pylist()))
-    mapping_ref = ray.put(mapping)
+    # ONE broadcast object for both pieces of state: two separate refs
+    # through the bounded worker deref cache would evict each other every
+    # batch and re-deserialize the EntityIndex per call
+    state_ref = ray.put((EntityIndex(catalog.to_pylist(), **(link_params or {})), mapping))
 
     def link_batch(b: pa.Table) -> pa.Table:
-        idx = _deref_once(index_ref)
-        mp = _deref_once(mapping_ref)
+        idx, mp = _deref_once(state_ref)
         mentions = b["mention"].to_pylist()
         ents = [
             (mp.get(r.entity_id, r.entity_id) if r else None)
@@ -458,17 +464,10 @@ ASSEMBLY_BUCKETS = 64
 
 
 def _add_conv_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
-    """Coarse deterministic shuffle key: stable_hash64(conv_id) %
-    num_buckets, hashed once per DISTINCT conv_id in the batch (conv ids
-    repeat per mention row) and gathered back with index_in/take."""
-    from ..functions.hashing import stable_hash64
+    """Coarse deterministic shuffle key on conv_id (shared helper)."""
+    from ..functions.bucketing import add_key_bucket
 
-    uniq = pc.unique(batch["conv_id"])
-    per_uniq = pa.array(
-        [stable_hash64(s) % num_buckets for s in uniq.to_pylist()], pa.int32()
-    )
-    bucket = pc.take(per_uniq, pc.index_in(batch["conv_id"], value_set=uniq))
-    return batch.append_column("_conv_bucket", bucket)
+    return add_key_bucket(batch, "conv_id", num_buckets, out_col="_conv_bucket")
 
 
 def build_kg(
@@ -480,6 +479,7 @@ def build_kg(
     two_phase: bool = True,
     distributed_linkmap: bool | None = None,
     extractor_dirs: list[str] | None = None,
+    link_params: dict | None = None,
 ) -> ray.data.Dataset:
     """transcript parquet paths + catalog -> streaming Dataset of triples.
 
@@ -562,10 +562,14 @@ def build_kg(
             else uniq_blocks_ds.count() > _DISTINCT_BROADCAST_MAX
         )
         if use_distributed:
+            # the mention-hash join below REPARTITIONS blocks by mention —
+            # conversation locality is destroyed, so assembly must take
+            # the shuffled general path even for conv-disjoint inputs
+            conv_local_shards = False
             uniq_ds = uniq_blocks_ds.groupby("mention").aggregate(
                 _RayCount(alias_name="_n")
             ).select_columns(["mention"])
-            lm_ds = linkmap_dataset(uniq_ds, catalog, mapping)
+            lm_ds = linkmap_dataset(uniq_ds, catalog, mapping, link_params=link_params)
             ds = ds.join(
                 lm_ds,
                 join_type="left_outer",
@@ -577,11 +581,13 @@ def build_kg(
         else:
             linkmap = unique_mention_linkmap(
                 ds, catalog, mapping, parallelism=concurrency,
-                uniq_blocks=uniq_blocks_ds.to_pandas(),
+                uniq_blocks=uniq_blocks_ds.to_pandas(), link_params=link_params,
             )
             ds = apply_linkmap(ds, linkmap, batch_size=bs)
     else:
-        ds = link_stage(ds, catalog, mapping, concurrency=concurrency, batch_size=bs)
+        ds = link_stage(
+            ds, catalog, mapping, concurrency=concurrency, batch_size=bs, link_params=link_params
+        )
         ds = ds.map_batches(_to_assembly_schema, batch_format="pyarrow")
     if conv_local_shards:
         return ds.map_batches(_assemble, batch_format="pandas", batch_size=None)

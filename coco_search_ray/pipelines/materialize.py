@@ -51,6 +51,7 @@ def run_resumable(
     subj_buckets: int | None = None,
     kg_kwargs: dict | None = None,
     group_size: int = 1,
+    canon_params: dict | None = None,
 ) -> dict:
     """Build the triple table for ``data_dir`` under ``out_dir``; skips
     shards already committed with a matching input fingerprint.
@@ -68,7 +69,8 @@ def run_resumable(
     pick it once per output dir."""
     os.makedirs(out_dir, exist_ok=True)
     catalog = load_catalog(data_dir)
-    mapping = canonical_mapping(catalog.to_pylist())
+    cp = canon_params or {}
+    mapping = canonical_mapping(catalog.to_pylist(), **cp)
 
     # run-global fingerprint: catalog bytes + the canonicalization/link
     # parameters that shape EVERY shard's linkmap. Any change here must
@@ -80,9 +82,13 @@ def run_resumable(
 
     from ..stages.canonicalize import JACCARD_THRESHOLD, MAX_BUCKET
 
+    jt = cp.get("threshold", JACCARD_THRESHOLD)
+    mb = cp.get("max_bucket", MAX_BUCKET)
+    lp = (kg_kwargs or {}).get("link_params") or {}
     catalog_fp = input_fingerprint(os.path.join(data_dir, "catalog.parquet"))
     globals_hash = hashlib.sha256(
-        f"{catalog_fp}|jt={JACCARD_THRESHOLD}|mb={MAX_BUCKET}|encoder=hash-sha256|dim=768".encode()
+        f"{catalog_fp}|jt={jt}|mb={mb}|link={sorted(lp.items())}"
+        f"|encoder=hash-sha256|dim=768".encode()
     ).hexdigest()
 
     # index-metadata registry + model-mismatch guard (reference shape:
@@ -154,7 +160,10 @@ def run_resumable(
         fp = _input_hash(paths)
         tmp = os.path.join(out_dir, f"_tmp_shard_{shard_id}")
         shutil.rmtree(tmp, ignore_errors=True)
-        kw = {"concurrency": concurrency, "conv_local_shards": True, **(kg_kwargs or {})}
+        # config kwargs override the defaults, but a None config value
+        # (unset) must not clobber an explicitly-passed argument
+        overrides = {k: v for k, v in (kg_kwargs or {}).items() if v is not None}
+        kw = {"concurrency": concurrency, "conv_local_shards": True, **overrides}
         triples = build_kg(paths, catalog, mapping, **kw)
         if subj_buckets:
             # secondary layout: partition each shard's output by

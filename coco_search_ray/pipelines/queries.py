@@ -585,13 +585,26 @@ def q_doc_simhash_pairs(sf_dir: str) -> pd.DataFrame:
     return out.drop_duplicates(subset=["a", "b"]).sort_values(["a", "b"]).reset_index(drop=True)
 
 
+# mirrors the pipeline's FULL candidate semantics including the hot-
+# bucket guard: candidates must share an ELIGIBLE 16-bit band bucket
+# (2..256 members — oversized buckets are mass-duplicate noise and are
+# skipped on both sides), then brute-force Hamming <= 3
 Q_DOC_SIMHASH_PAIRS_SQL = f"""
-SELECT a.doc_id AS a, b.doc_id AS b,
-       bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
-FROM read_parquet('{_EXP}/doc_simhash.parquet') a
-JOIN read_parquet('{_EXP}/doc_simhash.parquet') b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-ORDER BY a, b
+WITH s AS (SELECT doc_id, simhash FROM read_parquet('{_EXP}/doc_simhash.parquet')),
+bands AS (SELECT unnest([0, 1, 2, 3]) AS band),
+b AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 16)) & 65535 AS key FROM s CROSS JOIN bands
+), elig AS (
+  SELECT band, key FROM b GROUP BY band, key HAVING count(*) BETWEEN 2 AND 256
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM b x JOIN b y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
+  JOIN elig e ON e.band = x.band AND e.key = x.key
+)
+SELECT cand.a, cand.b, bit_count(xor(sa.simhash, sb.simhash))::BIGINT AS hamming
+FROM cand JOIN s sa ON sa.doc_id = cand.a JOIN s sb ON sb.doc_id = cand.b
+WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+ORDER BY cand.a, cand.b
 """
 
 

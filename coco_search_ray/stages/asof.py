@@ -14,26 +14,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data
 
-from ..functions.hashing import stable_hash64
-
-
-def add_key_bucket(batch: pa.Table, key_col: str, num_buckets: int, out_col: str = "_bucket") -> pa.Table:
-    """Deterministic coarse shuffle key for integer or string keys
-    (strings hashed once per DISTINCT value per batch)."""
-    col = batch[key_col]
-    if pa.types.is_integer(col.type):
-        ids = col.to_numpy(zero_copy_only=False)
-        bucket = pa.array((np.abs(ids) % num_buckets).astype(np.int32))
-    else:
-        uniq = pc.unique(col)
-        per_uniq = pa.array(
-            [stable_hash64(str(u)) % num_buckets for u in uniq.to_pylist()], pa.int32()
-        )
-        bucket = pc.take(per_uniq, pc.index_in(col, value_set=uniq))
-    return batch.append_column(out_col, bucket)
+from ..functions.bucketing import add_key_bucket
 
 
 def asof_join(
@@ -101,12 +84,15 @@ def asof_join(
         r = df[df["_side"] == 1][[key_col] + out_names].copy()
         for c in int_right:
             r[c] = r[c].astype("int64")
-        if l.empty:
-            return l.iloc[0:0].assign(**{n: pd.Series(dtype="object") for n in out_names})
         # the right frame's join axis is ITS ts (exported or not via
-        # right_cols); reconstruct it for merge_asof ordering
+        # right_cols); reconstruct it for merge_asof ordering. Duplicate
+        # (key, ts) right rows need a TOTAL order (every sort needs a
+        # total tiebreak): sort by value columns too, keep the last — the
+        # winner is then data-determined, never block-arrival-determined.
         r["_rts"] = df[df["_side"] == 1][ts_col].values
-        r = r.sort_values("_rts", kind="mergesort")
+        r = r.sort_values(["_rts"] + out_names, kind="mergesort").drop_duplicates(
+            subset=[key_col, "_rts"], keep="last"
+        )
         out = pd.merge_asof(
             l.rename(columns={ts_col: "_lts"}).sort_values("_lts", kind="mergesort"),
             r,
@@ -116,6 +102,9 @@ def asof_join(
             direction="backward",
             allow_exact_matches=allow_exact,
         )
+        # merge_asof with an EMPTY left still emits correctly-typed right
+        # columns (r carries the dtypes), so every bucket — including
+        # left-free ones — produces the same block schema
         out = out.rename(columns={"_lts": ts_col}).drop(columns=["_rts"])
         return out
 

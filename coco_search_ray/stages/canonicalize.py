@@ -71,14 +71,16 @@ def _band_rows(rows: list[dict], hasher: MinHasher) -> pa.Table:
     )
 
 
-def _pairs_from_bucket(eids: list[str]) -> set[tuple[str, str]]:
-    if len(eids) > MAX_BUCKET:
+def _pairs_from_bucket(eids: list[str], max_bucket: int = MAX_BUCKET) -> set[tuple[str, str]]:
+    if len(eids) > max_bucket:
         return set()
     uniq = sorted(set(eids))
     return {(a, b) for i, a in enumerate(uniq) for b in uniq[i + 1 :]}
 
 
-def propose_pairs_local(rows: list[dict], threshold: float = JACCARD_THRESHOLD) -> list[tuple[str, str]]:
+def propose_pairs_local(
+    rows: list[dict], threshold: float = JACCARD_THRESHOLD, max_bucket: int = MAX_BUCKET
+) -> list[tuple[str, str]]:
     hasher = MinHasher(num_perm=64, num_bands=32)
     table = _band_rows(rows, hasher)
     buckets: dict[tuple[int, int], list[str]] = {}
@@ -88,12 +90,14 @@ def propose_pairs_local(rows: list[dict], threshold: float = JACCARD_THRESHOLD) 
         buckets.setdefault((band, bh), []).append(eid)
     cands: set[tuple[str, str]] = set()
     for eids in buckets.values():
-        cands |= _pairs_from_bucket(eids)
+        cands |= _pairs_from_bucket(eids, max_bucket)
     surf = {r["entity_id"]: entity_surface_set(r) for r in rows}
     return sorted(p for p in cands if jaccard(surf[p[0]], surf[p[1]]) >= threshold)
 
 
-def propose_pairs_ray(rows: list[dict], threshold: float = JACCARD_THRESHOLD) -> list[tuple[str, str]]:
+def propose_pairs_ray(
+    rows: list[dict], threshold: float = JACCARD_THRESHOLD, max_bucket: int = MAX_BUCKET
+) -> list[tuple[str, str]]:
     """Distributed blocking: explode band keys, groupby bucket, emit pairs,
     verify Jaccard. The catalog fits a Dataset of (entity_id, band, hash)
     rows; the surface sets are broadcast for verification."""
@@ -106,7 +110,7 @@ def propose_pairs_ray(rows: list[dict], threshold: float = JACCARD_THRESHOLD) ->
     surf_ref = ray.put({r["entity_id"]: entity_surface_set(r) for r in rows})
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        pairs = sorted(_pairs_from_bucket(df["entity_id"].tolist()))
+        pairs = sorted(_pairs_from_bucket(df["entity_id"].tolist(), max_bucket))
         return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -151,12 +155,22 @@ def union_find(ids: list[str], pairs: list[tuple[str, str]]) -> dict[str, str]:
 _RAY_CANON_THRESHOLD = 20_000
 
 
-def canonical_mapping(rows: list[dict], use_ray: bool | None = None) -> dict[str, str]:
+def canonical_mapping(
+    rows: list[dict],
+    use_ray: bool | None = None,
+    threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int = MAX_BUCKET,
+) -> dict[str, str]:
     """``use_ray=None`` auto-selects: small catalogs stay single-process
     (the Ray path's shuffle fixed cost dominates below ~20k entities);
     large ones run the distributed blocking. Both paths produce identical
-    pair sets (pytest-checked)."""
+    pair sets (pytest-checked). ``threshold``/``max_bucket`` are the
+    config surface (canonicalization section)."""
     if use_ray is None:
         use_ray = len(rows) >= _RAY_CANON_THRESHOLD
-    pairs = propose_pairs_ray(rows) if use_ray else propose_pairs_local(rows)
+    pairs = (
+        propose_pairs_ray(rows, threshold, max_bucket)
+        if use_ray
+        else propose_pairs_local(rows, threshold, max_bucket)
+    )
     return union_find([r["entity_id"] for r in rows], pairs)

@@ -155,7 +155,7 @@ def extract_mention_rows(
     ent_extracts = snap.entity_extracts
     literal_steps = snap.literal_steps
     single_entity = len(ent_extracts) == 1
-    ent_extract = ent_extracts[0]
+    ent_extract = ent_extracts[0] if ent_extracts else None
     for r, text in enumerate(texts):
         if not text:
             counts[r] = 0
@@ -163,6 +163,7 @@ def extract_mention_rows(
         if single_entity:
             m = ent_extract(text)
         else:
+            # 0 families (literal-only plan) or 2+ (cross-family dedupe)
             m = []
             seen: set[str] = set()
             for ex in ent_extracts:

@@ -59,23 +59,10 @@ def sessionize(
     perf lesson). Inside a bucket the gap rule is fully vectorized over
     the (key, ts)-sorted frame: a session break is a key change OR an
     over-gap step, sessions are one cumsum, stats one pandas groupby."""
-    from ..functions.hashing import stable_hash64
+    from ..functions.bucketing import add_key_bucket
 
     def add_bucket(b: pa.Table) -> pa.Table:
-        col = b[key_col]
-        if pa.types.is_integer(col.type):
-            import numpy as np
-
-            ids = col.to_numpy(zero_copy_only=False)
-            bucket = pa.array((np.abs(ids) % num_buckets).astype(np.int32))
-        else:
-            # hash distinct keys only (keys repeat heavily within a block)
-            uniq = pc.unique(col)
-            per_uniq = pa.array(
-                [stable_hash64(str(u)) % num_buckets for u in uniq.to_pylist()], pa.int32()
-            )
-            bucket = pc.take(per_uniq, pc.index_in(col, value_set=uniq))
-        return b.append_column("_bucket", bucket)
+        return add_key_bucket(b, key_col, num_buckets)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values([key_col, ts_col], kind="mergesort")

@@ -53,3 +53,38 @@ def test_cli_build_with_config(ray_session, smoke_dir, tmp_path, capsys):
     assert main(["build", "--config", str(cfgp)]) == 0
     stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert stats["shards_processed"] == 4
+
+
+def test_config_params_are_applied(ray_session, smoke_dir, tmp_path):
+    """Config sections must ACT, not just validate: linking constants
+    reach the EntityIndex, canonicalization threshold changes the
+    mapping, chunking kwargs drive the chunker."""
+    from coco_search_ray.config import load_config
+    from coco_search_ray.functions.linker_core import EntityIndex
+    from coco_search_ray.sources.synth import load_catalog
+    from coco_search_ray.stages.canonicalize import canonical_mapping
+    from coco_search_ray.stages.chunking import split_text
+
+    p = tmp_path / "c.yaml"
+    p.write_text(
+        "linking:\n  rrf_k: 10\n  definition_boost: 3.0\n  prefetch_cap: 40\n"
+        "canonicalization:\n  jaccard_threshold: 1.0\n"
+        "chunking:\n  chunk_size: 50\n  chunk_overlap: 10\n"
+    )
+    cfg = load_config(str(p))
+
+    catalog = load_catalog(smoke_dir)
+    idx = EntityIndex(catalog.to_pylist(), **cfg.link_params())
+    assert (idx.rrf_k, idx.boost, idx.prefetch_cap) == (10, 3.0, 40)
+
+    # threshold = 1.0 -> only IDENTICAL surface-token sets merge, a
+    # strict subset of the default 0.3-threshold merges
+    rows = catalog.to_pylist()
+    strict = canonical_mapping(rows, **cfg.canon_params())
+    default = canonical_mapping(rows)
+    n_strict = sum(1 for k, v in strict.items() if k != v)
+    n_default = sum(1 for k, v in default.items() if k != v)
+    assert n_strict < n_default
+
+    chunks = split_text("x" * 200, **cfg.chunk_kwargs())
+    assert all(c.end - c.start <= 50 for c in chunks)

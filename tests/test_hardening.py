@@ -96,10 +96,13 @@ def test_distributed_linkmap_matches_broadcast(ray_session, smoke_dir):
     key = ["subj", "pred", "obj", "conv_id", "turn_idx"]
     a = build_kg(paths, catalog, distributed_linkmap=False).to_pandas()
     b = build_kg(paths, catalog, distributed_linkmap=True).to_pandas()
-    pd.testing.assert_frame_equal(
-        a[key].sort_values(key, kind="mergesort").reset_index(drop=True),
-        b[key].sort_values(key, kind="mergesort").reset_index(drop=True),
-    )
+    # conv_local_shards=True + distributed linkmap: the mention join
+    # destroys conversation locality, so build_kg must fall back to the
+    # shuffled assembly internally (a silent-corruption regression test)
+    c = build_kg(paths, catalog, distributed_linkmap=True, conv_local_shards=True).to_pandas()
+    srt = lambda df: df[key].sort_values(key, kind="mergesort").reset_index(drop=True)  # noqa: E731
+    pd.testing.assert_frame_equal(srt(a), srt(b))
+    pd.testing.assert_frame_equal(srt(a), srt(c))
 
 
 def test_streaming_actor_linker_matches_two_phase(ray_session, smoke_dir):
