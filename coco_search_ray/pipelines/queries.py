@@ -268,6 +268,78 @@ def q_distinct_priorities(sf_dir: str) -> pd.DataFrame:
 Q_DISTINCT_PRIORITIES_SQL = "SELECT DISTINCT o_orderpriority FROM orders"
 
 
+def q_top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
+    """Top-3 orders per market segment (window-function shape: the
+    distributed expression is groupby(segment) + per-group vectorized
+    nlargest with a total tiebreak — segments are few and coarse, so one
+    Ray group per segment is the right granularity here)."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    customer = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, customer, "o_custkey", "c_custkey")
+
+    def top3(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(3)
+        return d[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+
+    out = (
+        joined.groupby("c_mktsegment")
+        .map_groups(top3, batch_format="pandas")
+        .to_pandas()
+        .sort_values(["c_mktsegment", "o_totalprice", "o_orderkey"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    return _round2(out, ["o_totalprice"])
+
+
+Q_TOP_ORDERS_PER_SEGMENT_SQL = """
+WITH ranked AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (
+             PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM ranked WHERE rn <= 3
+"""
+
+
+def q_order_price_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group quantiles (median / p90) — numpy linear
+    interpolation inside few coarse groups; DuckDB quantile_cont uses the
+    same definition, making the oracle exact."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def q(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["o_totalprice"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [df["o_orderpriority"].iloc[0]],
+                "n_orders": [len(x)],
+                "median_price": [np.quantile(x, 0.5)],
+                "p90_price": [np.quantile(x, 0.9)],
+            }
+        )
+
+    out = (
+        ds.groupby("o_orderpriority")
+        .map_groups(q, batch_format="pandas")
+        .to_pandas()
+        .astype({"n_orders": "int64"})
+    )
+    return _round2(out, ["median_price", "p90_price"])
+
+
+Q_ORDER_PRICE_QUANTILES_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def q_supplier_balance(sf_dir: str) -> pd.DataFrame:
     supplier = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
     nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
@@ -903,6 +975,8 @@ REGISTRY: dict[str, tuple] = {
     "q_part_revenue_by_brand": (q_part_revenue_by_brand, Q_PART_REVENUE_SQL),
     "q_distinct_priorities": (q_distinct_priorities, Q_DISTINCT_PRIORITIES_SQL),
     "q_supplier_balance": (q_supplier_balance, Q_SUPPLIER_BALANCE_SQL),
+    "q_top_orders_per_segment": (q_top_orders_per_segment, Q_TOP_ORDERS_PER_SEGMENT_SQL),
+    "q_order_price_quantiles": (q_order_price_quantiles, Q_ORDER_PRICE_QUANTILES_SQL),
     "q_events_tumbling": (q_events_tumbling, Q_EVENTS_TUMBLING_SQL),
     "q_events_user_stats": (q_events_user_stats, Q_EVENTS_USER_STATS_SQL),
     "q_events_sessions": (q_events_sessions, Q_EVENTS_SESSIONS_SQL),
