@@ -28,6 +28,9 @@ Conventions:
     q_doc_chunks         separator-driven recursive splitter + greedy
                          overlap repacking not SQL-expressible; golden
                          unit tests + green q_doc_chunks_fixed twin
+    q_events_hll_users   HyperLogLog sketch — deterministic but not
+                         SQL-reproducible; error bound pinned in tests,
+                         exact twin q_events_distinct_users is green
 """
 
 from __future__ import annotations
@@ -338,6 +341,48 @@ SELECT o_orderpriority, count(*) AS n_orders,
        round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
 FROM orders GROUP BY o_orderpriority
 """
+
+
+def q_lineitem_bloom_semi_join(sf_dir: str) -> pd.DataFrame:
+    """Bloom-prefiltered semi-join: lineitems of expensive orders. The
+    bloom bit array broadcasts compactly and prunes; exact isin on the
+    survivors makes the RESULT exact — hence a plain semi-join oracle."""
+    from ..stages.sketch import bloom_semi_join
+
+    orders = pq.read_table(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
+    keys = orders.filter(pc.greater(orders["o_totalprice"], 400000.0))["o_orderkey"].to_pylist()
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+    hits = bloom_semi_join(li, "l_orderkey", keys)
+    out = (
+        hits.groupby("l_orderkey")
+        .aggregate(Count(alias_name="n_items"), Sum("l_extendedprice", alias_name="sum_price"))
+        .to_pandas()
+    )
+    return _round2(out, ["sum_price"])
+
+
+Q_LINEITEM_BLOOM_SEMI_JOIN_SQL = """
+SELECT l_orderkey, count(*) AS n_items, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+GROUP BY l_orderkey
+"""
+
+
+def q_events_hll_users(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog distinct-user estimate per event_type (rows-only: the
+    sketch is deterministic but not SQL-reproducible; its error bound is
+    pinned by tests/test_sketches.py and the EXACT twin
+    q_events_distinct_users is green)."""
+    from ..stages.sketch import hll_count_distinct
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    types = sorted(ds.unique("event_type"))
+    rows = []
+    for et in types:
+        est = hll_count_distinct(ds.filter(expr=f"event_type == '{et}'"), "user_id", p=12)
+        rows.append((et, int(round(est))))
+    return pd.DataFrame(rows, columns=["event_type", "n_users_hll"])
 
 
 def q_supplier_balance(sf_dir: str) -> pd.DataFrame:
@@ -976,6 +1021,8 @@ REGISTRY: dict[str, tuple] = {
     "q_distinct_priorities": (q_distinct_priorities, Q_DISTINCT_PRIORITIES_SQL),
     "q_supplier_balance": (q_supplier_balance, Q_SUPPLIER_BALANCE_SQL),
     "q_top_orders_per_segment": (q_top_orders_per_segment, Q_TOP_ORDERS_PER_SEGMENT_SQL),
+    "q_lineitem_bloom_semi_join": (q_lineitem_bloom_semi_join, Q_LINEITEM_BLOOM_SEMI_JOIN_SQL),
+    "q_events_hll_users": (q_events_hll_users, None),
     "q_order_price_quantiles": (q_order_price_quantiles, Q_ORDER_PRICE_QUANTILES_SQL),
     "q_events_tumbling": (q_events_tumbling, Q_EVENTS_TUMBLING_SQL),
     "q_events_user_stats": (q_events_user_stats, Q_EVENTS_USER_STATS_SQL),

@@ -1,0 +1,73 @@
+"""HyperLogLog + Bloom sketch operators: accuracy bounds, mergeability,
+no-false-negative guarantee, and the exact-result semi-join."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_hll_accuracy_and_merge():
+    from coco_search_ray.functions.sketches import (
+        hashes_of_strings,
+        hll_add_hashes,
+        hll_estimate,
+        hll_make_registers,
+        hll_merge,
+    )
+
+    p = 12
+    for true_n in (100, 5_000, 200_000):
+        regs = hll_make_registers(p)
+        vals = [f"user-{i}" for i in range(true_n)]
+        # feed in chunks incl. duplicates — distinctness is the point
+        for lo in range(0, true_n, 7_000):
+            hll_add_hashes(regs, hashes_of_strings(vals[lo : lo + 7_000] + vals[:50]), p)
+        est = hll_estimate(regs)
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+    # mergeability: union of halves == whole (registers max-merge)
+    a, b, whole = hll_make_registers(p), hll_make_registers(p), hll_make_registers(p)
+    vals = [f"k{i}" for i in range(50_000)]
+    hll_add_hashes(a, hashes_of_strings(vals[:30_000]), p)
+    hll_add_hashes(b, hashes_of_strings(vals[20_000:]), p)  # overlap
+    hll_add_hashes(whole, hashes_of_strings(vals), p)
+    assert np.array_equal(hll_merge(a, b), whole)
+
+
+def test_bloom_no_false_negatives():
+    from coco_search_ray.functions.sketches import bloom_from_values, hashes_of_strings
+
+    keys = [f"order-{i}" for i in range(10_000)]
+    bf = bloom_from_values(keys)
+    assert bf.contains_hashes(hashes_of_strings(keys)).all()  # NEVER a false negative
+    probes = [f"other-{i}" for i in range(10_000)]
+    fp = bf.contains_hashes(hashes_of_strings(probes)).mean()
+    assert fp < 0.02  # ~1% at 10 bits/key, k=5
+
+
+def test_hll_count_distinct_dataset(ray_session):
+    import ray.data
+
+    from coco_search_ray.stages.sketch import hll_count_distinct
+
+    n, dups = 30_000, 3
+    vals = [f"u{i % n}" for i in range(n * dups)]
+    ds = ray.data.from_arrow(pa.table({"user": pa.array(vals)})).repartition(8)
+    est = hll_count_distinct(ds, "user", p=12)
+    assert abs(est - n) / n < 0.05
+
+
+def test_bloom_semi_join_exact(ray_session):
+    import ray.data
+
+    from coco_search_ray.stages.sketch import bloom_semi_join
+
+    rng = np.random.RandomState(3)
+    ids = rng.randint(0, 5_000, 20_000)
+    t = pa.table({"k": pa.array(ids, pa.int64()), "v": pa.array(rng.rand(len(ids)))})
+    keys = sorted(set(rng.randint(0, 5_000, 300).tolist()))
+    out = bloom_semi_join(ray.data.from_arrow(t).repartition(4), "k", keys).to_pandas()
+    expect = t.to_pandas()
+    expect = expect[expect["k"].isin(keys)]
+    assert sorted(out["k"].tolist()) == sorted(expect["k"].tolist())  # EXACT
+    assert len(out) == len(expect)
