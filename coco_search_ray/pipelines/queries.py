@@ -1141,6 +1141,49 @@ GROUP BY x.pred, x.ctx_off
 """
 
 
+def kg_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Top-20 PageRank over the mentions graph (3 iterations, d=0.85):
+    the iterative-algorithm shape — per-iteration broadcast of the small
+    rank vector + one pre-aggregated pass over the edge stream. Oracle:
+    the same three iterations unrolled as chained CTEs over the triple
+    export."""
+    from ..stages.graph import pagerank
+
+    triples = kg_triples(sf_dir)
+    edges = triples.filter(expr="pred == 'mentions'")
+    out = pagerank(edges, iterations=3, damping=0.85).head(20).reset_index(drop=True)
+    return _round_half_away(out, ["rank"], 8)
+
+
+def _pagerank_iter_sql(prev: str, cur: str) -> str:
+    return f""", {cur} AS (
+  SELECT n.x,
+         0.15 / (SELECT count(*) FROM nodes) +
+         0.85 * coalesce(sum({prev}.r / deg.d), 0) AS r
+  FROM nodes n
+  LEFT JOIN e ON e.obj = n.x
+  LEFT JOIN {prev} ON {prev}.x = e.subj
+  LEFT JOIN deg ON deg.subj = e.subj
+  GROUP BY n.x
+)"""
+
+
+KG_PAGERANK_SQL = (
+    f"""
+WITH e AS (SELECT subj, obj FROM read_parquet('{_EXP}/kg_triples.parquet') WHERE pred = 'mentions'),
+nodes AS (SELECT DISTINCT x FROM (SELECT subj AS x FROM e UNION SELECT obj AS x FROM e)),
+deg AS (SELECT subj, count(*) AS d FROM e GROUP BY subj),
+r0 AS (SELECT x, 1.0 / (SELECT count(*) FROM nodes) AS r FROM nodes)"""
+    + _pagerank_iter_sql("r0", "r1")
+    + _pagerank_iter_sql("r1", "r2")
+    + _pagerank_iter_sql("r2", "r3")
+    + """
+SELECT x AS entity, round(r, 8) AS rank FROM r3
+ORDER BY r DESC, x LIMIT 20
+"""
+)
+
+
 def kg_literal_mentions(sf_dir: str) -> pd.DataFrame:
     """Literal-family extraction coverage (extractor registry breadth):
     mentions per literal kind over the synth transcripts; the oracle
@@ -1435,6 +1478,7 @@ REGISTRY.update(
         "q_doc_chunks_fixed": (q_doc_chunks_fixed, Q_DOC_CHUNKS_FIXED_SQL),
         "kg_reach_tree": (kg_reach_tree, KG_REACH_TREE_SQL),
         "kg_literal_mentions": (kg_literal_mentions, KG_LITERAL_MENTIONS_SQL),
+        "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
         "kg_top_objects": (kg_top_objects, KG_TOP_OBJECTS_SQL),
         "kg_pred_detailed": (kg_pred_detailed, KG_PRED_DETAILED_SQL),
         "kg_context_window": (kg_context_window, KG_CONTEXT_WINDOW_SQL),

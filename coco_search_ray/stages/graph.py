@@ -23,6 +23,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data
+from ray.data.aggregate import Count
 
 MAX_DEPTH = 5
 
@@ -73,6 +74,64 @@ def bfs_local(
                     out_depth.append(depth)
         frontier = nxt
     return pd.DataFrame({"root": out_root, "node": out_node, "depth": out_depth})
+
+
+def pagerank(
+    edge_ds: ray.data.Dataset,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "subj",
+    dst: str = "obj",
+) -> pd.DataFrame:
+    """Fixed-iteration PageRank over an edge Dataset — the iterative-
+    algorithm shape on Ray Data: the rank/out-degree vectors are SMALL
+    (O(nodes)) and broadcast per iteration; each iteration is one pass
+    over the BIG edge stream with per-block pre-aggregation (pandas
+    groupby inside the batch) before the tiny groupby(dst) sum. No
+    dangling-mass redistribution (nodes without outgoing edges leak
+    mass) — defined identically in the SQL oracle.
+
+    Returns (entity, rank) for all nodes, deterministic ordering by
+    (rank desc, entity)."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    edges = edge_ds.select_columns([src, dst]).materialize()
+    deg = edges.groupby(src).aggregate(Count(alias_name="_d")).to_pandas()
+    nodes = sorted(
+        set(deg[src]) | {r[dst] for r in edges.select_columns([dst]).take_all()}
+    )
+    n = len(nodes)
+    if n == 0:
+        return pd.DataFrame({"entity": [], "rank": []})
+    out_deg = dict(zip(deg[src], deg["_d"]))
+    ranks = {x: 1.0 / n for x in nodes}
+    base = (1.0 - damping) / n
+
+    for _ in range(iterations):
+        state_ref = ray.put((ranks, out_deg))
+
+        def contribs(b: pa.Table) -> pa.Table:
+            from ..functions.broadcast import deref_cached
+
+            r, d = deref_cached(state_ref)
+            df = pd.DataFrame({"s": b[src].to_pylist(), "t": b[dst].to_pylist()})
+            df["c"] = [r[s] / d[s] for s in df["s"]]
+            # per-block pre-aggregation before the shuffle
+            g = df.groupby("t", as_index=False)["c"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        partial = (
+            edges.map_batches(contribs, batch_format="pyarrow")
+            .groupby("t")
+            .aggregate(Sum("c", alias_name="incoming"))
+            .to_pandas()
+        )
+        incoming = dict(zip(partial["t"], partial["incoming"]))
+        ranks = {x: base + damping * incoming.get(x, 0.0) for x in nodes}
+
+    out = pd.DataFrame({"entity": list(ranks), "rank": list(ranks.values())})
+    return out.sort_values(["rank", "entity"], ascending=[False, True]).reset_index(drop=True)
 
 
 def bfs_distributed(

@@ -94,3 +94,38 @@ def test_multi_search_tolerates_failures(smoke_catalog):
 
     out = multi_search({"main": smoke_catalog, "broken": None}, "Account Payment", limit=5)
     assert set(out["catalog"]) == {"main"}
+
+
+def test_pagerank_matches_local_reference(ray_session):
+    """Distributed fixed-iteration PageRank == a plain local computation
+    on a small crafted graph (no dangling redistribution, d=0.85)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from coco_search_ray.stages.graph import pagerank
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c")]
+    t = pa.table(
+        {
+            "subj": pa.array([e[0] for e in edges]),
+            "obj": pa.array([e[1] for e in edges]),
+        }
+    )
+    got = pagerank(ray.data.from_arrow(t), iterations=3, damping=0.85)
+
+    nodes = sorted({x for e in edges for x in e})
+    n = len(nodes)
+    deg = {x: sum(1 for s, _ in edges if s == x) for x in nodes}
+    r = {x: 1 / n for x in nodes}
+    for _ in range(3):
+        inc = {x: 0.0 for x in nodes}
+        for s, d_ in edges:
+            inc[d_] += r[s] / deg[s]
+        r = {x: 0.15 / n + 0.85 * inc[x] for x in nodes}
+    exp = pd.DataFrame({"entity": list(r), "rank": list(r.values())}).sort_values(
+        ["rank", "entity"], ascending=[False, True]
+    ).reset_index(drop=True)
+    assert got["entity"].tolist() == exp["entity"].tolist()
+    assert np.allclose(got["rank"], exp["rank"])
