@@ -209,6 +209,21 @@ class EntityIndex:
         """Hybrid-link one mention surface form; None when unlinkable."""
         return self.link_many([mention], limit)[0]
 
+    def channel_lists(
+        self, query: str, limit: int = 10, hybrid: bool = True
+    ) -> tuple[list[tuple[str, float]], list[tuple[str, float]]]:
+        """The two prefetch-capped PRE-FUSION ranked lists ``search``
+        fuses — exported so an oracle can independently re-derive the
+        RRF + boost + tiebreak math from the raw channels."""
+        prefetch = prefetch_limit(limit, self.prefetch_cap)
+        qvec = hash_embeddings([query])[0]
+        qn = np.linalg.norm(qvec)
+        if qn > 0:
+            qvec = qvec / qn
+        dense = self._dense_ranked(qvec, prefetch)
+        keyword = self._keyword_ranked(query, prefetch) if hybrid else []
+        return dense, keyword
+
     def search(self, query: str, limit: int = 10, hybrid: bool = True) -> list[dict]:
         """Ranked retrieval (the reference's search UX): returns the top
         ``limit`` fused candidates with scores/match_type instead of an

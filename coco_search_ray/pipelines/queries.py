@@ -17,9 +17,6 @@ Conventions:
                          expansion-order-defined; the order-free
                          projection (node, min depth) is green as
                          kg_reach_tree / kg_reach_impact
-    q_hybrid_search      RRF over hash-embedding dense scores — encoder
-                         not SQL-expressible; RRF math pinned by unit
-                         tests mirroring the reference's own suite
     q_media_features     synthetic binary decode plumbing, no SQL analog
     q_ann_ivf            approximate by design (recall < 1); exact twin
                          q_ann_topk is green, recall pinned in tests
@@ -1309,15 +1306,42 @@ GROUP BY t.pred
 
 def q_hybrid_search(sf_dir: str) -> pd.DataFrame:
     """Reference search UX over the tier catalog: fixed query set, ranked
-    results with mode selection (identifier-shaped -> hybrid)."""
+    results with mode selection (identifier-shaped -> hybrid). The two
+    PRE-FUSION channel rank lists are exported so the oracle re-derives
+    the RRF(k=60) score, x2 canonical boost, keyword tiebreak and top-5
+    truncation in SQL — the fusion math is value-checked, the channels
+    (hash-embedding cosine / tf-idf) stay pinned by unit tests."""
+    from ..functions.tokenize import has_identifier_pattern
     from ..sources.synth import ensure_tier, load_catalog, tier_for_sf_dir
-    from .search import search_catalog
+    from .search import _index_for, search_catalog
 
     data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
     catalog = load_catalog(data_dir)
     surfaces = catalog.column("canonical_name").to_pylist()
     aliases = catalog.column("aliases").to_pylist()
     queries = [surfaces[0], aliases[0][0], surfaces[1].lower(), "nonexistent thing"]
+
+    idx = _index_for(catalog)
+    exp_rows = []
+    for qi, q in enumerate(queries):
+        dense, keyword = idx.channel_lists(q, limit=5, hybrid=has_identifier_pattern(q))
+        for channel, ranked in (("dense", dense), ("keyword", keyword)):
+            for rank, (key, _score) in enumerate(ranked, start=1):
+                exp_rows.append((qi, channel, rank, key, bool(idx.is_canonical.get(key, False))))
+    _export_table(
+        sf_dir,
+        "hybrid_channels",
+        pa.table(
+            {
+                "query_id": pa.array([r[0] for r in exp_rows], pa.int64()),
+                "channel": pa.array([r[1] for r in exp_rows], pa.string()),
+                "rank": pa.array([r[2] for r in exp_rows], pa.int64()),
+                "key": pa.array([r[3] for r in exp_rows], pa.string()),
+                "is_canonical": pa.array([r[4] for r in exp_rows], pa.bool_()),
+            }
+        ),
+    )
+
     parts = []
     for qi, q in enumerate(queries):
         res = search_catalog(catalog, q, limit=5)
@@ -1326,6 +1350,33 @@ def q_hybrid_search(sf_dir: str) -> pd.DataFrame:
         parts.append(res[["query_id", "rank", "entity_id", "match_type", "is_canonical"]])
     out = pd.concat(parts, ignore_index=True)
     return out.astype({"query_id": "int64", "rank": "int64"})
+
+
+Q_HYBRID_SEARCH_SQL = f"""
+WITH ch AS (SELECT * FROM read_parquet('{_EXP}/hybrid_channels.parquet')),
+sc AS (
+  SELECT query_id, key, bool_or(is_canonical) AS is_canonical,
+         sum(1.0 / (60 + rank)) AS score,
+         max(CASE WHEN channel = 'keyword' THEN 1 ELSE 0 END) AS has_kw,
+         max(CASE WHEN channel = 'dense' THEN 1 ELSE 0 END) AS has_v
+  FROM ch GROUP BY query_id, key
+), boosted AS (
+  SELECT query_id, key, is_canonical,
+         CASE WHEN is_canonical THEN score * 2.0 ELSE score END AS fscore,
+         CASE WHEN has_kw = 1 AND has_v = 1 THEN 'both'
+              WHEN has_kw = 1 THEN 'keyword' ELSE 'semantic' END AS match_type,
+         has_kw
+  FROM sc
+), ranked AS (
+  SELECT query_id, key, match_type, is_canonical,
+         row_number() OVER (
+             PARTITION BY query_id ORDER BY fscore DESC, has_kw DESC, key
+         ) AS rank
+  FROM boosted
+)
+SELECT query_id, rank, split_part(key, '|', 1) AS entity_id, match_type, is_canonical
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
 
 
 def q_doc_encode(sf_dir: str) -> pd.DataFrame:
@@ -1394,7 +1445,7 @@ REGISTRY.update(
         "kg_impact": (kg_impact, None),
         "kg_tree": (kg_tree, None),
         "kg_context_coverage": (kg_context_coverage, KG_CONTEXT_COVERAGE_SQL),
-        "q_hybrid_search": (q_hybrid_search, None),
+        "q_hybrid_search": (q_hybrid_search, Q_HYBRID_SEARCH_SQL),
         "q_doc_encode": (q_doc_encode, Q_DOC_ENCODE_SQL),
         "q_media_features": (q_media_features, None),
     }
