@@ -7,10 +7,10 @@ here (or in the library) calls ray.init()/ray.shutdown().
   tier derived from /root/testdata/sf0.001 sizing.
 - queries(): one entry per implemented operator family (SURVEY.md §2 +
   the training-data operations suite); each takes sf_dir. 56 entries.
-- oracle_sql(): DuckDB oracles for the 47 checkable queries — pure SQL
+- oracle_sql(): DuckDB oracles for the 50 checkable queries — pure SQL
   re-derivations where expressible, parquet-export-backed re-derivations
   (simhash, fingerprints, triples, embeddings) where the intermediate is
-  not SQL-derivable; the 9 rows-only queries each document why in their
+  not SQL-derivable; the 6 rows-only queries each document why in their
   docstrings (pipelines/queries.py header lists them).
 """
 

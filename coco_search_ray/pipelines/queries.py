@@ -13,10 +13,6 @@ Conventions:
     kg_triples           in-repo single-process oracle (P/R parity pytest);
                          every downstream stat/join over it IS SQL-checked
                          via the triple export
-    kg_impact / kg_tree  the claiming ROOT of a shared node is BFS-
-                         expansion-order-defined; the order-free
-                         projection (node, min depth) is green as
-                         kg_reach_tree / kg_reach_impact
     q_media_features     synthetic binary decode plumbing, no SQL analog
     q_ann_ivf            approximate by design (recall < 1); exact twin
                          q_ann_topk is green, recall pinned in tests
@@ -1224,6 +1220,44 @@ UNION ALL SELECT 'references_path', sum(n)::BIGINT FROM p
 """
 
 
+def _kg_bfs_sql(reverse: bool, max_depth: int = 5) -> str:
+    """Full batch-BFS oracle INCLUDING the claiming root: at each level a
+    newly-reached node is claimed by the root of the MINIMAL from-node
+    among edges reaching it (the pipeline iterates sorted (from, to)
+    pairs — deterministic), unrolled as one CTE pair per level."""
+    s, t = ("obj", "subj") if reverse else ("subj", "obj")
+    sql = [
+        f"""
+WITH e AS (SELECT {s} AS s, {t} AS t FROM read_parquet('{_EXP}/kg_triples.parquet') WHERE pred = 'mentions'),
+r AS (
+  SELECT subj FROM (
+    SELECT subj, count(*) AS n FROM read_parquet('{_EXP}/kg_triples.parquet')
+    WHERE pred = 'mentions'
+    GROUP BY subj ORDER BY n DESC, subj LIMIT 3
+  )
+),
+l0 AS (SELECT subj AS node, subj AS root, 0 AS depth FROM r)"""
+    ]
+    seen = "SELECT node FROM l0"
+    for d in range(1, max_depth + 1):
+        sql.append(
+            f""", c{d} AS (
+  SELECT e.t AS node, l{d - 1}.root, e.s,
+         row_number() OVER (PARTITION BY e.t ORDER BY e.s) AS rn
+  FROM e JOIN l{d - 1} ON e.s = l{d - 1}.node
+  WHERE e.t NOT IN ({seen})
+), l{d} AS (SELECT node, root, {d} AS depth FROM c{d} WHERE rn = 1)"""
+        )
+        seen += f" UNION SELECT node FROM l{d}"
+    union = " UNION ALL ".join(f"SELECT * FROM l{d}" for d in range(0, max_depth + 1))
+    sql.append(f"\nSELECT root, node, depth FROM ({union}) ORDER BY root, node")
+    return "".join(sql)
+
+
+KG_TREE_SQL = _kg_bfs_sql(reverse=False)
+KG_IMPACT_SQL = _kg_bfs_sql(reverse=True)
+
+
 def _kg_reach(sf_dir: str, reverse: bool) -> pd.DataFrame:
     """Multi-source BFS reachability (node, depth = first-reach level =
     min distance from the root set): the SQL-checkable projection of the
@@ -1442,8 +1476,8 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
 
 REGISTRY.update(
     {
-        "kg_impact": (kg_impact, None),
-        "kg_tree": (kg_tree, None),
+        "kg_impact": (kg_impact, KG_IMPACT_SQL),
+        "kg_tree": (kg_tree, KG_TREE_SQL),
         "kg_context_coverage": (kg_context_coverage, KG_CONTEXT_COVERAGE_SQL),
         "q_hybrid_search": (q_hybrid_search, Q_HYBRID_SEARCH_SQL),
         "q_doc_encode": (q_doc_encode, Q_DOC_ENCODE_SQL),
