@@ -231,13 +231,7 @@ class EntityIndex:
         semantic-only path (no keyword channel; the canonical boost still
         applies — reference hybrid.py:577-596 boosts the vector-only path
         too)."""
-        prefetch = prefetch_limit(limit, self.prefetch_cap)
-        qvec = hash_embeddings([query])[0]
-        qn = np.linalg.norm(qvec)
-        if qn > 0:
-            qvec = qvec / qn
-        dense = self._dense_ranked(qvec, prefetch)
-        keyword = self._keyword_ranked(query, prefetch) if hybrid else []
+        dense, keyword = self.channel_lists(query, limit, hybrid)
         fused = apply_canonical_boost(
             rrf_fuse(dense, keyword, k=self.rrf_k), self.is_canonical, multiplier=self.boost
         )

@@ -16,9 +16,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from .hashing import stable_hash64
-
-
 # ---------------------------------------------------------------------------
 # HyperLogLog
 # ---------------------------------------------------------------------------
@@ -38,10 +35,6 @@ def hll_add_hashes(registers: np.ndarray, hashes: np.ndarray, p: int) -> None:
     bucket = (h >> np.uint64(64 - p)).astype(np.int64)
     rest = h << np.uint64(p)  # remaining bits, left-aligned in 64
     # rank = leading zeros of `rest` + 1; all-zero rest -> max rank 64-p+1
-    # bit_length via log2 is unsafe at 2^63; use a loop over 64 bit tests?
-    # No: leading zeros = 64 - bit_length(rest). numpy lacks clz; compute
-    # bit_length via float64 exponent for rest > 0 (exact for the TOP bit
-    # position, which is all we need).
     rank = np.full(len(h), np.uint8(64 - p + 1))
     nz = rest > 0
     if nz.any():
@@ -75,9 +68,10 @@ def hll_estimate(registers: np.ndarray) -> float:
 
 
 def hashes_of_strings(values: list) -> np.ndarray:
-    return np.fromiter(
-        (stable_hash64(str(v)) for v in values), dtype=np.uint64, count=len(values)
-    )
+    """str-coercing wrapper over the shared hashing.stable_hash64_np."""
+    from .hashing import stable_hash64_np
+
+    return stable_hash64_np([str(v) for v in values])
 
 
 # ---------------------------------------------------------------------------

@@ -367,14 +367,35 @@ def q_events_hll_users(sf_dir: str) -> pd.DataFrame:
     sketch is deterministic but not SQL-reproducible; its error bound is
     pinned by tests/test_sketches.py and the EXACT twin
     q_events_distinct_users is green)."""
-    from ..stages.sketch import hll_count_distinct
+    from ..functions.sketches import (
+        hashes_of_strings,
+        hll_add_hashes,
+        hll_estimate,
+        hll_make_registers,
+        hll_merge,
+    )
 
+    P = 12
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
-    types = sorted(ds.unique("event_type"))
-    rows = []
-    for et in types:
-        est = hll_count_distinct(ds.filter(expr=f"event_type == '{et}'"), "user_id", p=12)
-        rows.append((et, int(round(est))))
+
+    def block_registers(b: pa.Table) -> pa.Table:
+        # ONE pass: a register blob per (block, event_type) — registers
+        # are max-mergeable, so the driver folds the tiny partials
+        df = b.to_pandas()
+        types, blobs = [], []
+        for et, g in df.groupby("event_type", sort=True):
+            regs = hll_make_registers(P)
+            hll_add_hashes(regs, hashes_of_strings(g["user_id"].tolist()), P)
+            types.append(et)
+            blobs.append(regs.tobytes())
+        return pa.table({"event_type": pa.array(types, pa.string()),
+                         "regs": pa.array(blobs, pa.binary())})
+
+    merged: dict[str, np.ndarray] = {}
+    for row in ds.map_batches(block_registers, batch_format="pyarrow").take_all():
+        prev = merged.get(row["event_type"], hll_make_registers(P))
+        merged[row["event_type"]] = hll_merge(prev, np.frombuffer(row["regs"], dtype=np.uint8))
+    rows = [(et, int(round(hll_estimate(regs)))) for et, regs in sorted(merged.items())]
     return pd.DataFrame(rows, columns=["event_type", "n_users_hll"])
 
 
@@ -1144,8 +1165,12 @@ def kg_pagerank(sf_dir: str) -> pd.DataFrame:
 
     triples = kg_triples(sf_dir)
     edges = triples.filter(expr="pred == 'mentions'")
-    out = pagerank(edges, iterations=3, damping=0.85).head(20).reset_index(drop=True)
-    return _round_half_away(out, ["rank"], 8)
+    out = pagerank(edges, iterations=3, damping=0.85)
+    # round BEFORE the top-20 cut (both sides) so a mathematically tied
+    # pair at the boundary cannot flip on last-bit summation order
+    out = _round_half_away(out, ["rank"], 8)
+    out = out.sort_values(["rank", "entity"], ascending=[False, True], kind="mergesort")
+    return out.head(20).reset_index(drop=True)
 
 
 def _pagerank_iter_sql(prev: str, cur: str) -> str:
@@ -1172,7 +1197,7 @@ r0 AS (SELECT x, 1.0 / (SELECT count(*) FROM nodes) AS r FROM nodes)"""
     + _pagerank_iter_sql("r2", "r3")
     + """
 SELECT x AS entity, round(r, 8) AS rank FROM r3
-ORDER BY r DESC, x LIMIT 20
+ORDER BY round(r, 8) DESC, x LIMIT 20
 """
 )
 

@@ -98,9 +98,7 @@ def pagerank(
 
     edges = edge_ds.select_columns([src, dst]).materialize()
     deg = edges.groupby(src).aggregate(Count(alias_name="_d")).to_pandas()
-    nodes = sorted(
-        set(deg[src]) | {r[dst] for r in edges.select_columns([dst]).take_all()}
-    )
+    nodes = sorted(set(deg[src]) | set(edges.unique(dst)))
     n = len(nodes)
     if n == 0:
         return pd.DataFrame({"entity": [], "rank": []})
@@ -116,7 +114,7 @@ def pagerank(
 
             r, d = deref_cached(state_ref)
             df = pd.DataFrame({"s": b[src].to_pylist(), "t": b[dst].to_pylist()})
-            df["c"] = [r[s] / d[s] for s in df["s"]]
+            df["c"] = df["s"].map(r) / df["s"].map(d)
             # per-block pre-aggregation before the shuffle
             g = df.groupby("t", as_index=False)["c"].sum()
             return pa.Table.from_pandas(g, preserve_index=False)
