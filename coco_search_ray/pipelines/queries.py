@@ -554,6 +554,41 @@ ORDER BY p.event_id
 """
 
 
+def q_doc_splits(sf_dir: str) -> pd.DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by md5(doc_id)
+    bucket — stable across runs/engines and uncorrelated with the id
+    sequence. The oracle RECOMPUTES the md5 assignment in SQL (DuckDB
+    ships the identical hash), so the check is fully independent."""
+    from ..stages.split import assign_splits
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    tagged = assign_splits(ds, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    out = (
+        tagged.groupby("split")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+        .to_pandas()
+        .astype({"n_docs": "int64", "sum_chars": "int64"})
+    )
+    return out
+
+
+Q_DOC_SPLITS_SQL = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::UBIGINT AS bucket
+  FROM documents
+), s AS (
+  SELECT n_chars, CASE
+    WHEN bucket < 0.8 * power(16, 12) THEN 'train'
+    WHEN bucket < 0.9 * power(16, 12) THEN 'val'
+    ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM s GROUP BY split
+"""
+
+
 def q_doc_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
     feats = ds.map_batches(textops.doc_features, batch_format="pyarrow")
@@ -1043,6 +1078,7 @@ REGISTRY: dict[str, tuple] = {
     "q_events_sessions": (q_events_sessions, Q_EVENTS_SESSIONS_SQL),
     "q_events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),
     "q_doc_stats": (q_doc_stats, Q_DOC_STATS_SQL),
+    "q_doc_splits": (q_doc_splits, Q_DOC_SPLITS_SQL),
     "q_doc_exact_dedup": (q_doc_exact_dedup, Q_DOC_EXACT_DEDUP_SQL),
     "q_doc_langid": (q_doc_langid, Q_DOC_LANGID_SQL),
     "q_doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),

@@ -1,0 +1,52 @@
+"""Deterministic dataset splitting — the train/val/test assignment a
+training-data pipeline needs: a pure function of the row ID, stable
+across runs, machines and engine versions, uncorrelated with the id
+sequence (unlike ``id % k``).
+
+Rule: bucket = the first 12 hex digits of md5(str(id)) read as an
+integer, uniform on [0, 16^12); split thresholds are cumulative
+fractions of that range. md5 (not our sha1-based stable_hash64) is used
+deliberately: DuckDB exposes the identical md5() function, so the
+assignment is INDEPENDENTLY reproducible in SQL — the oracle recomputes
+the hash itself rather than trusting an export.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+_HEX_DIGITS = 12
+_SPACE = 16**_HEX_DIGITS
+
+
+def split_bucket(value) -> int:
+    """Uniform bucket in [0, 16^12) from md5 of the stringified id."""
+    return int(hashlib.md5(str(value).encode()).hexdigest()[:_HEX_DIGITS], 16)
+
+
+def assign_splits(
+    ds: ray.data.Dataset,
+    id_col: str,
+    fractions: dict[str, float],
+    out_col: str = "split",
+) -> ray.data.Dataset:
+    """Append a split label column. ``fractions`` maps label -> fraction
+    (must sum to 1.0); labels are assigned over cumulative thresholds in
+    the given dict order."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1.0, got {total}")
+    labels = list(fractions)
+    cuts = np.cumsum([fractions[k] for k in labels]) * _SPACE
+
+    def tag(b: pa.Table) -> pa.Table:
+        buckets = np.array([split_bucket(v) for v in b[id_col].to_pylist()], dtype=np.float64)
+        idx = np.searchsorted(cuts, buckets, side="right")
+        idx = np.minimum(idx, len(labels) - 1)  # guard the exact top edge
+        return b.append_column(out_col, pa.array([labels[i] for i in idx], pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")

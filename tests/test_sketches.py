@@ -71,3 +71,29 @@ def test_bloom_semi_join_exact(ray_session):
     expect = expect[expect["k"].isin(keys)]
     assert sorted(out["k"].tolist()) == sorted(expect["k"].tolist())  # EXACT
     assert len(out) == len(expect)
+
+
+def test_split_assignment_deterministic_and_proportional(ray_session):
+    from coco_search_ray.stages.split import assign_splits, split_bucket
+
+    import ray.data
+
+    ids = list(range(20_000))
+    ds = ray.data.from_arrow(pa.table({"id": pa.array(ids, pa.int64())})).repartition(4)
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = assign_splits(ds, "id", fr).to_pandas()
+    counts = out["split"].value_counts(normalize=True)
+    for k, f in fr.items():
+        assert abs(counts[k] - f) < 0.02
+    # stable across runs and id-order
+    again = assign_splits(ds.random_shuffle(seed=1), "id", fr).to_pandas()
+    m1 = dict(zip(out["id"], out["split"]))
+    m2 = dict(zip(again["id"], again["split"]))
+    assert m1 == m2
+    # bucket parity with the documented md5 rule
+    import hashlib
+
+    assert split_bucket(42) == int(hashlib.md5(b"42").hexdigest()[:12], 16)
+
+    with pytest.raises(ValueError):
+        assign_splits(ds, "id", {"a": 0.5, "b": 0.4})
