@@ -589,6 +589,37 @@ FROM s GROUP BY split
 """
 
 
+def q_doc_packing(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing into 2000-char bins over doc_id order (the
+    concat-then-window pretraining step) via distributed prefix sums;
+    the oracle recomputes the bin rule with a window cumsum."""
+    from ..stages.pack import pack_bins
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    binned = pack_bins(ds, "doc_id", "n_chars", budget=2000)
+    out = (
+        binned.groupby("bin")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+        .to_pandas()
+        .astype({"bin": "int64", "n_docs": "int64", "sum_chars": "int64"})
+    )
+    return out
+
+
+Q_DOC_PACKING_SQL = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (
+             ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS excl
+  FROM documents
+)
+SELECT (excl // 2000)::BIGINT AS bin, count(*) AS n_docs,
+       sum(n_chars)::BIGINT AS sum_chars
+FROM c GROUP BY 1
+"""
+
+
 def q_doc_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
     feats = ds.map_batches(textops.doc_features, batch_format="pyarrow")
@@ -1079,6 +1110,7 @@ REGISTRY: dict[str, tuple] = {
     "q_events_asof": (q_events_asof, Q_EVENTS_ASOF_SQL),
     "q_doc_stats": (q_doc_stats, Q_DOC_STATS_SQL),
     "q_doc_splits": (q_doc_splits, Q_DOC_SPLITS_SQL),
+    "q_doc_packing": (q_doc_packing, Q_DOC_PACKING_SQL),
     "q_doc_exact_dedup": (q_doc_exact_dedup, Q_DOC_EXACT_DEDUP_SQL),
     "q_doc_langid": (q_doc_langid, Q_DOC_LANGID_SQL),
     "q_doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),

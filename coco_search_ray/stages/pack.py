@@ -1,0 +1,71 @@
+"""Sequence packing — the pretraining-data step that concatenates
+documents in a deterministic order and cuts fixed token-budget bins:
+bin(doc) = floor(exclusive-prefix-sum(size) / budget) over the id order
+(a document belongs to the bin its START falls in; bins may straddle a
+boundary by less than one document — the concat-then-window definition).
+
+Distributed shape = the classic PREFIX-SUM pattern: global sort by id
+(range partition — packing inherently needs a total order; that sort is
+the one unavoidable all-to-all), then pass 1 collects one (first_id,
+block_total) row per block, the driver computes exclusive block offsets
+(O(num_blocks) state), and pass 2 adds local cumsums to the broadcast
+block offset. The DuckDB oracle recomputes the same rule with a window
+cumsum.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.broadcast import deref_cached
+
+
+def pack_bins(
+    ds: ray.data.Dataset,
+    id_col: str,
+    size_col: str,
+    budget: int,
+    out_col: str = "bin",
+) -> ray.data.Dataset:
+    """Append the bin id column. Deterministic: order = sort by id_col."""
+    sorted_ds = ds.sort(id_col).materialize()
+
+    # pass 1: per-BLOCK totals keyed by the block's first id
+    # (batch_size=None => batch == block on the materialized dataset, so
+    # both passes see identical boundaries)
+    def block_total(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"first_id": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64())})
+        sizes = np.asarray(b[size_col].to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "first_id": pa.array([b[id_col][0].as_py()], pa.int64()),
+                "total": pa.array([int(sizes.sum())], pa.int64()),
+            }
+        )
+
+    totals = (
+        sorted_ds.map_batches(block_total, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("first_id")
+    )
+    offsets = dict(
+        zip(totals["first_id"], np.concatenate(([0], np.cumsum(totals["total"])[:-1])))
+    )
+    off_ref = ray.put(offsets)
+
+    # pass 2: block offset + local exclusive cumsum -> bin id
+    def tag(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b.append_column(out_col, pa.array([], pa.int64()))
+        offs = deref_cached(off_ref)
+        sizes = np.asarray(b[size_col].to_pylist(), dtype=np.int64)
+        start = offs[b[id_col][0].as_py()]
+        excl = start + np.concatenate(([0], np.cumsum(sizes)[:-1]))
+        return b.append_column(out_col, pa.array(excl // budget, pa.int64()))
+
+    return sorted_ds.map_batches(tag, batch_format="pyarrow", batch_size=None)

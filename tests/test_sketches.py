@@ -97,3 +97,27 @@ def test_split_assignment_deterministic_and_proportional(ray_session):
 
     with pytest.raises(ValueError):
         assign_splits(ds, "id", {"a": 0.5, "b": 0.4})
+
+
+def test_pack_bins_matches_sequential(ray_session):
+    """Distributed prefix-sum packing == a plain sequential scan, across
+    block boundaries (many blocks forced via repartition)."""
+    import ray.data
+
+    from coco_search_ray.stages.pack import pack_bins
+
+    rng = np.random.RandomState(5)
+    sizes = rng.randint(50, 900, 3_000)
+    ids = np.arange(3_000, dtype=np.int64)
+    t = pa.table({"id": pa.array(ids), "sz": pa.array(sizes, pa.int64())})
+    out = (
+        pack_bins(ray.data.from_arrow(t).random_shuffle(seed=2).repartition(7), "id", "sz", budget=4096)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    excl = np.concatenate(([0], np.cumsum(sizes)[:-1]))
+    expect = excl // 4096
+    assert (out["bin"].to_numpy() == expect).all()
+    # bins are contiguous runs over the id order
+    assert (np.diff(out["bin"].to_numpy()) >= 0).all()
