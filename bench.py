@@ -107,15 +107,19 @@ def run_bench() -> dict:
     )
 
     # ---- representative operator pipelines over SF_DIR ----
+    # best-of-N per query, same jitter rationale as the headline
     qtimes: dict[str, float] = {}
     if not os.environ.get("COCO_BENCH_HEADLINE_ONLY"):
         for name in BENCH_QUERIES:
             fn, _sql = REGISTRY[name]
-            tq = time.time()
-            res = fn(SF_DIR)
-            if hasattr(res, "to_pandas"):
-                res.to_pandas()
-            qtimes[name] = round(time.time() - tq, 3)
+            best = float("inf")
+            for _ in range(reps):
+                tq = time.time()
+                res = fn(SF_DIR)
+                if hasattr(res, "to_pandas"):
+                    res.to_pandas()
+                best = min(best, time.time() - tq)
+            qtimes[name] = round(best, 3)
 
     ray.shutdown()
     return {
