@@ -620,6 +620,55 @@ FROM c GROUP BY 1
 """
 
 
+def q_doc_unigram_lm(sf_dir: str) -> pd.DataFrame:
+    """Corpus-trained unigram-LM quality scores (perplexity-filter
+    shape): per-language mean document log-probability and mean
+    per-token log-probability. The oracle retrains the same unigram
+    model in SQL (token histogram + join) — fully independent."""
+    from ..stages.textops import unigram_logprob_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    scored = unigram_logprob_scores(ds)
+
+    def derive(b: pa.Table) -> pa.Table:
+        per_tok = pc.divide(b["logprob"], pc.cast(b["n_tokens"], pa.float64()))
+        return pa.table({"lang": b["lang"], "logprob": b["logprob"], "per_tok": per_tok})
+
+    out = (
+        scored.map_batches(derive, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Mean("logprob", alias_name="avg_logprob"),
+            Mean("per_tok", alias_name="avg_logprob_per_token"),
+        )
+        .to_pandas()
+        .astype({"n_docs": "int64"})
+    )
+    return _round_half_away(out, ["avg_logprob", "avg_logprob_per_token"], 4)
+
+
+Q_DOC_UNIGRAM_LM_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(list_transform(regexp_extract_all(text, '\w+'), x -> lower(x))) AS t
+  FROM documents
+), cnt AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), tot AS (
+  SELECT sum(c)::DOUBLE AS n FROM cnt
+), doc AS (
+  SELECT tok.doc_id, any_value(tok.lang) AS lang,
+         sum(ln(cnt.c / tot.n)) AS lp, count(*) AS nt
+  FROM tok JOIN cnt ON cnt.t = tok.t CROSS JOIN tot
+  GROUP BY tok.doc_id
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(lp), 4) AS avg_logprob,
+       round(avg(lp / nt), 4) AS avg_logprob_per_token
+FROM doc GROUP BY lang
+"""
+
+
 def q_doc_stats(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
     feats = ds.map_batches(textops.doc_features, batch_format="pyarrow")
@@ -1111,6 +1160,7 @@ REGISTRY: dict[str, tuple] = {
     "q_doc_stats": (q_doc_stats, Q_DOC_STATS_SQL),
     "q_doc_splits": (q_doc_splits, Q_DOC_SPLITS_SQL),
     "q_doc_packing": (q_doc_packing, Q_DOC_PACKING_SQL),
+    "q_doc_unigram_lm": (q_doc_unigram_lm, Q_DOC_UNIGRAM_LM_SQL),
     "q_doc_exact_dedup": (q_doc_exact_dedup, Q_DOC_EXACT_DEDUP_SQL),
     "q_doc_langid": (q_doc_langid, Q_DOC_LANGID_SQL),
     "q_doc_quality": (q_doc_quality, Q_DOC_QUALITY_SQL),
@@ -1268,6 +1318,45 @@ SELECT x AS entity, round(r, 8) AS rank FROM r3
 ORDER BY round(r, 8) DESC, x LIMIT 20
 """
 )
+
+
+def kg_pmi_pairs(sf_dir: str) -> pd.DataFrame:
+    """Top-20 entity pairs by pointwise mutual information over the
+    co-mention graph (min pair count 5): PMI = ln(N * c(a,b) /
+    (c_subj(a) * c_obj(b))) — grouped counts + two broadcast marginal
+    joins; ranks rounded BEFORE the cut on both sides (same tie
+    discipline as kg_pagerank)."""
+    triples = kg_triples(sf_dir)
+    edges = triples.filter(expr="pred == 'mentions'").select_columns(["subj", "obj"]).materialize()
+    pair = edges.groupby(["subj", "obj"]).aggregate(Count(alias_name="c_ab")).to_pandas()
+    n_total = int(pair["c_ab"].sum())
+    c_subj = pair.groupby("subj", as_index=False)["c_ab"].sum().rename(columns={"c_ab": "c_a"})
+    c_obj = pair.groupby("obj", as_index=False)["c_ab"].sum().rename(columns={"c_ab": "c_b"})
+    m = pair.merge(c_subj, on="subj").merge(c_obj, on="obj")
+    m = m[m["c_ab"] >= 5].copy()
+    m["pmi"] = np.log(n_total * m["c_ab"] / (m["c_a"] * m["c_b"]))
+    m = _round_half_away(m, ["pmi"], 6)
+    m = m.sort_values(["pmi", "subj", "obj"], ascending=[False, True, True], kind="mergesort")
+    out = m.head(20)[["subj", "obj", "c_ab", "pmi"]].reset_index(drop=True)
+    return out.astype({"c_ab": "int64"})
+
+
+KG_PMI_PAIRS_SQL = f"""
+WITH e AS (SELECT subj, obj FROM read_parquet('{_EXP}/kg_triples.parquet') WHERE pred = 'mentions'),
+pair AS (SELECT subj, obj, count(*) AS c_ab FROM e GROUP BY subj, obj),
+tot AS (SELECT sum(c_ab)::DOUBLE AS n FROM pair),
+ca AS (SELECT subj, sum(c_ab) AS c_a FROM pair GROUP BY subj),
+cb AS (SELECT obj, sum(c_ab) AS c_b FROM pair GROUP BY obj),
+p AS (
+  SELECT pair.subj, pair.obj, pair.c_ab,
+         round(ln(tot.n * pair.c_ab / (ca.c_a * cb.c_b)), 6) AS pmi
+  FROM pair JOIN ca ON ca.subj = pair.subj JOIN cb ON cb.obj = pair.obj
+  CROSS JOIN tot
+  WHERE pair.c_ab >= 5
+)
+SELECT subj, obj, c_ab, pmi FROM p
+ORDER BY pmi DESC, subj, obj LIMIT 20
+"""
 
 
 def kg_literal_mentions(sf_dir: str) -> pd.DataFrame:
@@ -1657,6 +1746,7 @@ REGISTRY.update(
         "kg_reach_tree": (kg_reach_tree, KG_REACH_TREE_SQL),
         "kg_literal_mentions": (kg_literal_mentions, KG_LITERAL_MENTIONS_SQL),
         "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
+        "kg_pmi_pairs": (kg_pmi_pairs, KG_PMI_PAIRS_SQL),
         "kg_top_objects": (kg_top_objects, KG_TOP_OBJECTS_SQL),
         "kg_pred_detailed": (kg_pred_detailed, KG_PRED_DETAILED_SQL),
         "kg_context_window": (kg_context_window, KG_CONTEXT_WINDOW_SQL),

@@ -9,6 +9,7 @@ import pyarrow as pa
 
 from ..functions.hashing import rolling_fingerprints, simhash64
 from ..functions.text import (
+    _TOKEN_RE,
     bpe_ish_token_count,
     detect_language,
     quality_features,
@@ -41,6 +42,68 @@ def doc_features(batch: pa.Table, text_col: str = "text") -> pa.Table:
         .append_column("mean_word_len", pa.array(mwl, pa.float64()))
         .append_column("upper_ratio", pa.array(upper, pa.float64()))
     )
+
+
+def unigram_logprob_scores(
+    ds, text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Corpus-trained unigram log-probability per document — the
+    perplexity-filter shape for training-data quality: two passes,
+    (1) per-block token histograms -> groupby(token) sum -> the unigram
+    model (vocabulary is bounded; at web scale keep top-K + an OOV floor
+    — documented scale path), (2) broadcast the logprob table and score
+    each doc as sum(log p(token)) over its tokens. Docs with no tokens
+    emit nothing (matching the SQL oracle's join semantics)."""
+    import math
+
+    import numpy as np
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.broadcast import deref_cached
+
+    def block_counts(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            c.update(w.lower() for w in _TOKEN_RE.findall(t or ""))
+        return pa.table(
+            {
+                "token": pa.array(list(c.keys()), pa.string()),
+                "n": pa.array(list(c.values()), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(block_counts, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    total = float(counts["n"].sum())
+    logprob = {t: math.log(n / total) for t, n in zip(counts["token"], counts["n"])}
+    lp_ref = ray.put(logprob)
+
+    def score(batch: pa.Table) -> pa.Table:
+        lp = deref_cached(lp_ref)
+        o_lp, o_n = [], []
+        keep_cols = [c for c in batch.schema.names if c not in (text_col,)]
+        rows_keep = []
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            toks = [w.lower() for w in _TOKEN_RE.findall(t or "")]
+            if not toks:
+                continue
+            rows_keep.append(i)
+            o_lp.append(float(np.sum([lp[w] for w in toks])))
+            o_n.append(len(toks))
+        sub = batch.take(rows_keep).select(keep_cols)
+        return sub.append_column("logprob", pa.array(o_lp, pa.float64())).append_column(
+            "n_tokens", pa.array(o_n, pa.int64())
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")
 
 
 def doc_fingerprints(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
