@@ -6,8 +6,8 @@ here (or in the library) calls ray.init()/ray.shutdown().
 - entry(): flagship KG pipeline (transcripts -> triples) on the smoke
   tier derived from /root/testdata/sf0.001 sizing.
 - queries(): one entry per implemented operator family (SURVEY.md §2 +
-  the training-data operations suite); each takes sf_dir. 58 entries.
-- oracle_sql(): DuckDB oracles for the 52 checkable queries — pure SQL
+  the training-data operations suite); each takes sf_dir. 60 entries.
+- oracle_sql(): DuckDB oracles for the 54 checkable queries — pure SQL
   re-derivations where expressible, parquet-export-backed re-derivations
   (simhash, fingerprints, triples, embeddings) where the intermediate is
   not SQL-derivable; the 6 rows-only queries each document why in their
