@@ -1394,9 +1394,13 @@ WITH t AS (
 ), p AS (
   SELECT len(list_distinct(regexp_extract_all(text,
     '(?:^|[\\s(''"`])(/(?:[A-Za-z0-9._-]+/)+[A-Za-z0-9_-]+\\.[A-Za-z0-9]{{1,8}})', 1))) AS n FROM t
+), v AS (
+  SELECT len(list_distinct(regexp_extract_all(text,
+    '\\bv?[0-9]+\\.[0-9]+\\.[0-9]+(?:-[0-9A-Za-z.]+)?\\b'))) AS n FROM t
 )
 SELECT 'links_to' AS kind, sum(n)::BIGINT AS n_mentions FROM u
 UNION ALL SELECT 'mentions_email', sum(n)::BIGINT FROM e
+UNION ALL SELECT 'mentions_version', sum(n)::BIGINT FROM v
 UNION ALL SELECT 'quotes', sum(n)::BIGINT FROM q
 UNION ALL SELECT 'references_path', sum(n)::BIGINT FROM p
 """

@@ -182,6 +182,8 @@ def _generate_shard(
             if rng.rand() < 0.05:
                 w = _VOCAB[rng.randint(0, len(_VOCAB))]
                 words.append(f"{w}@svc.example")
+            if rng.rand() < 0.05:
+                words.append(f"v{rng.randint(0, 4)}.{rng.randint(0, 10)}.{rng.randint(0, 20)}")
             shard["conv_id"].append(conv_id)
             shard["turn_idx"].append(ti)
             shard["role"].append(role)
@@ -220,7 +222,7 @@ def generate_transcripts(
     ``catalog.parquet``. Idempotent: returns immediately if a
     ``_SYNTH_OK`` marker with matching params exists."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v6"
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v7"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:

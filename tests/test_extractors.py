@@ -9,7 +9,7 @@ import pyarrow.parquet as pq
 def test_registry_discovery_and_order():
     from coco_search_ray import extractors
 
-    assert set(extractors.REGISTRY) >= {"identifiers", "quoted_phrases", "urls", "emails", "file_paths"}
+    assert set(extractors.REGISTRY) >= {"identifiers", "quoted_phrases", "urls", "emails", "file_paths", "versions"}
     assert [m.KIND for m in extractors.entity_families()] == ["entity"]
     lits = extractors.literal_families()
     assert [m.NAME for m in lits] == sorted(m.NAME for m in lits)
