@@ -24,3 +24,15 @@ def auto_pool(frac: float = 0.5, floor: int = 1, cap: int | None = None) -> tupl
     if cap is not None:
         hi = min(hi, cap)
     return (floor, hi)
+
+
+def auto_buckets(floor: int = 64, per_cpu: int = 4) -> int:
+    """Coarse-shuffle bucket count that SCALES with the cluster instead of
+    a constant: ``max(floor, per_cpu * cluster_CPUs)``. A fixed 64 means
+    each map_groups task holds 1/64th of ALL keys regardless of cluster
+    size — at 4N nodes the shuffle stops getting narrower per task.
+    per_cpu > 1 keeps tasks small enough to pipeline/steal; the bucket
+    count never changes OUTPUT (buckets hold complete key groups), only
+    task granularity, so results stay hash-identical at any size."""
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(floor, per_cpu * cpus)

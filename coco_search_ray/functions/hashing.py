@@ -280,6 +280,18 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+# byte-value -> set-bit-count lookup (numpy 1.x has no bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized set-bit count over a uint64 array of any shape: view as
+    bytes, table-lookup, sum per word. The kernel behind bucket-level
+    SimHash Hamming matrices (hamming(a, b) = popcount64(a ^ b))."""
+    x = np.ascontiguousarray(x, dtype=np.uint64)
+    return _POP8[x.view(np.uint8)].reshape(*x.shape, 8).sum(axis=-1, dtype=np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Rolling fingerprint (document fingerprinting / winnowing-lite)
 # ---------------------------------------------------------------------------

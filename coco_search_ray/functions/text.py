@@ -11,9 +11,12 @@ from __future__ import annotations
 
 import re
 
-_TOKEN_RE = re.compile(r"\w+")
-_PUNCT_RE = re.compile(r"[^\w\s]")
-_BPEISH_RE = re.compile(r"\w+|[^\w\s]")
+# re.ASCII pins \w to [0-9A-Za-z_] — DuckDB's RE2 \w is ASCII-only, so
+# both sides of every token-domain oracle share the same alphabet even if
+# documents gain accented/CJK text (ADVICE r02)
+_TOKEN_RE = re.compile(r"\w+", re.ASCII)
+_PUNCT_RE = re.compile(r"[^\w\s]", re.ASCII)
+_BPEISH_RE = re.compile(r"\w+|[^\w\s]", re.ASCII)
 
 # tiny per-language stopword lists for the heuristic language-ID
 _LANG_STOPWORDS: dict[str, frozenset[str]] = {

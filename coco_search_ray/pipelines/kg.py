@@ -460,7 +460,16 @@ def _assemble_group_arrow(df: pd.DataFrame) -> pa.Table:
     return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False)
 
 
+# floor for the general-path assembly shuffle; the effective count scales
+# with cluster CPUs via auto_buckets() (a constant 64 would hand each
+# map_groups task 1/64th of all conversations regardless of cluster size)
 ASSEMBLY_BUCKETS = 64
+
+
+def _assembly_buckets() -> int:
+    from ..functions.concurrency import auto_buckets
+
+    return auto_buckets(floor=ASSEMBLY_BUCKETS)
 
 
 def _add_conv_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
@@ -597,8 +606,9 @@ def build_kg(
     # CLAUDE.md perf lesson) — then the vectorized multi-conversation
     # kernel per bucket. A bucket holds complete conversations by
     # construction, which is all assemble_conv_local requires.
+    nb = _assembly_buckets()
     ds = ds.map_batches(
-        lambda b: _add_conv_bucket(b, ASSEMBLY_BUCKETS), batch_format="pyarrow", batch_size=bs
+        lambda b: _add_conv_bucket(b, nb), batch_format="pyarrow", batch_size=bs
     )
     return ds.groupby("_conv_bucket").map_groups(_assemble, batch_format="pandas")
 
@@ -634,7 +644,7 @@ CONTEXT_MAX_WINDOW = 8  # hard cap on the +-k turn window (a triple's
 
 
 def triples_with_context(
-    triples: ray.data.Dataset, data_dir: str, num_partitions: int = 16
+    triples: ray.data.Dataset, data_dir: str, num_partitions: int | None = None
 ) -> ray.data.Dataset:
     """Provenance re-attachment: join each triple back to its source turn
     text — the reference's context-expansion analog (expand a result to
@@ -644,6 +654,8 @@ def triples_with_context(
     (SURVEY.md §7.5.5); text is truncated to CONTEXT_MAX_CHARS."""
     import pyarrow.compute as pc
 
+    if num_partitions is None:
+        num_partitions = max(16, _auto_concurrency())
     turns = normalized_turns_ds(data_dir).select_columns(["conv_id", "turn_idx", "text"])
 
     def truncate(b: pa.Table) -> pa.Table:
@@ -666,7 +678,7 @@ def triples_with_window_context(
     triples: ray.data.Dataset,
     data_dir: str,
     window: int = 1,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
     max_chars: int = CONTEXT_MAX_CHARS,
 ) -> ray.data.Dataset:
     """Context expansion to a +-``window``-turn range: the reference
@@ -683,6 +695,8 @@ def triples_with_window_context(
     <= max_chars, so a triple's total context <= (2k+1) * max_chars."""
     if window < 0 or window > CONTEXT_MAX_WINDOW:
         raise ValueError(f"window must be in [0, {CONTEXT_MAX_WINDOW}], got {window}")
+    if num_partitions is None:
+        num_partitions = max(16, _auto_concurrency())
 
     offs = list(range(-window, window + 1))
 

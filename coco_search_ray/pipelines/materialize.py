@@ -111,7 +111,11 @@ def run_resumable(
                 f"{old.get('encoder')}/{old.get('dim')}; now using "
                 f"{meta['encoder']}/{meta['dim']} — results will mix models"
             )
-        if old.get("globals_hash") != globals_hash:
+        # rewrite on ANY field drift (e.g. a TRIPLE_SCHEMA_VERSION bump
+        # without a globals_hash change), not only on globals_hash — a
+        # stale meta would misreport schema_version to
+        # detect_output_features (ADVICE r02)
+        if old != meta:
             with open(meta_path, "w") as f:
                 json.dump(meta, f)
     else:

@@ -546,7 +546,12 @@ def q_events_asof(sf_dir: str) -> pd.DataFrame:
 
 Q_EVENTS_ASOF_SQL = """
 WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
-     c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+     -- pre-dedupe exact-ts ties to max(value): DuckDB ASOF picks an
+     -- UNSPECIFIED row among equal (user_id, ts) clicks, the pipeline
+     -- deterministically keeps max-by-value (stages/asof.py) — this makes
+     -- the oracle deterministic under duplicate (key, ts) right rows
+     c AS (SELECT user_id, ts, max(value) AS value FROM events
+           WHERE event_type = 'click' GROUP BY user_id, ts)
 SELECT p.event_id, p.user_id, p.ts, round(p.value, 2) AS purchase_value,
        c.ts AS click_ts, round(c.value, 2) AS click_value
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
@@ -780,7 +785,10 @@ def q_doc_minhash_neardup(sf_dir: str) -> pd.DataFrame:
     as ONE parquet block; repartition so the signature stage parallelizes
     (a real corpus read has many blocks and skips this)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).repartition(16)
-    return dedup.neardup_survivors(ds).to_pandas()
+    # the operator streams survivor rows; sorting/collection is the gate
+    # query's job (a 100 TB run writes the Dataset straight to parquet)
+    out = dedup.neardup_survivors(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 # INDEPENDENT brute-force oracle: all-pairs char-5-shingle Jaccard (the
@@ -1327,13 +1335,16 @@ def kg_pmi_pairs(sf_dir: str) -> pd.DataFrame:
     joins; ranks rounded BEFORE the cut on both sides (same tie
     discipline as kg_pagerank)."""
     triples = kg_triples(sf_dir)
-    edges = triples.filter(expr="pred == 'mentions'").select_columns(["subj", "obj"]).materialize()
-    pair = edges.groupby(["subj", "obj"]).aggregate(Count(alias_name="c_ab")).to_pandas()
-    n_total = int(pair["c_ab"].sum())
-    c_subj = pair.groupby("subj", as_index=False)["c_ab"].sum().rename(columns={"c_ab": "c_a"})
-    c_obj = pair.groupby("obj", as_index=False)["c_ab"].sum().rename(columns={"c_ab": "c_b"})
-    m = pair.merge(c_subj, on="subj").merge(c_obj, on="obj")
-    m = m[m["c_ab"] >= 5].copy()
+    edges = triples.filter(expr="pred == 'mentions'").select_columns(["subj", "obj"])
+    # pair counts stay a Dataset; the driver only ever sees the O(entity)
+    # marginals and the count-thresholded qualifying pairs — never the
+    # full catalog^2 pair table (VERDICT r02 "what's wrong" #3)
+    pair = edges.groupby(["subj", "obj"]).aggregate(Count(alias_name="c_ab")).materialize()
+    n_total = int(pair.sum("c_ab"))
+    c_subj = pair.groupby("subj").aggregate(Sum("c_ab", alias_name="c_a")).to_pandas()
+    c_obj = pair.groupby("obj").aggregate(Sum("c_ab", alias_name="c_b")).to_pandas()
+    m = pair.filter(expr="c_ab >= 5").to_pandas()
+    m = m.merge(c_subj, on="subj").merge(c_obj, on="obj")
     m["pmi"] = np.log(n_total * m["c_ab"] / (m["c_a"] * m["c_b"]))
     m = _round_half_away(m, ["pmi"], 6)
     m = m.sort_values(["pmi", "subj", "obj"], ascending=[False, True, True], kind="mergesort")
@@ -1383,10 +1394,13 @@ KG_LITERAL_MENTIONS_SQL = f"""
 WITH t AS (
   SELECT coalesce(text, '') AS text FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
 ), q AS (
-  SELECT len(list_distinct(
-    regexp_extract_all(text, '"([^"\n]{{2,60}})"', 1) ||
-    regexp_extract_all(text, '`([^`\n]{{1,60}})`', 1)
-  )) AS n FROM t
+  -- ONE combined alternation scanned left-to-right (same non-overlapping
+  -- consumption as the pipeline regex — interleaved/nested quote+backtick
+  -- delimiters match identically; ADVICE r02), delimiters stripped after
+  SELECT len(list_distinct(list_transform(
+    regexp_extract_all(text, '"[^"\n]{{2,60}}"|`[^`\n]{{1,60}}`'),
+    x -> x[2:-2]
+  ))) AS n FROM t
 ), u AS (
   SELECT len(list_distinct(regexp_extract_all(text, 'https?://[^\\s"''<>\\)\\]]+'))) AS n FROM t
 ), e AS (

@@ -26,7 +26,7 @@ def asof_join(
     ts_col: str,
     left_cols: list[str],
     right_cols: dict[str, str],
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     allow_exact: bool = False,
 ) -> ray.data.Dataset:
     """Backward as-of join.
@@ -37,6 +37,10 @@ def asof_join(
                 keep the matched timestamp). Nulls when no right row
                 precedes the left row for that key.
     """
+    if num_buckets is None:
+        from ..functions.concurrency import auto_buckets
+
+        num_buckets = auto_buckets()  # scales with cluster CPUs, floor 64
     out_names = list(right_cols.values())
 
     # each tagger nulls the OTHER side's columns with their true types

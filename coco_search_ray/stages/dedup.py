@@ -37,8 +37,8 @@ from ..functions.hashing import (
     MinHasher,
     char_shingle_hashes,
     content_sha256,
-    hamming64,
     jaccard_u64,
+    popcount64,
     word_ngram_hashes,
 )
 from ..functions.numeric import round_half_away
@@ -325,16 +325,17 @@ def neardup_survivors(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = _NEARDUP_JACCARD,
-) -> pa.Table:
+) -> ray.data.Dataset:
     """Full near-dup dedup: LSH -> verify (text re-join) -> connected
     components over PAIR-TOUCHED ids only -> keep min id per component.
 
     No O(corpus) driver state: union-find runs on the ids that appear in
     a verified pair (provably small — pairs require agreeing LSH bands
     AND Jaccard >= threshold), the id->canonical dict for that small set
-    is broadcast, and the per-component sizes come from a native
-    distributed groupby over the docs dataset (singletons fall out as
-    their own group). Returns (doc_id = component min id, group_size)."""
+    is broadcast. Returns the STREAMING Dataset of survivor rows
+    (doc_id = component min id, group_size) — one row per surviving doc;
+    sorting/collection belongs to the caller (gate queries sort at
+    sf-test scale; a 100 TB run writes it straight to parquet)."""
     verified = (
         verify_pairs_jaccard(minhash_candidate_pairs(ds, text_col, id_col), ds, text_col, id_col, threshold)
         .to_pandas()
@@ -348,35 +349,31 @@ def neardup_survivors(
     # singletons of size 1), so NO distributed groupby is needed: one
     # stateless map over the doc-id stream with two tiny broadcast dicts —
     # drop merged-away ids, annotate component roots with their size.
-    merged = {i: c for i, c in mapping.items() if i != c}
+    merged_ids = pa.array(
+        sorted(i for i, c in mapping.items() if i != c), pa.int64()
+    )
     comp_size: dict[int, int] = {}
     for i, c in mapping.items():
         comp_size[c] = comp_size.get(c, 0) + 1
-    state_ref = ray.put((merged, comp_size))
+    roots = np.array(sorted(comp_size), dtype=np.int64)
+    root_sizes = np.array([comp_size[r] for r in roots], dtype=np.int64)
+    state_ref = ray.put((merged_ids, roots, root_sizes))
 
     def survivors(batch: pa.Table) -> pa.Table:
-        m, cs = deref_cached(state_ref)
-        o_id, o_n = [], []
-        for i in batch[id_col].to_pylist():
-            if i in m:  # merged into a smaller-id root elsewhere
-                continue
-            o_id.append(i)
-            o_n.append(cs.get(i, 1))
-        return pa.table(
-            {
-                id_col: pa.array(o_id, pa.int64()),
-                "group_size": pa.array(o_n, pa.int64()),
-            }
+        m_ids, rts, rsz = deref_cached(state_ref)
+        kept = batch.filter(
+            pc.invert(pc.is_in(batch[id_col], value_set=m_ids))
         )
+        ids = kept[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sizes = np.ones(len(ids), dtype=np.int64)
+        if len(rts):
+            pos = np.searchsorted(rts, ids)
+            pos_c = np.minimum(pos, len(rts) - 1)
+            hit = rts[pos_c] == ids
+            sizes[hit] = rsz[pos_c[hit]]
+        return pa.table({id_col: pa.array(ids), "group_size": pa.array(sizes)})
 
-    out = (
-        ds.select_columns([id_col])
-        .map_batches(survivors, batch_format="pyarrow")
-        .to_pandas()
-        .sort_values(id_col)
-        .reset_index(drop=True)
-    )
-    return pa.Table.from_pandas(out, preserve_index=False)
+    return ds.select_columns([id_col]).map_batches(survivors, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -392,56 +389,63 @@ def simhash_candidate_pairs(
     full Hamming distance."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        hashes = batch["simhash"].to_pylist()
-        o_id, o_band, o_key, o_sim = [], [], [], []
-        for i, h in zip(ids, hashes):
-            for band in range(4):
-                o_id.append(i)
-                o_band.append(band)
-                o_key.append((h >> (band * 16)) & 0xFFFF)
-                o_sim.append(h)
+        """Vectorized 4-band explosion (np.repeat/tile — the MinHash
+        twin's shape; no per-row Python)."""
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        hashes = np.asarray(batch["simhash"].to_pylist(), dtype=np.uint64)
+        n = len(ids)
+        shifts = (np.arange(4, dtype=np.uint64) * np.uint64(16))[None, :]
+        keys = ((hashes[:, None] >> shifts) & np.uint64(0xFFFF)).astype(np.int32)
         return pa.table(
             {
-                id_col: pa.array(o_id, pa.int64()),
-                "band_id": pa.array(o_band, pa.int32()),
-                "band_key": pa.array(o_key, pa.int32()),
-                "simhash": pa.array(np.array(o_sim, dtype=np.uint64)),
+                id_col: pa.array(np.repeat(ids, 4)),
+                "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "band_key": pa.array(keys.ravel()),
+                "simhash": pa.array(np.repeat(hashes, 4)),
             }
         )
 
     def band_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        """One output frame per BAND; buckets are sorted runs, pairs and
-        Hamming distances accumulated in plain lists (buckets with <2
-        members — the vast majority — never allocate anything)."""
+        """One output frame per BAND; buckets are sorted runs. Per eligible
+        run (2..256 members), Hamming comes from ONE popcount over the
+        (run x run) uint64 XOR matrix — no per-pair Python."""
         d = df[["band_key", id_col, "simhash"]].drop_duplicates(
             subset=["band_key", id_col]
         ).sort_values(["band_key", id_col], kind="mergesort")
         keys = d["band_key"].to_numpy()
         ids = d[id_col].to_numpy()
-        hashes = [int(x) for x in d["simhash"].tolist()]
+        hashes = d["simhash"].to_numpy(dtype=np.uint64)
         boundary = np.nonzero(keys[1:] != keys[:-1])[0] + 1
         starts = np.concatenate(([0], boundary)) if len(keys) else np.array([], dtype=int)
         ends = np.concatenate((boundary, [len(keys)])) if len(keys) else np.array([], dtype=int)
-        o_a: list[int] = []
-        o_b: list[int] = []
-        o_h: list[int] = []
+        a_out: list[np.ndarray] = []
+        b_out: list[np.ndarray] = []
+        h_out: list[np.ndarray] = []
         for s, e in zip(starts, ends):
             n = e - s
             if n < 2 or n > 256:
                 continue
-            for i in range(s, e):
-                for j in range(i + 1, e):
-                    h = hamming64(hashes[i], hashes[j])
-                    if h <= max_hamming:
-                        o_a.append(int(ids[i]))
-                        o_b.append(int(ids[j]))
-                        o_h.append(h)
+            run_h = hashes[s:e]
+            ham = popcount64(run_h[:, None] ^ run_h[None, :])
+            i, j = np.nonzero(np.triu(ham <= max_hamming, k=1))
+            if len(i):
+                run_ids = ids[s:e]
+                a_out.append(run_ids[i])
+                b_out.append(run_ids[j])
+                h_out.append(ham[i, j])
+        if not a_out:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "hamming": pd.Series(dtype="int64"),
+                }
+            )
         return pd.DataFrame(
             {
-                "a": pd.Series(o_a, dtype="int64"),
-                "b": pd.Series(o_b, dtype="int64"),
-                "hamming": pd.Series(o_h, dtype="int64"),
+                "a": np.concatenate(a_out).astype(np.int64),
+                "b": np.concatenate(b_out).astype(np.int64),
+                "hamming": np.concatenate(h_out).astype(np.int64),
             }
         )
 
@@ -592,4 +596,42 @@ def embedding_neardup_pairs_lsh(
         ds.map_batches(_Bucket, batch_format="pyarrow", concurrency=auto_pool())
         .groupby("table_id")
         .map_groups(table_pairs, batch_format="pandas")
+    )
+
+
+# above this many vectors the brute-force broadcast matrix stops fitting
+# a worker heap comfortably (10^5 x 768 float64 = ~0.6 GB) and the
+# operator switches to the sign-LSH bucketed plan — the same autoswitch
+# discipline as IVF (>20k docs), the distributed linkmap (>2M surfaces)
+# and the verify join (>2M pairs)
+_EMB_BRUTE_MAX = 100_000
+
+
+def embedding_neardup(
+    ds: ray.data.Dataset,
+    dim: int,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    brute_max: int = _EMB_BRUTE_MAX,
+    num_planes: int = 16,
+    num_tables: int = 8,
+    seed: int = 11,
+) -> ray.data.Dataset:
+    """Size-triggered embedding near-dup: exact brute-force cosine below
+    ``brute_max`` vectors (recall 1.0 — the broadcast matrix is small),
+    sign-LSH bucketing above it (recall < 1 by construction; num_tables
+    trades recall for shuffle volume). Callers drop_duplicates on (a, b):
+    the LSH branch may propose a pair from several tables.
+    """
+    ds = ds.select_columns([id_col, vec_col]).materialize()
+    if ds.count() <= brute_max:
+        t = pa.concat_tables(
+            ray.get(r) for r in ds.to_arrow_refs()
+        ).combine_chunks()
+        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float32)
+        ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
+        return embedding_neardup_pairs(ds, vecs, ids, threshold, id_col, vec_col)
+    return embedding_neardup_pairs_lsh(
+        ds, dim, threshold, num_planes, num_tables, id_col, vec_col, seed
     )

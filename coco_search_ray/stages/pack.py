@@ -30,7 +30,14 @@ def pack_bins(
     budget: int,
     out_col: str = "bin",
 ) -> ray.data.Dataset:
-    """Append the bin id column. Deterministic: order = sort by id_col."""
+    """Append the bin id column. Deterministic: order = sort by id_col.
+
+    ``id_col`` must be UNIQUE — the total order (and the per-block offset
+    keying) is by id. Duplicate ids that straddle a block boundary are
+    detected in pass 1 and raise; duplicates confined to one block would
+    silently make the order among equals non-total, so callers own
+    uniqueness (doc_id/chunk_uid in this repo are unique by construction).
+    """
     sorted_ds = ds.sort(id_col).materialize()
 
     # pass 1: per-BLOCK totals keyed by the block's first id
@@ -39,11 +46,13 @@ def pack_bins(
     def block_total(b: pa.Table) -> pa.Table:
         if b.num_rows == 0:
             return pa.table({"first_id": pa.array([], pa.int64()),
+                             "last_id": pa.array([], pa.int64()),
                              "total": pa.array([], pa.int64())})
         sizes = np.asarray(b[size_col].to_pylist(), dtype=np.int64)
         return pa.table(
             {
                 "first_id": pa.array([b[id_col][0].as_py()], pa.int64()),
+                "last_id": pa.array([b[id_col][-1].as_py()], pa.int64()),
                 "total": pa.array([int(sizes.sum())], pa.int64()),
             }
         )
@@ -53,6 +62,15 @@ def pack_bins(
         .to_pandas()
         .sort_values("first_id")
     )
+    firsts = totals["first_id"].to_numpy()
+    lasts = totals["last_id"].to_numpy()
+    if len(firsts) > 1 and (
+        (firsts[1:] == firsts[:-1]).any() or (lasts[:-1] >= firsts[1:]).any()
+    ):
+        raise ValueError(
+            f"pack_bins requires unique {id_col!r} values: a duplicate id "
+            "straddles a block boundary (offset keying would collide)"
+        )
     offsets = dict(
         zip(totals["first_id"], np.concatenate(([0], np.cumsum(totals["total"])[:-1])))
     )

@@ -47,7 +47,7 @@ def sessionize(
     key_col: str = "user_id",
     ts_col: str = "ts",
     gap_s: int = 1800,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Session windows per key: a new session starts when the gap to the
     previous event exceeds ``gap_s``. Output: one row per session with
@@ -60,6 +60,10 @@ def sessionize(
     the (key, ts)-sorted frame: a session break is a key change OR an
     over-gap step, sessions are one cumsum, stats one pandas groupby."""
     from ..functions.bucketing import add_key_bucket
+    from ..functions.concurrency import auto_buckets
+
+    if num_buckets is None:
+        num_buckets = auto_buckets()  # scales with cluster CPUs, floor 64
 
     def add_bucket(b: pa.Table) -> pa.Table:
         return add_key_bucket(b, key_col, num_buckets)

@@ -238,3 +238,37 @@ def test_asof_join_matches_pandas(ray_session):
     cols = ["row_id", "k", "ts", "v", "r_ts", "r_v"]
     assert got["row_id"].dtype == np.int64
     pd.testing.assert_frame_equal(got[cols], exp[cols])
+
+
+def test_embedding_neardup_autoswitch_branches_consistent(ray_session):
+    """Size-triggered brute-force -> sign-LSH switch (VERDICT r02 #5):
+    force BOTH branches on the same input; the LSH branch's pairs must be
+    a subset of exact brute-force pairs (bucketing only ever loses
+    recall, never invents a pair) and must keep the planted near-dups."""
+    import ray.data
+    from coco_search_ray.stages.dedup import embedding_neardup
+
+    rng = np.random.RandomState(1)
+    vecs = rng.normal(size=(80, 12)).astype(np.float32)
+    vecs[10] = vecs[5] + 0.005 * rng.normal(size=12).astype(np.float32)
+    vecs[40] = vecs[20] + 0.005 * rng.normal(size=12).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(80, dtype=np.int64)),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    brute = embedding_neardup(ds, dim=12, threshold=0.95).to_pandas()
+    lsh = (
+        embedding_neardup(
+            ds, dim=12, threshold=0.95, brute_max=10, num_planes=4, num_tables=16
+        )
+        .to_pandas()
+        .drop_duplicates(subset=["a", "b"])
+    )
+    bp = set(zip(brute["a"], brute["b"]))
+    lp = set(zip(lsh["a"], lsh["b"]))
+    assert (5, 10) in bp and (20, 40) in bp
+    assert lp <= bp
+    assert (5, 10) in lp and (20, 40) in lp
