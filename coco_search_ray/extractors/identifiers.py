@@ -8,12 +8,18 @@ word-shape tests the reference uses to route queries into hybrid mode
 
 from __future__ import annotations
 
-from ..functions.mentions import _QUICK_RE, detect_mentions
+from ..functions.mentions import _QUICK_RE, detect_mentions, detect_mentions_batch
 
 NAME = "identifiers"
 KIND = "entity"
 PRED = None
 QUICK = _QUICK_RE.pattern
+
+# optional duck-typed BATCH surface: (texts) -> (counts, flat surfaces),
+# byte-identical to mapping extract() over the texts (pytest-pinned);
+# extract_mention_rows uses it when the plan has exactly this one entity
+# family — the whole batch classifies words in one vectorized pass
+BATCH = detect_mentions_batch
 
 
 def extract(text: str) -> list[str]:

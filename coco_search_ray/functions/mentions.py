@@ -20,6 +20,10 @@ turn are kept-first (position of first occurrence).
 from __future__ import annotations
 
 import re
+from itertools import chain
+
+import numpy as np
+import pandas as pd
 
 _WORD_RE = re.compile(r"[A-Za-z0-9_]+")
 _CAP_WORD_RE = re.compile(r"^[A-Z][a-z]+$")
@@ -95,3 +99,110 @@ def detect_mentions(text: str) -> list[str]:
                 seen.add(w)
                 out.append(w)
     return out
+
+
+# word -> int class bits (bit0 = capitalized, bit1 = identifier) for the
+# BATCH kernel; same memoization policy as _WORD_CLASS_CACHE
+_WORD_CLASS_INT_CACHE: dict[str, int] = {}
+_EMPTY_WORDS: list[str] = []
+
+
+def detect_mentions_batch(
+    texts: list[str], quick_mask: np.ndarray | None = None
+) -> tuple[np.ndarray, list[str]]:
+    """Vectorized twin of :func:`detect_mentions` over a whole batch —
+    pytest-pinned byte-identical per-turn output (the per-turn function is
+    the readable spec; this is the hot path, ~3x faster).
+
+    Shape: per-turn findall (regex stays per turn — bigrams must not span
+    turns), then ONE pd.factorize over the batch's word stream, each
+    DISTINCT word classified once (process-memoized), and the emit
+    decision (bigram start / identifier not in a bigram) as numpy masks
+    with turn boundaries handled by first/last-word masks. Python touches
+    only the EMITTED indices (~1-2 per turn), never every word.
+
+    ``quick_mask`` (optional bool array, one per text) is a precomputed
+    QUICK-gate — the caller evaluated ``_QUICK_RE`` for the whole column
+    in one vectorized Arrow pass (the pattern is pure ASCII character
+    classes, so RE2 and Python ``re`` agree exactly); without it the gate
+    runs per text here.
+
+    Returns (counts per text, flat surfaces in per-turn first-occurrence
+    order)."""
+    n_texts = len(texts)
+    counts = np.zeros(n_texts, dtype=np.int64)
+    wlists: list[list[str]] = []
+    nwords = np.zeros(n_texts, dtype=np.int64)
+    if quick_mask is None:
+        for i, t in enumerate(texts):
+            w = _WORD_RE.findall(t) if (t and _QUICK_RE.search(t)) else _EMPTY_WORDS
+            wlists.append(w)
+            nwords[i] = len(w)
+    else:
+        wlists = [_EMPTY_WORDS] * n_texts
+        for i in np.nonzero(quick_mask)[0]:
+            t = texts[i]
+            if t:
+                w = _WORD_RE.findall(t)
+                wlists[i] = w
+                nwords[i] = len(w)
+    total = int(nwords.sum())
+    if not total:
+        return counts, []
+    words = np.fromiter(chain.from_iterable(wlists), dtype=object, count=total)
+    codes, uniques = pd.factorize(words, sort=False)
+    ucls = np.empty(len(uniques), dtype=np.int8)
+    get = _WORD_CLASS_INT_CACHE.get
+    for k, w in enumerate(uniques):
+        c = get(w)
+        if c is None:
+            cap, ident = _classify(w)
+            c = (1 if cap else 0) | (2 if ident else 0)
+            if len(_WORD_CLASS_INT_CACHE) >= _WORD_CLASS_CACHE_MAX:
+                _WORD_CLASS_INT_CACHE.clear()
+            _WORD_CLASS_INT_CACHE[w] = c
+        ucls[k] = c
+    cls = ucls[codes]
+    cap = (cls & 1).astype(bool)
+    ident = (cls & 2).astype(bool)
+    ends = np.cumsum(nwords)
+    starts = ends - nwords
+    nz = nwords > 0
+    last_word = np.zeros(total, dtype=bool)
+    last_word[ends[nz] - 1] = True
+    first_word = np.zeros(total, dtype=bool)
+    first_word[starts[nz]] = True
+    cap_next = np.empty(total, dtype=bool)
+    cap_next[:-1] = cap[1:]
+    cap_next[-1] = False
+    cap_next &= ~last_word  # a turn's last word has no next word
+    cap_prev = np.empty(total, dtype=bool)
+    cap_prev[1:] = cap[:-1]
+    cap_prev[0] = False
+    cap_prev &= ~first_word
+    bigram = cap & cap_next
+    in_bigram = cap & (cap_next | cap_prev)
+    emit = bigram | (ident & ~in_bigram)
+    emit_idx = np.nonzero(emit)[0]
+    if not len(emit_idx):
+        return counts, []
+    turn_of = np.searchsorted(ends, emit_idx, side="right")
+    # per-turn surface build + keep-first dedupe over EMITTED indices only
+    surfaces: list[str] = []
+    boundary = np.nonzero(turn_of[1:] != turn_of[:-1])[0] + 1
+    run_starts = np.concatenate(([0], boundary))
+    run_ends = np.concatenate((boundary, [len(emit_idx)]))
+    wl = words  # local alias
+    for s, e in zip(run_starts, run_ends):
+        turn = turn_of[s]
+        seen: set[str] = set()
+        c = 0
+        for k in range(s, e):
+            i = emit_idx[k]
+            surface = f"{wl[i]} {wl[i + 1]}" if bigram[i] else wl[i]
+            if surface not in seen:
+                seen.add(surface)
+                surfaces.append(surface)
+                c += 1
+        counts[turn] = c
+    return counts, surfaces

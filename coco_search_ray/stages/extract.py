@@ -51,7 +51,14 @@ def family_plan() -> tuple[tuple[str, ...], tuple[tuple[str, str], ...]]:
 
 
 class _Snapshot:
-    __slots__ = ("quick", "entity_extracts", "literal_steps", "literal_preds")
+    __slots__ = (
+        "quick",
+        "entity_quick",
+        "entity_extracts",
+        "entity_batch",
+        "literal_steps",
+        "literal_preds",
+    )
 
     def __init__(self, entity_names, literal_specs):
         reg = extractors.REGISTRY
@@ -60,9 +67,19 @@ class _Snapshot:
             f"(?:{m.QUICK})"
             for m in ent + [reg[n] for n, _p in literal_specs if n in reg]
         )
+        self.entity_quick = "|".join(f"(?:{m.QUICK})" for m in ent)
         self.entity_extracts = [m.extract for m in ent]
+        # batch fast path only when the plan has exactly ONE entity family
+        # and it ships a BATCH kernel (cross-family dedupe needs the
+        # per-turn order interleaving, which the flat batch API can't see)
+        self.entity_batch = getattr(ent[0], "BATCH", None) if len(ent) == 1 else None
+        # (code, extract, maybe, QUICK) — QUICK doubles as a per-family
+        # vectorized candidate mask on the batch fast path: it is already
+        # the contract that QUICK is a sound necessary condition under RE2
+        # (the union row filter above relies on exactly that), so a row
+        # failing the family's QUICK can be skipped without calling extract
         self.literal_steps = [
-            (np.int8(i + 1), reg[n].extract, getattr(reg[n], "maybe", None))
+            (np.int8(i + 1), reg[n].extract, getattr(reg[n], "maybe", None), reg[n].QUICK)
             for i, (n, _p) in enumerate(literal_specs)
             if n in reg
         ]
@@ -117,7 +134,7 @@ def _turn_mentions(text: str, snap: _Snapshot | None = None) -> tuple[list[str],
                     seen.add(m)
                     surfaces.append(m)
     kinds = [_K0] * len(surfaces)
-    for code, extract, maybe in snap.literal_steps:
+    for code, extract, maybe, _quick in snap.literal_steps:
         if maybe is not None and not maybe(text):
             continue
         for m in extract(text):
@@ -136,14 +153,38 @@ def extract_mention_rows(
     snap = _get_snapshot(entity_names, literal_specs)
     if emit_sentinels:
         return _extract_with_sentinels(batch, snap)
+    use_batch_kernel = snap.entity_batch is not None
+    ent_mask = None
+    lit_masks: list[np.ndarray] = []
     if batch.num_rows:
-        mask = pc.match_substring_regex(batch["text"], snap.quick)
-        batch = batch.filter(pc.fill_null(mask, False))
+        if use_batch_kernel:
+            # ONE vectorized RE2 pass per family instead of one union
+            # pass + per-row Python prechecks: the per-family masks both
+            # drive the union row filter AND tell each family exactly
+            # which rows to extract from (QUICK patterns are pure-ASCII,
+            # RE2==Python re — the same soundness contract the union
+            # filter has always relied on)
+            text_col = batch["text"]
+            ent_mask_a = pc.fill_null(
+                pc.match_substring_regex(text_col, snap.entity_quick), False
+            )
+            lit_masks_a = [
+                pc.fill_null(pc.match_substring_regex(text_col, q), False)
+                for _c, _e, _m, q in snap.literal_steps
+            ]
+            union = ent_mask_a
+            for m in lit_masks_a:
+                union = pc.or_(union, m)
+            keep = np.nonzero(union.to_numpy(zero_copy_only=False))[0]
+            batch = batch.take(pa.array(keep))
+            ent_mask = ent_mask_a.to_numpy(zero_copy_only=False)[keep]
+            lit_masks = [m.to_numpy(zero_copy_only=False)[keep] for m in lit_masks_a]
+        else:
+            mask = pc.match_substring_regex(batch["text"], snap.quick)
+            batch = batch.filter(pc.fill_null(mask, False))
 
     texts = batch["text"].to_pylist()
     n_rows = len(texts)
-    counts = np.empty(n_rows, dtype=np.int64)
-    all_mentions: list[str] = []
     # literal appendix: the common row has NO literal mentions, so the
     # hot loop stays the single-family entity path; literal rows are
     # collected separately and appended as extra output rows (row order
@@ -154,35 +195,62 @@ def extract_mention_rows(
     lit_ord: list[int] = []
     ent_extracts = snap.entity_extracts
     literal_steps = snap.literal_steps
-    single_entity = len(ent_extracts) == 1
-    ent_extract = ent_extracts[0] if ent_extracts else None
-    for r, text in enumerate(texts):
-        if not text:
-            counts[r] = 0
-            continue
-        if single_entity:
-            m = ent_extract(text)
-        else:
-            # 0 families (literal-only plan) or 2+ (cross-family dedupe)
-            m = []
-            seen: set[str] = set()
-            for ex in ent_extracts:
-                for s in ex(text):
-                    if s not in seen:
-                        seen.add(s)
-                        m.append(s)
-        counts[r] = len(m)
-        all_mentions.extend(m)
-        nxt = len(m)
-        for code, extract, maybe in literal_steps:
-            if maybe is not None and not maybe(text):
+    if use_batch_kernel:
+        # vectorized whole-batch entity detection (identical output to the
+        # per-turn loop below — pytest-pinned); literal families run per
+        # FAMILY over only that family's mask-selected candidate rows.
+        # mention_ord stays correct under the family-outer loop because
+        # families execute in plan order and nxt_arr carries each row's
+        # running ordinal (semantics live in (turn_idx, mention_ord), not
+        # in output row order).
+        counts, all_mentions = snap.entity_batch(texts, ent_mask)
+        nxt_arr = counts.copy()
+        for (code, extract, _maybe, _q), fmask in zip(literal_steps, lit_masks):
+            code_i = int(code)
+            for r in np.nonzero(fmask)[0]:
+                surfaces = extract(texts[r])
+                if not surfaces:
+                    continue
+                nxt = int(nxt_arr[r])
+                for s in surfaces:
+                    lit_row.append(r)
+                    lit_code.append(code_i)
+                    lit_surface.append(s)
+                    lit_ord.append(nxt)
+                    nxt += 1
+                nxt_arr[r] = nxt
+    else:
+        counts = np.empty(n_rows, dtype=np.int64)
+        all_mentions = []
+        single_entity = len(ent_extracts) == 1
+        ent_extract = ent_extracts[0] if ent_extracts else None
+        for r, text in enumerate(texts):
+            if not text:
+                counts[r] = 0
                 continue
-            for s in extract(text):
-                lit_row.append(r)
-                lit_code.append(int(code))
-                lit_surface.append(s)
-                lit_ord.append(nxt)
-                nxt += 1
+            if single_entity:
+                m = ent_extract(text)
+            else:
+                # 0 families (literal-only plan) or 2+ (cross-family dedupe)
+                m = []
+                seen: set[str] = set()
+                for ex in ent_extracts:
+                    for s in ex(text):
+                        if s not in seen:
+                            seen.add(s)
+                            m.append(s)
+            counts[r] = len(m)
+            all_mentions.extend(m)
+            nxt = len(m)
+            for code, extract, maybe, _q in literal_steps:
+                if maybe is not None and not maybe(text):
+                    continue
+                for s in extract(text):
+                    lit_row.append(r)
+                    lit_code.append(int(code))
+                    lit_surface.append(s)
+                    lit_ord.append(nxt)
+                    nxt += 1
 
     # entity part: repeat-index gather (passthrough columns never leave Arrow)
     idx = np.repeat(np.arange(n_rows, dtype=np.int64), counts)

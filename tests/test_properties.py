@@ -159,6 +159,65 @@ def test_detect_mentions_single_pass_matches_spec(words):
     assert got == expect
 
 
+_turn_text = st.text(
+    alphabet=string.ascii_letters + string.digits + " _.-ünïé\n", min_size=0, max_size=120
+)
+
+
+@given(st.lists(st.one_of(st.none(), _turn_text), min_size=0, max_size=12))
+@settings(max_examples=200, deadline=None)
+def test_detect_mentions_batch_matches_per_turn(texts):
+    """The vectorized whole-batch kernel == mapping the per-turn spec
+    function over the batch (counts AND flat first-occurrence-ordered
+    surfaces)."""
+    from coco_search_ray.functions.mentions import detect_mentions, detect_mentions_batch
+
+    counts, flat = detect_mentions_batch(texts)
+    expect_per = [detect_mentions(t) if t else [] for t in texts]
+    assert list(counts) == [len(m) for m in expect_per]
+    assert flat == [s for m in expect_per for s in m]
+
+
+def test_extract_mention_rows_batch_path_equals_fallback():
+    """extract_mention_rows with the BATCH fast path produces the exact
+    table the scalar fallback does (sorted-row equality, all columns)."""
+    import pyarrow as pa
+
+    from coco_search_ray.stages import extract as ex
+
+    rows = [
+        ("c1", 0, "user", "call get_user_by_id on Payment Service now", "bash"),
+        ("c1", 1, "assistant", "Payment Service Gateway then snake_case x", ""),
+        ("c1", 2, "tool", None, "t"),
+        ("c2", 0, "user", "", ""),
+        ("c2", 1, "user", 'see "quoted lit" and http://x.io v1.2.3', "web"),
+        ("c3", 0, "user", "CamelCase CamelCase repeat Repeat Repeat", ""),
+    ]
+    batch = pa.table(
+        {
+            "conv_id": pa.array([r[0] for r in rows], pa.string()),
+            "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+            "role": pa.array([r[2] for r in rows], pa.string()),
+            "text": pa.array([r[3] for r in rows], pa.string()),
+            "tool": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    snap = ex._get_snapshot()
+    assert snap.entity_batch is not None  # default plan: single entity family
+    fast = ex.extract_mention_rows(batch)
+    saved = snap.entity_batch
+    try:
+        snap.entity_batch = None
+        slow = ex.extract_mention_rows(batch)
+    finally:
+        snap.entity_batch = saved
+    key = ["conv_id", "turn_idx", "mention_ord", "kind_code"]
+    f = fast.to_pandas().sort_values(key).reset_index(drop=True)
+    s = slow.to_pandas().sort_values(key).reset_index(drop=True)
+    assert f.equals(s)
+    assert fast.num_rows > 0
+
+
 @given(_text)
 @settings(max_examples=200, deadline=None)
 def test_shingle_hash_sets_match_string_sets(text):
