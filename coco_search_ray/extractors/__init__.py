@@ -5,12 +5,18 @@ duck-typed protocol, fails fast on conflicts; deps/registry.py ditto).
 
 A family module exposes:
   NAME:  str             unique registry key
-  KIND:  "entity" | "literal"
-         entity  -> surfaces go through hybrid linking + canonical
-                    rewrite and become triple SUBJECTS/OBJECTS
-         literal -> surfaces stay verbatim and attach to the turn's
-                    FIRST linked entity as (entity, PRED, surface)
-  PRED:  str | None      triple predicate for literal families
+  KIND:  "entity" | "literal" | "qualified"
+         entity    -> surfaces go through hybrid linking + canonical
+                      rewrite and become triple SUBJECTS/OBJECTS
+         literal   -> surfaces stay verbatim and attach to the turn's
+                      FIRST linked entity as (entity, PRED, surface)
+         qualified -> dotted surfaces (root.member.path); the ROOT
+                      segment links like an entity mention and joins
+                      the turn's entity graph, and each surface also
+                      emits the hierarchy triple (root_entity, PRED,
+                      member_path) — the reference's Class.method
+                      qualified-symbol shape (indexer/symbols.py)
+  PRED:  str | None      triple predicate for literal/qualified families
   QUICK: str             RE2-compatible regex fragment; a row whose text
                          matches NO family's QUICK is dropped by one
                          vectorized Arrow scan before any Python runs
@@ -37,10 +43,10 @@ def _validate(mod: ModuleType) -> None:
     for attr in ("NAME", "KIND", "QUICK", "extract"):
         if not hasattr(mod, attr):
             raise TypeError(f"extractor module {mod.__name__} missing {attr}")
-    if mod.KIND not in ("entity", "literal"):
-        raise TypeError(f"extractor {mod.NAME}: KIND must be entity|literal")
-    if mod.KIND == "literal" and not getattr(mod, "PRED", None):
-        raise TypeError(f"literal extractor {mod.NAME} needs PRED")
+    if mod.KIND not in ("entity", "literal", "qualified"):
+        raise TypeError(f"extractor {mod.NAME}: KIND must be entity|literal|qualified")
+    if mod.KIND in ("literal", "qualified") and not getattr(mod, "PRED", None):
+        raise TypeError(f"{mod.KIND} extractor {mod.NAME} needs PRED")
 
 
 def _register(mod: ModuleType, origin: str) -> None:
@@ -118,6 +124,10 @@ def entity_families() -> list[ModuleType]:
 
 def literal_families() -> list[ModuleType]:
     return [m for _n, m in sorted(REGISTRY.items()) if m.KIND == "literal"]
+
+
+def qualified_families() -> list[ModuleType]:
+    return [m for _n, m in sorted(REGISTRY.items()) if m.KIND == "qualified"]
 
 
 def combined_quick_pattern() -> str:

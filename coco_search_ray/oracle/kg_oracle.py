@@ -16,7 +16,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from ..extractors import entity_families, literal_families
+from ..extractors import entity_families, literal_families, qualified_families
 from ..functions.linker_core import EntityIndex, LinkResult
 from ..stages.canonicalize import canonical_mapping
 from ..sources.synth import load_catalog, transcript_files
@@ -64,6 +64,20 @@ def oracle_triples(data_dir: str) -> pd.DataFrame:
                         canon = mapping.get(res.entity_id, res.entity_id)
                         if canon not in ents:
                             ents.append(canon)
+            # qualified families: the dotted surface's ROOT links like an
+            # entity (joining the turn's entity list AFTER plain entity
+            # mentions — plan order) and each linked surface emits the
+            # hierarchy triple (root, PRED, member_tail)
+            qual_triples: list[tuple[str, str, str]] = []
+            for fam in qualified_families():
+                for m in fam.extract(text):
+                    root, tail = m.split(".", 1)
+                    res = link(root)
+                    if res is not None:
+                        canon = mapping.get(res.entity_id, res.entity_id)
+                        if canon not in ents:
+                            ents.append(canon)
+                        qual_triples.append((canon, fam.PRED, tail))
             if ents:
                 for i in range(len(ents)):
                     for j in range(i + 1, len(ents)):
@@ -77,6 +91,8 @@ def oracle_triples(data_dir: str) -> pd.DataFrame:
                 for fam in literal_families():
                     for surface in fam.extract(text):
                         rows.append((ents[0], fam.PRED, surface, conv_id, turn))
+                for s, p, o in qual_triples:
+                    rows.append((s, p, o, conv_id, turn))
                 prev_turn, prev_first = turn, ents[0]
             else:
                 prev_turn, prev_first = turn, None

@@ -78,11 +78,23 @@ def _auto_concurrency() -> int:
 def _normalize_assembly_frame(df: pd.DataFrame) -> pd.DataFrame:
     """Accept both assembly schemas: the pipeline's single-value form
     (val + kind_code) and the legacy explicit form (entity_id [+ kind]).
-    Normalized columns: entity_id (null on literal rows), surface (the
-    literal object), kind_code (0 = entity)."""
+    Normalized columns: entity_id (null on literal rows; the ROOT id on
+    qualified rows), surface (the literal object; the member tail on
+    qualified rows), kind_code (0 = entity, <= -2 = qualified)."""
     if "val" in df.columns:
         is_ent = df["kind_code"] == 0
-        return df.assign(entity_id=df["val"].where(is_ent), surface=df["val"])
+        is_q = df["kind_code"] <= -2
+        entity_id = df["val"].where(is_ent)
+        surface = df["val"].copy()
+        if is_q.any():
+            # qualified val is "<root_entity_id>.<member_tail>" (or null
+            # when unlinked): split once on the first dot
+            sp = df.loc[is_q, "val"].str.split(".", n=1, expand=True)
+            if 1 not in sp.columns:
+                sp[1] = None
+            entity_id.loc[is_q] = sp[0]
+            surface.loc[is_q] = sp[1]
+        return df.assign(entity_id=entity_id, surface=surface)
     if "kind_code" not in df.columns:
         df = df.assign(kind_code=0)
     return df.assign(surface=df.get("mention", df["entity_id"]))
@@ -98,14 +110,25 @@ def _literal_preds(literal_preds: list[str] | None) -> list[str]:
     return _get_snapshot().literal_preds
 
 
+def _qualified_preds_list(qualified_preds: list[str] | None) -> list[str]:
+    if qualified_preds is not None:
+        return qualified_preds
+    from ..stages.extract import _get_snapshot
+
+    return _get_snapshot().qualified_preds
+
+
 def assemble_triples_group(
-    df: pd.DataFrame, literal_preds: list[str] | None = None
+    df: pd.DataFrame,
+    literal_preds: list[str] | None = None,
+    qualified_preds: list[str] | None = None,
 ) -> pd.DataFrame:
     """Per-conversation triple assembly over linked mention rows.
     Input: one conversation's rows (conv_id, turn_idx, mention_ord,
     val/entity_id, kind_code, tool). Deterministic: sorts by
     (turn_idx, mention_ord)."""
     preds = _literal_preds(literal_preds)
+    qpreds = _qualified_preds_list(qualified_preds)
     df = _normalize_assembly_frame(df)
     df = df.sort_values(["turn_idx", "mention_ord"], kind="mergesort")
     conv_id = df["conv_id"].iloc[0]
@@ -124,7 +147,10 @@ def assemble_triples_group(
     prev_turn = None
     prev_first = None
     for turn, g in df.groupby("turn_idx", sort=True):
-        ge = g[g["kind_code"] == 0]
+        # entity rows AND qualified roots populate the turn's entity
+        # list, in mention_ord order (qualified ordinals follow entity
+        # ordinals by plan construction), deduped keep-first
+        ge = g[(g["kind_code"] == 0) | (g["kind_code"] <= -2)]
         ents: list[str] = []
         for e in ge["entity_id"]:
             if e is not None and not pd.isna(e) and e not in ents:
@@ -148,6 +174,12 @@ def assemble_triples_group(
             # FIRST entity under the family's predicate
             for _, lr in g[(g["kind_code"] > 0) & g["surface"].notna()].iterrows():
                 emit(ents[0], preds[int(lr["kind_code"]) - 1], lr["surface"], turn)
+            # qualified families: hierarchy triple (root entity, PRED,
+            # member tail) per linked dotted surface
+            for _, qr in g[
+                (g["kind_code"] <= -2) & g["entity_id"].notna() & g["surface"].notna()
+            ].iterrows():
+                emit(qr["entity_id"], qpreds[-2 - int(qr["kind_code"])], qr["surface"], turn)
             prev_turn, prev_first = turn, ents[0]
         else:
             prev_turn, prev_first = turn, None
@@ -200,11 +232,38 @@ def _link_chunk(index, mapping: dict[str, str], chunk: list[str]) -> dict:
     return out
 
 
+_K_QUAL = pa.scalar(-2, pa.int8())  # kind_code <= -2 -> qualified family row
+
+
+def _qualified_root(mention_col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """ROOT segment (text before the first '.') of dotted qualified
+    surfaces — the linkable half; the tail stays structural."""
+    parts = pc.split_pattern(mention_col, pattern=".", max_splits=1)
+    return pc.list_element(parts, 0)
+
+
+def _add_link_key(b: pa.Table) -> pa.Table:
+    """Join-key column for the distributed linkmap branch: qualified
+    rows key on their ROOT segment, everything else on the mention."""
+    if "kind_code" not in b.schema.names:
+        return b.append_column("_link_key", b["mention"])
+    is_q = pc.less_equal(b["kind_code"], _K_QUAL)
+    key = pc.if_else(is_q, _qualified_root(b["mention"]), b["mention"])
+    return b.append_column("_link_key", key)
+
+
 def _block_unique(b: pa.Table) -> pa.Table:
-    # only ENTITY-kind surfaces are linked; literal families (quotes,
-    # urls, ...) stay verbatim and never enter the linkmap
+    # ENTITY surfaces link as-is; QUALIFIED surfaces contribute their
+    # ROOT segment; literal families (quotes, urls, ...) stay verbatim
+    # and never enter the linkmap
     if "kind_code" in b.schema.names:
-        b = b.filter(pc.equal(b["kind_code"], pa.scalar(0, pa.int8())))
+        ent = b.filter(pc.equal(b["kind_code"], pa.scalar(0, pa.int8())))["mention"]
+        qual = b.filter(pc.less_equal(b["kind_code"], _K_QUAL))["mention"]
+        arrs = [pc.unique(ent).drop_null()]
+        if len(qual):
+            arrs.append(pc.unique(_qualified_root(qual)).drop_null())
+        merged = pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrs])
+        return pa.table({"mention": pc.unique(merged)})
     return pa.table({"mention": pc.unique(b["mention"]).drop_null()})
 
 
@@ -289,13 +348,7 @@ def linkmap_dataset(
 from ..functions.broadcast import deref_cached as _deref_once
 
 
-def _to_assembly_schema(b: pa.Table) -> pa.Table:
-    """Collapse a linked mention batch (mention + entity_id + kind_code)
-    to the narrow assembly schema: ONE value column (entity id for entity
-    rows, verbatim surface for literal rows — a literal surface that
-    collides with an entity surface must NOT pick up its entity_id)."""
-    is_ent = pc.equal(b["kind_code"], pa.scalar(0, pa.int8()))
-    val = pc.if_else(is_ent, b["entity_id"], b["mention"])
+def _narrow_assembly_table(b: pa.Table, val: pa.Array | pa.ChunkedArray) -> pa.Table:
     return pa.table(
         {
             "conv_id": b["conv_id"],
@@ -306,6 +359,37 @@ def _to_assembly_schema(b: pa.Table) -> pa.Table:
             "val": val,
         }
     )
+
+
+def _qualified_val(qb: pa.Table, ents: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Composed value for qualified rows: ``<root_entity_id>.<tail>``
+    (null when the root did not link — the row then drops at assembly
+    exactly like an unlinked entity mention). Relies on canonical entity
+    ids never containing '.' (assembly splits on the FIRST dot)."""
+    parts = pc.split_pattern(qb["mention"], pattern=".", max_splits=1)
+    tail = pc.list_element(parts, 1)  # qualified surfaces always contain '.'
+    return pc.binary_join_element_wise(ents, tail, ".")  # null ent -> null
+
+
+def _to_assembly_schema(b: pa.Table) -> pa.Table:
+    """Collapse a linked mention batch (mention + entity_id + kind_code)
+    to the narrow assembly schema: ONE value column (entity id for entity
+    rows, verbatim surface for literal rows — a literal surface that
+    collides with an entity surface must NOT pick up its entity_id —
+    and <root_entity>.<tail> for qualified rows, whose entity_id column
+    already holds the linked ROOT id). Qualified rows are processed as a
+    filtered subset and re-appended — output row order differs from
+    input, which is fine: assembly semantics live in (conv_id, turn_idx,
+    mention_ord)."""
+    is_q = pc.less_equal(b["kind_code"], _K_QUAL)
+    has_q = bool(b.num_rows) and pc.any(is_q).as_py()
+    base = b.filter(pc.invert(is_q)) if has_q else b
+    is_ent = pc.equal(base["kind_code"], pa.scalar(0, pa.int8()))
+    out = _narrow_assembly_table(base, pc.if_else(is_ent, base["entity_id"], base["mention"]))
+    if has_q:
+        qb = b.filter(is_q)
+        out = pa.concat_tables([out, _narrow_assembly_table(qb, _qualified_val(qb, qb["entity_id"]))])
+    return out
 
 
 def apply_linkmap(
@@ -323,25 +407,25 @@ def apply_linkmap(
 
     def lookup(batch: pa.Table) -> pa.Table:
         k, v = _deref_once(table_ref)
-        pos = pc.index_in(batch["mention"], value_set=k)
-        ents = pc.take(v, pos)
         if "kind_code" in batch.schema.names:
             # ONE value column for assembly: linked entity id for entity
-            # rows, the verbatim surface for literal rows — the wide
-            # mention stream carries a single string column, not two
-            is_ent = pc.equal(batch["kind_code"], pa.scalar(0, pa.int8()))
-            val = pc.if_else(is_ent, ents, batch["mention"])
-            return pa.table(
-                {
-                    "conv_id": batch["conv_id"],
-                    "turn_idx": batch["turn_idx"],
-                    "mention_ord": batch["mention_ord"],
-                    "tool": batch["tool"],
-                    "kind_code": batch["kind_code"],
-                    "val": val,
-                }
-            )
-        return batch.append_column("entity_id", ents)
+            # rows, the verbatim surface for literal rows, and
+            # <root_entity>.<tail> for qualified rows (root probed
+            # against the same linkmap; subset-filter + concat — row
+            # order is irrelevant to assembly)
+            is_q = pc.less_equal(batch["kind_code"], _K_QUAL)
+            has_q = bool(batch.num_rows) and pc.any(is_q).as_py()
+            base = batch.filter(pc.invert(is_q)) if has_q else batch
+            ents = pc.take(v, pc.index_in(base["mention"], value_set=k))
+            is_ent = pc.equal(base["kind_code"], pa.scalar(0, pa.int8()))
+            out = _narrow_assembly_table(base, pc.if_else(is_ent, ents, base["mention"]))
+            if has_q:
+                qb = batch.filter(is_q)
+                qents = pc.take(v, pc.index_in(_qualified_root(qb["mention"]), value_set=k))
+                out = pa.concat_tables([out, _narrow_assembly_table(qb, _qualified_val(qb, qents))])
+            return out
+        pos = pc.index_in(batch["mention"], value_set=k)
+        return batch.append_column("entity_id", pc.take(v, pos))
 
     return mention_ds.map_batches(lookup, batch_format="pyarrow", batch_size=batch_size)
 
@@ -356,7 +440,9 @@ _EMPTY_TRIPLES = {
 
 
 def assemble_conv_local(
-    df: pd.DataFrame, literal_preds: list[str] | None = None
+    df: pd.DataFrame,
+    literal_preds: list[str] | None = None,
+    qualified_preds: list[str] | None = None,
 ) -> pd.DataFrame:
     """Vectorized triple assembly over a conv-complete batch (pandas
     merges, no per-conversation python loop). Semantically identical to
@@ -368,7 +454,8 @@ def assemble_conv_local(
         return pd.DataFrame(_EMPTY_TRIPLES)
     df = _normalize_assembly_frame(df)
     df = df.sort_values(["conv_id", "turn_idx", "mention_ord"], kind="mergesort")
-    ent_rows = df[df["kind_code"] == 0]
+    # entity rows AND qualified roots join the turn's entity graph
+    ent_rows = df[(df["kind_code"] == 0) | (df["kind_code"] <= -2)]
 
     # linked entities per turn, deduped keep-first in mention order
     ent = ent_rows.dropna(subset=["entity_id"]).drop_duplicates(
@@ -441,17 +528,40 @@ def assemble_conv_local(
             )
         )
 
+    # qualified families: hierarchy triples (root entity, PRED, member
+    # tail) — no merge needed, the root IS the subject
+    q = df[(df["kind_code"] <= -2) & df["entity_id"].notna() & df["surface"].notna()]
+    if not q.empty:
+        qpred_map = {
+            -2 - i: p for i, p in enumerate(_qualified_preds_list(qualified_preds))
+        }
+        parts.append(
+            pd.DataFrame(
+                {
+                    "subj": q["entity_id"],
+                    "pred": q["kind_code"].map(qpred_map),
+                    "obj": q["surface"],
+                    "conv_id": q["conv_id"],
+                    "turn_idx": q["turn_idx"],
+                }
+            )
+        )
+
     out = pd.concat(parts, ignore_index=True)
     out = out.drop_duplicates(subset=["subj", "pred", "obj", "conv_id", "turn_idx"], keep="first")
     out["turn_idx"] = out["turn_idx"].astype("int32")
     return out.reset_index(drop=True)
 
 
-def _assemble_conv_local_arrow(df: pd.DataFrame, literal_preds: list[str] | None = None) -> pa.Table:
+def _assemble_conv_local_arrow(
+    df: pd.DataFrame,
+    literal_preds: list[str] | None = None,
+    qualified_preds: list[str] | None = None,
+) -> pa.Table:
     """Arrow wrapper with the explicit TRIPLE_SCHEMA so empty outputs keep
     their schema (a Dataset whose every block is an empty pandas frame
     loses column information)."""
-    out = assemble_conv_local(df, literal_preds)
+    out = assemble_conv_local(df, literal_preds, qualified_preds)
     return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False)
 
 
@@ -533,8 +643,9 @@ def build_kg(
         from ..extractors import ensure_directories
 
         ensure_directories(dirs)
-    ent_names, lit_specs = family_plan()
+    ent_names, lit_specs, qual_specs = family_plan()
     lit_preds = [p for _n, p in lit_specs]
+    qual_preds = [p for _n, p in qual_specs]
 
     def _ensure_dirs():
         if dirs:
@@ -545,11 +656,17 @@ def build_kg(
     def _extract(b: pa.Table) -> pa.Table:
         _ensure_dirs()
         return extract_mention_rows(
-            b, include_role=False, entity_names=ent_names, literal_specs=lit_specs
+            b,
+            include_role=False,
+            entity_names=ent_names,
+            literal_specs=lit_specs,
+            qualified_specs=qual_specs,
         )
 
     def _assemble(df: pd.DataFrame) -> pa.Table:
-        return _assemble_conv_local_arrow(df, literal_preds=lit_preds)
+        return _assemble_conv_local_arrow(
+            df, literal_preds=lit_preds, qualified_preds=qual_preds
+        )
 
     ds = ds.map_batches(
         lambda b: normalize_turns(b, with_uid=False), batch_format="pyarrow", batch_size=bs
@@ -571,7 +688,7 @@ def build_kg(
             else uniq_blocks_ds.count() > _DISTINCT_BROADCAST_MAX
         )
         if use_distributed:
-            # the mention-hash join below REPARTITIONS blocks by mention —
+            # the link-key hash join below REPARTITIONS blocks by key —
             # conversation locality is destroyed, so assembly must take
             # the shuffled general path even for conv-disjoint inputs
             conv_local_shards = False
@@ -579,11 +696,18 @@ def build_kg(
                 _RayCount(alias_name="_n")
             ).select_columns(["mention"])
             lm_ds = linkmap_dataset(uniq_ds, catalog, mapping, link_params=link_params)
+            # join key: the mention itself, except qualified rows join on
+            # their ROOT segment (the linkable half of root.member)
+            lm_ds = lm_ds.map_batches(
+                lambda b: b.rename_columns(["_link_key", "entity_id"]),
+                batch_format="pyarrow",
+            )
+            ds = ds.map_batches(_add_link_key, batch_format="pyarrow")
             ds = ds.join(
                 lm_ds,
                 join_type="left_outer",
                 num_partitions=max(8, _auto_concurrency()),
-                on=("mention",),
+                on=("_link_key",),
             )
 
             ds = ds.map_batches(_to_assembly_schema, batch_format="pyarrow")

@@ -1377,10 +1377,12 @@ def kg_literal_mentions(sf_dir: str) -> pd.DataFrame:
     from ..stages.extract import extract_mention_rows, family_plan
     from .kg import normalized_turns_ds
 
-    ent_names, lit_specs = family_plan()  # captured in the driver
+    ent_names, lit_specs, qual_specs = family_plan()  # captured in the driver
     data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
     ds = normalized_turns_ds(data_dir).map_batches(
-        lambda b: extract_mention_rows(b, entity_names=ent_names, literal_specs=lit_specs),
+        lambda b: extract_mention_rows(
+            b, entity_names=ent_names, literal_specs=lit_specs, qualified_specs=qual_specs
+        ),
         batch_format="pyarrow",
     )
     lit = ds.filter(expr="kind_code > 0")
@@ -1417,6 +1419,86 @@ UNION ALL SELECT 'mentions_email', sum(n)::BIGINT FROM e
 UNION ALL SELECT 'mentions_version', sum(n)::BIGINT FROM v
 UNION ALL SELECT 'quotes', sum(n)::BIGINT FROM q
 UNION ALL SELECT 'references_path', sum(n)::BIGINT FROM p
+"""
+
+
+def kg_qualified_mentions(sf_dir: str) -> pd.DataFrame:
+    """Qualified-name family coverage (the structured extraction depth
+    the reference gets from tree-sitter qualified symbols,
+    indexer/symbols.py:216-291): dotted root.member surfaces per member
+    DEPTH, with distinct-surface counts. The oracle replays the regex,
+    the root identifier-shape gate (snake / camel / pascal — the same
+    rules as functions/mentions) and the per-turn keep-first dedupe in
+    SQL over the same synth transcripts."""
+    from ..stages.extract import extract_mention_rows, family_plan
+    from .kg import normalized_turns_ds
+
+    ent_names, lit_specs, qual_specs = family_plan()
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    ds = normalized_turns_ds(data_dir).map_batches(
+        lambda b: extract_mention_rows(
+            b, entity_names=ent_names, literal_specs=lit_specs, qualified_specs=qual_specs
+        ),
+        batch_format="pyarrow",
+    )
+
+    def depths(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.less_equal(b["kind_code"], pa.scalar(-2, pa.int8())))
+        return pa.table(
+            {
+                "mention": b["mention"],
+                "depth": pc.count_substring(b["mention"], pattern="."),
+            }
+        )
+
+    q = ds.map_batches(depths, batch_format="pyarrow")
+    counts = q.groupby("depth").aggregate(Count(alias_name="n_mentions")).to_pandas()
+    # distinct surfaces: per-block unique pre-aggregation, tiny driver
+    # dedupe (dotted surfaces draw from the bounded catalog x member
+    # vocabulary — output-sized, not corpus-sized)
+    uniq = (
+        q.map_batches(
+            lambda b: pa.table(
+                {
+                    "mention": pc.unique(b["mention"]),
+                    "depth": pc.count_substring(pc.unique(b["mention"]), pattern="."),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .drop_duplicates("mention")
+        .groupby("depth", as_index=False)
+        .agg(n_surfaces=("mention", "size"))
+    )
+    out = counts.merge(uniq, on="depth").sort_values("depth").reset_index(drop=True)
+    out["depth"] = out["depth"].astype("int64")
+    return out[["depth", "n_mentions", "n_surfaces"]].astype(
+        {"n_mentions": "int64", "n_surfaces": "int64"}
+    )
+
+
+KG_QUALIFIED_MENTIONS_SQL = f"""
+WITH t AS (
+  SELECT coalesce(text, '') AS text FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
+), m AS (
+  -- per-turn keep-first dedupe == list_distinct per row
+  SELECT unnest(list_distinct(regexp_extract_all(text,
+    '[A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z_][A-Za-z0-9_]*)+'))) AS s
+  FROM t
+), q AS (
+  SELECT s, split_part(s, '.', 1) AS root FROM m
+), f AS (
+  SELECT s FROM q
+  WHERE regexp_matches(root, '[a-zA-Z0-9]+_[a-zA-Z0-9]+')
+     OR (length(root) >= 6 AND regexp_matches(substr(root, 1, 1), '[a-z]')
+         AND regexp_matches(root, '[a-z][A-Z]'))
+     OR (length(root) >= 8 AND regexp_matches(root, '[A-Z][a-z]+[A-Z]'))
+)
+SELECT (length(s) - length(replace(s, '.', '')))::BIGINT AS depth,
+       count(*)::BIGINT AS n_mentions,
+       count(DISTINCT s)::BIGINT AS n_surfaces
+FROM f GROUP BY depth ORDER BY depth
 """
 
 
@@ -1763,6 +1845,7 @@ REGISTRY.update(
         "q_doc_chunks_fixed": (q_doc_chunks_fixed, Q_DOC_CHUNKS_FIXED_SQL),
         "kg_reach_tree": (kg_reach_tree, KG_REACH_TREE_SQL),
         "kg_literal_mentions": (kg_literal_mentions, KG_LITERAL_MENTIONS_SQL),
+        "kg_qualified_mentions": (kg_qualified_mentions, KG_QUALIFIED_MENTIONS_SQL),
         "kg_pagerank": (kg_pagerank, KG_PAGERANK_SQL),
         "kg_pmi_pairs": (kg_pmi_pairs, KG_PMI_PAIRS_SQL),
         "kg_top_objects": (kg_top_objects, KG_TOP_OBJECTS_SQL),

@@ -52,6 +52,13 @@ _VOCAB = [
     "schema", "column", "table", "partition", "manifest", "checkpoint",
 ]
 
+# member-path segments for qualified-name material (mixed shapes: plain
+# words, snake, camel — the extractor accepts any word-char tail)
+_QUAL_MEMBERS = [
+    "run", "init", "refresh", "validate", "process_item", "handleEvent",
+    "flush", "retry_all", "computeScore", "close",
+]
+
 _FILLER = (
     "then the user asked about status and we checked the logs before "
     "running another step to confirm the result was stable and correct "
@@ -145,6 +152,13 @@ def _generate_shard(
     tail_mean = max(2, int(0.70 * turns_target / max(1, n_convs - n_head)))
     roles = ["user", "assistant", "tool"]
     n_filler = len(_FILLER)
+    # qualified-name material: identifier-shaped pool surfaces (snake /
+    # camel / pascal — the forms whose ROOT the qualified family links)
+    # get a dotted member path appended (drives extractors/qualified.py)
+    from ..functions.mentions import _is_identifier_mention
+
+    qpool = [s for s in pool if "." not in s and _is_identifier_mention(s)]
+    n_qpool = max(1, len(qpool))
 
     shard: dict[str, list] = {k: [] for k in ("conv_id", "turn_idx", "role", "text", "tool", "ts")}
     for ci in range(si, n_convs, num_files):
@@ -184,6 +198,12 @@ def _generate_shard(
                 words.append(f"{w}@svc.example")
             if rng.rand() < 0.05:
                 words.append(f"v{rng.randint(0, 4)}.{rng.randint(0, 10)}.{rng.randint(0, 20)}")
+            if qpool and rng.rand() < 0.08:
+                root = qpool[rng.randint(0, n_qpool)]
+                member = _QUAL_MEMBERS[rng.randint(0, len(_QUAL_MEMBERS))]
+                if rng.rand() < 0.25:  # some paths nest two levels deep
+                    member = f"{member}.{_QUAL_MEMBERS[rng.randint(0, len(_QUAL_MEMBERS))]}"
+                words.append(f"{root}.{member}")
             shard["conv_id"].append(conv_id)
             shard["turn_idx"].append(ti)
             shard["role"].append(role)
@@ -222,7 +242,7 @@ def generate_transcripts(
     ``catalog.parquet``. Idempotent: returns immediately if a
     ``_SYNTH_OK`` marker with matching params exists."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v7"
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v8"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:

@@ -6,7 +6,9 @@ tool, mention, mention_ord, kind_code). ``kind_code`` routes the row
 downstream: 0 = entity (goes through hybrid linking and becomes a triple
 subject/object), >0 = literal family index (surface stays verbatim and
 attaches to the turn's first linked entity under the family's PRED at
-assembly). The code is an int8 — never a per-row string — because the
+assembly), <= -2 = qualified family (the dotted surface's ROOT segment
+links like an entity; assembly emits the hierarchy triple and the root
+joins the turn's entity graph). The code is an int8 — never a per-row string — because the
 mention stream is the widest dataset in the pipeline and every extra
 string column is paid 30M+ times in the pandas assembly conversion.
 
@@ -27,9 +29,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .. import extractors
-from ..extractors import entity_families, literal_families
+from ..extractors import entity_families, literal_families, qualified_families
 
 # kind_code: 0 = entity, i+1 = the i-th literal family OF THE PLAN,
+# -2-i = the i-th QUALIFIED family of the plan (dotted root.member
+# surfaces: the root links like an entity, the tail stays structural),
 # -1 = sentinel row. The PLAN (which families, in which order) is
 # captured ONCE in the driver (family_plan()) and shipped through task
 # closures — codes are positional in the plan, NEVER per-worker registry
@@ -38,15 +42,20 @@ from ..extractors import entity_families, literal_families
 # and a worker missing an external family simply contributes no rows of
 # that code (its other codes stay aligned).
 KIND_ENTITY = 0
+KIND_QUALIFIED_BASE = -2  # code for qualified family i is -2 - i
 
 
-def family_plan() -> tuple[tuple[str, ...], tuple[tuple[str, str], ...]]:
-    """(entity family names, ((literal name, pred), ...)) from the
-    CURRENT process registry — capture this in the driver and pass it to
-    extract_mention_rows / assembly so every worker agrees."""
+def family_plan() -> tuple[
+    tuple[str, ...], tuple[tuple[str, str], ...], tuple[tuple[str, str], ...]
+]:
+    """(entity family names, ((literal name, pred), ...), ((qualified
+    name, pred), ...)) from the CURRENT process registry — capture this
+    in the driver and pass it to extract_mention_rows / assembly so
+    every worker agrees."""
     return (
         tuple(m.NAME for m in entity_families()),
         tuple((m.NAME, m.PRED) for m in literal_families()),
+        tuple((m.NAME, m.PRED) for m in qualified_families()),
     )
 
 
@@ -58,15 +67,19 @@ class _Snapshot:
         "entity_batch",
         "literal_steps",
         "literal_preds",
+        "qualified_steps",
+        "qualified_preds",
     )
 
-    def __init__(self, entity_names, literal_specs):
+    def __init__(self, entity_names, literal_specs, qualified_specs=()):
         reg = extractors.REGISTRY
         ent = [reg[n] for n in entity_names if n in reg]
-        self.quick = "|".join(
-            f"(?:{m.QUICK})"
-            for m in ent + [reg[n] for n, _p in literal_specs if n in reg]
-        )
+        other = [
+            reg[n]
+            for n, _p in tuple(qualified_specs) + tuple(literal_specs)
+            if n in reg
+        ]
+        self.quick = "|".join(f"(?:{m.QUICK})" for m in ent + other)
         self.entity_quick = "|".join(f"(?:{m.QUICK})" for m in ent)
         self.entity_extracts = [m.extract for m in ent]
         # batch fast path only when the plan has exactly ONE entity family
@@ -84,20 +97,36 @@ class _Snapshot:
             if n in reg
         ]
         self.literal_preds = [p for _n, p in literal_specs]
+        # qualified families ride the same appendix mechanism as literals
+        # but with NEGATIVE plan-positional codes (-2 - i) and a linking
+        # stage that resolves the surface's ROOT segment
+        self.qualified_steps = [
+            (
+                np.int8(KIND_QUALIFIED_BASE - i),
+                reg[n].extract,
+                getattr(reg[n], "maybe", None),
+                reg[n].QUICK,
+            )
+            for i, (n, _p) in enumerate(qualified_specs)
+            if n in reg
+        ]
+        self.qualified_preds = [p for _n, p in qualified_specs]
 
 
 _SNAPSHOTS: dict[tuple, _Snapshot] = {}
 
 
-def _get_snapshot(entity_names=None, literal_specs=None) -> _Snapshot:
+def _get_snapshot(entity_names=None, literal_specs=None, qualified_specs=None) -> _Snapshot:
     if entity_names is None or literal_specs is None:
-        entity_names, literal_specs = family_plan()
-    key = (entity_names, literal_specs, extractors.REGISTRY_VERSION)
+        entity_names, literal_specs, qualified_specs = family_plan()
+    if qualified_specs is None:
+        qualified_specs = ()
+    key = (entity_names, literal_specs, tuple(qualified_specs), extractors.REGISTRY_VERSION)
     snap = _SNAPSHOTS.get(key)
     if snap is None:
         if len(_SNAPSHOTS) > 64:
             _SNAPSHOTS.clear()
-        snap = _Snapshot(entity_names, literal_specs)
+        snap = _Snapshot(entity_names, literal_specs, qualified_specs)
         _SNAPSHOTS[key] = snap
     return snap
 
@@ -106,6 +135,8 @@ def kind_code_to_pred(code: int, literal_specs=None) -> str:
     """Inverse of the kind_code encoding (for stats / literal queries)."""
     if code == KIND_ENTITY:
         return "entity"
+    if code <= KIND_QUALIFIED_BASE:
+        return _get_snapshot().qualified_preds[KIND_QUALIFIED_BASE - code]
     preds = (
         [p for _n, p in literal_specs]
         if literal_specs is not None
@@ -119,7 +150,8 @@ _K0 = np.int8(KIND_ENTITY)
 
 def _turn_mentions(text: str, snap: _Snapshot | None = None) -> tuple[list[str], list[np.int8]]:
     """(surfaces, kind codes) for one turn: entity families first (their
-    order defines entity rank at assembly), then literal families."""
+    order defines entity rank at assembly), then qualified families,
+    then literal families."""
     if snap is None:
         snap = _get_snapshot()
     ents = snap.entity_extracts
@@ -134,7 +166,7 @@ def _turn_mentions(text: str, snap: _Snapshot | None = None) -> tuple[list[str],
                     seen.add(m)
                     surfaces.append(m)
     kinds = [_K0] * len(surfaces)
-    for code, extract, maybe, _quick in snap.literal_steps:
+    for code, extract, maybe, _quick in snap.qualified_steps + snap.literal_steps:
         if maybe is not None and not maybe(text):
             continue
         for m in extract(text):
@@ -149,13 +181,15 @@ def extract_mention_rows(
     include_role: bool = True,
     entity_names: tuple[str, ...] | None = None,
     literal_specs: tuple[tuple[str, str], ...] | None = None,
+    qualified_specs: tuple[tuple[str, str], ...] | None = None,
 ) -> pa.Table:
-    snap = _get_snapshot(entity_names, literal_specs)
+    snap = _get_snapshot(entity_names, literal_specs, qualified_specs)
     if emit_sentinels:
         return _extract_with_sentinels(batch, snap)
     use_batch_kernel = snap.entity_batch is not None
     ent_mask = None
-    lit_masks: list[np.ndarray] = []
+    app_masks: list[np.ndarray] = []  # qualified first, then literal
+    app_steps = snap.qualified_steps + snap.literal_steps
     if batch.num_rows:
         if use_batch_kernel:
             # ONE vectorized RE2 pass per family instead of one union
@@ -168,17 +202,17 @@ def extract_mention_rows(
             ent_mask_a = pc.fill_null(
                 pc.match_substring_regex(text_col, snap.entity_quick), False
             )
-            lit_masks_a = [
+            app_masks_a = [
                 pc.fill_null(pc.match_substring_regex(text_col, q), False)
-                for _c, _e, _m, q in snap.literal_steps
+                for _c, _e, _m, q in app_steps
             ]
             union = ent_mask_a
-            for m in lit_masks_a:
+            for m in app_masks_a:
                 union = pc.or_(union, m)
             keep = np.nonzero(union.to_numpy(zero_copy_only=False))[0]
             batch = batch.take(pa.array(keep))
             ent_mask = ent_mask_a.to_numpy(zero_copy_only=False)[keep]
-            lit_masks = [m.to_numpy(zero_copy_only=False)[keep] for m in lit_masks_a]
+            app_masks = [m.to_numpy(zero_copy_only=False)[keep] for m in app_masks_a]
         else:
             mask = pc.match_substring_regex(batch["text"], snap.quick)
             batch = batch.filter(pc.fill_null(mask, False))
@@ -194,18 +228,17 @@ def extract_mention_rows(
     lit_surface: list[str] = []
     lit_ord: list[int] = []
     ent_extracts = snap.entity_extracts
-    literal_steps = snap.literal_steps
     if use_batch_kernel:
         # vectorized whole-batch entity detection (identical output to the
-        # per-turn loop below — pytest-pinned); literal families run per
-        # FAMILY over only that family's mask-selected candidate rows.
-        # mention_ord stays correct under the family-outer loop because
-        # families execute in plan order and nxt_arr carries each row's
-        # running ordinal (semantics live in (turn_idx, mention_ord), not
-        # in output row order).
+        # per-turn loop below — pytest-pinned); qualified + literal
+        # families run per FAMILY over only that family's mask-selected
+        # candidate rows. mention_ord stays correct under the family-outer
+        # loop because families execute in plan order and nxt_arr carries
+        # each row's running ordinal (semantics live in (turn_idx,
+        # mention_ord), not in output row order).
         counts, all_mentions = snap.entity_batch(texts, ent_mask)
         nxt_arr = counts.copy()
-        for (code, extract, _maybe, _q), fmask in zip(literal_steps, lit_masks):
+        for (code, extract, _maybe, _q), fmask in zip(app_steps, app_masks):
             code_i = int(code)
             for r in np.nonzero(fmask)[0]:
                 surfaces = extract(texts[r])
@@ -242,7 +275,7 @@ def extract_mention_rows(
             counts[r] = len(m)
             all_mentions.extend(m)
             nxt = len(m)
-            for code, extract, maybe, _q in literal_steps:
+            for code, extract, maybe, _q in app_steps:
                 if maybe is not None and not maybe(text):
                     continue
                 for s in extract(text):

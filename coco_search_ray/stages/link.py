@@ -74,9 +74,13 @@ class LinkerActor:
         mentions = batch["mention"].to_pylist()
         if "kind_code" in batch.schema.names:
             # literal-kind rows (quotes, urls, ...) never link — their
-            # surface stays verbatim through to assembly
+            # surface stays verbatim through to assembly; QUALIFIED rows
+            # (kind <= -2) link their ROOT segment (before the first dot)
             kinds = batch["kind_code"].to_pylist()
-            mentions = [m if k == 0 else None for m, k in zip(mentions, kinds)]
+            mentions = [
+                m if k == 0 else (m.split(".", 1)[0] if k <= -2 else None)
+                for m, k in zip(mentions, kinds)
+            ]
         self._link_all(mentions)
         entity_ids: list[str | None] = []
         surfaces: list[str | None] = []

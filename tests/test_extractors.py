@@ -52,6 +52,23 @@ def test_email_and_path_extract():
     assert paths.extract("ratio 3/4 and https://a.b/c.d") == []  # prose + urls excluded
 
 
+def test_qualified_extract():
+    from coco_search_ray.extractors import qualified
+
+    # identifier-shaped roots qualify; prose words / URL hosts do not
+    t = "call payment_service.process_item then PaymentGateway.run.close x"
+    assert qualified.extract(t) == [
+        "payment_service.process_item",
+        "PaymentGateway.run.close",
+    ]
+    assert qualified.extract("see svc.example and logs.before v1.2.3") == []
+    assert qualified.extract("ops@svc.example https://a.b/c") == []
+    # dedupe keep-first; nested member paths kept whole
+    t2 = "billingWorker.init again billingWorker.init and billingWorker.init.run"
+    assert qualified.extract(t2) == ["billingWorker.init", "billingWorker.init.run"]
+    assert qualified.KIND == "qualified" and qualified.PRED == "has_member"
+
+
 def test_external_extractor_directory(ray_session, smoke_dir, tmp_path):
     """User extractor modules load from a directory (the reference's
     project-override resolution surface) and flow through the full

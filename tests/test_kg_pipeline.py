@@ -86,7 +86,7 @@ def test_window_context_caps_and_coverage(ray_session, smoke_dir):
 def test_pipeline_nonempty_and_schema(pipeline_df):
     assert len(pipeline_df) > 100
     assert list(pipeline_df.columns) == TRIPLE_KEY
-    assert set(pipeline_df["pred"].unique()) <= {"mentions", "uses_tool", "replies_to", "quotes", "links_to", "mentions_email", "references_path", "mentions_version"}
+    assert set(pipeline_df["pred"].unique()) <= {"mentions", "uses_tool", "replies_to", "quotes", "links_to", "mentions_email", "references_path", "mentions_version", "has_member"}
 
 
 def test_exact_dedup_invariant(pipeline_df):
@@ -130,4 +130,57 @@ def test_vectorized_assembly_matches_loop_spec(smoke_dir):
     key = ["subj", "pred", "obj", "conv_id", "turn_idx"]
     fast = fast[key].sort_values(key, kind="mergesort").reset_index(drop=True)
     slow = slow[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_vectorized_assembly_matches_spec_with_qualified_and_literals():
+    """Same cross-check on VAL-form frames mixing entity (0), literal
+    (>0) and qualified (<= -2) kind codes, including unlinked (null)
+    entity and qualified rows."""
+    import numpy as np
+    import pandas as pd
+    from coco_search_ray.pipelines.kg import assemble_conv_local, assemble_triples_group
+
+    lit_preds = ["quotes", "links_to"]
+    qual_preds = ["has_member"]
+    rng = np.random.RandomState(11)
+    members = ["run", "init.deep", "process_item"]
+    rows = []
+    for conv in range(25):
+        for turn in range(rng.randint(1, 10)):
+            tool = ["", "bash"][rng.randint(2)]
+            ord_ = 0
+            for _ in range(rng.randint(0, 3)):  # entity rows
+                val = f"E{rng.randint(6):03d}" if rng.rand() > 0.2 else None
+                rows.append((f"c{conv:03d}", turn, ord_, 0, val, tool)); ord_ += 1
+            for _ in range(rng.randint(0, 2)):  # qualified rows
+                if rng.rand() > 0.25:
+                    val = f"E{rng.randint(6):03d}.{members[rng.randint(3)]}"
+                else:
+                    val = None  # unlinked root
+                rows.append((f"c{conv:03d}", turn, ord_, -2, val, tool)); ord_ += 1
+            for _ in range(rng.randint(0, 2)):  # literal rows
+                rows.append(
+                    (f"c{conv:03d}", turn, ord_, rng.randint(1, 3), f"lit{rng.randint(4)}", tool)
+                ); ord_ += 1
+            if ord_ == 0:  # sentinel shape: no mentions this turn
+                rows.append((f"c{conv:03d}", turn, -1, -1, None, tool))
+    df = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "mention_ord", "kind_code", "val", "tool"]
+    )
+    df["kind_code"] = df["kind_code"].astype("int8")
+    df = df.sample(frac=1.0, random_state=5).reset_index(drop=True)
+
+    fast = assemble_conv_local(df.copy(), lit_preds, qual_preds)
+    slow = pd.concat(
+        [
+            assemble_triples_group(g, lit_preds, qual_preds)
+            for _c, g in df.groupby("conv_id", sort=True)
+        ],
+        ignore_index=True,
+    )
+    key = ["subj", "pred", "obj", "conv_id", "turn_idx"]
+    fast = fast[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+    slow = slow[key].sort_values(key, kind="mergesort").reset_index(drop=True)
+    assert (fast["pred"] == "has_member").any()
     pd.testing.assert_frame_equal(fast, slow)
