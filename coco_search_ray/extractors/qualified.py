@@ -34,13 +34,36 @@ PRED = "has_member"
 # candidate mask AND the DuckDB oracle replay) byte-equivalent to
 # Python re; the root-shape gate rejects sub-token matches anyway
 _PATTERN = r"[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)+"
-QUICK = r"[A-Za-z_][A-Za-z0-9_]*\.[A-Za-z_]"
+
+# QUICK is deliberately TIGHTER than the match pattern: a root that
+# passes the identifier-shape gate necessarily contains '_' (snake), a
+# lower->UPPER transition (camel) or UC-lc-UC (pascal) somewhere before
+# the first dot — so a sound candidate row must contain one of those
+# shapes followed by word chars and '.letter'. This keeps URL hosts
+# ("svc.example") and email domains from even reaching extract().
+QUICK = r"(?:_|[a-z][A-Z]|[A-Z][a-z]+[A-Z])[A-Za-z0-9_]*\.[A-Za-z_]"
 
 _RE = re.compile(_PATTERN)
 
 
 def maybe(text: str) -> bool:
     return "." in text
+
+
+# root -> passes-shape, process-memoized (roots draw from a bounded
+# vocabulary; same policy as the mentions word-class cache)
+_ROOT_CACHE: dict[str, bool] = {}
+_ROOT_CACHE_MAX = 500_000
+
+
+def _root_ok(root: str) -> bool:
+    ok = _ROOT_CACHE.get(root)
+    if ok is None:
+        ok = _is_identifier_mention(root)
+        if len(_ROOT_CACHE) >= _ROOT_CACHE_MAX:
+            _ROOT_CACHE.clear()
+        _ROOT_CACHE[root] = ok
+    return ok
 
 
 def extract(text: str) -> list[str]:
@@ -53,7 +76,6 @@ def extract(text: str) -> list[str]:
         if s in seen:
             continue
         seen.add(s)
-        root = s.split(".", 1)[0]
-        if _is_identifier_mention(root):
+        if _root_ok(s.split(".", 1)[0]):
             out.append(s)
     return out

@@ -20,10 +20,8 @@ turn are kept-first (position of first occurrence).
 from __future__ import annotations
 
 import re
-from itertools import chain
 
 import numpy as np
-import pandas as pd
 
 _WORD_RE = re.compile(r"[A-Za-z0-9_]+")
 _CAP_WORD_RE = re.compile(r"^[A-Z][a-z]+$")
@@ -104,53 +102,68 @@ def detect_mentions(text: str) -> list[str]:
 # word -> int class bits (bit0 = capitalized, bit1 = identifier) for the
 # BATCH kernel; same memoization policy as _WORD_CLASS_CACHE
 _WORD_CLASS_INT_CACHE: dict[str, int] = {}
-_EMPTY_WORDS: list[str] = []
 
 
 def detect_mentions_batch(
-    texts: list[str], quick_mask: np.ndarray | None = None
+    texts, quick_mask: np.ndarray | None = None
 ) -> tuple[np.ndarray, list[str]]:
     """Vectorized twin of :func:`detect_mentions` over a whole batch —
     pytest-pinned byte-identical per-turn output (the per-turn function is
-    the readable spec; this is the hot path, ~3x faster).
+    the readable spec; this is the hot path).
 
-    Shape: per-turn findall (regex stays per turn — bigrams must not span
-    turns), then ONE pd.factorize over the batch's word stream, each
-    DISTINCT word classified once (process-memoized), and the emit
-    decision (bigram start / identifier not in a bigram) as numpy masks
+    ``texts`` is a pyarrow string Array/ChunkedArray (zero-copy from the
+    batch) or a plain list. The whole word pipeline is Arrow C kernels:
+    quick-gated rows -> split_pattern_regex on the NON-word complement
+    (== findall of the word class, and a pure-ASCII class so RE2 and
+    Python ``re`` agree exactly) -> list_flatten -> dictionary_encode.
+    Each DISTINCT word is classified once (process-memoized); the emit
+    decision (bigram start / identifier not in a bigram) is numpy masks
     with turn boundaries handled by first/last-word masks. Python touches
-    only the EMITTED indices (~1-2 per turn), never every word.
+    only the DISTINCT words and the EMITTED indices (~1-2 per turn),
+    never every word occurrence.
 
     ``quick_mask`` (optional bool array, one per text) is a precomputed
-    QUICK-gate — the caller evaluated ``_QUICK_RE`` for the whole column
-    in one vectorized Arrow pass (the pattern is pure ASCII character
-    classes, so RE2 and Python ``re`` agree exactly); without it the gate
-    runs per text here.
+    QUICK-gate from the caller's own Arrow pass; without it the gate runs
+    here.
 
     Returns (counts per text, flat surfaces in per-turn first-occurrence
     order)."""
-    n_texts = len(texts)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    empty = pa.array([], pa.string())
+
+    col = texts if isinstance(texts, (pa.Array, pa.ChunkedArray)) else pa.array(
+        texts, pa.string()
+    )
+    n_texts = len(col)
     counts = np.zeros(n_texts, dtype=np.int64)
-    wlists: list[list[str]] = []
-    nwords = np.zeros(n_texts, dtype=np.int64)
+    if not n_texts:
+        return counts, empty
     if quick_mask is None:
-        for i, t in enumerate(texts):
-            w = _WORD_RE.findall(t) if (t and _QUICK_RE.search(t)) else _EMPTY_WORDS
-            wlists.append(w)
-            nwords[i] = len(w)
-    else:
-        wlists = [_EMPTY_WORDS] * n_texts
-        for i in np.nonzero(quick_mask)[0]:
-            t = texts[i]
-            if t:
-                w = _WORD_RE.findall(t)
-                wlists[i] = w
-                nwords[i] = len(w)
+        quick_mask = pc.fill_null(
+            pc.match_substring_regex(col, _QUICK_RE.pattern), False
+        ).to_numpy(zero_copy_only=False)
+    sel = np.nonzero(quick_mask)[0]
+    if not len(sel):
+        return counts, empty
+    sub = pc.take(col, pa.array(sel))
+    if isinstance(sub, pa.ChunkedArray):
+        sub = sub.combine_chunks()
+    # per-row word counts + the flat word stream, all C: the complement
+    # split yields exactly the [A-Za-z0-9_]+ runs (plus empty strings at
+    # text edges, filtered out; order within and across rows preserved)
+    nwords = pc.count_substring_regex(sub, _WORD_RE.pattern).to_numpy().astype(np.int64)
     total = int(nwords.sum())
     if not total:
-        return counts, []
-    words = np.fromiter(chain.from_iterable(wlists), dtype=object, count=total)
-    codes, uniques = pd.factorize(words, sort=False)
+        return counts, empty
+    flat = pc.list_flatten(pc.split_pattern_regex(sub, "[^A-Za-z0-9_]+"))
+    flat = flat.filter(pc.not_equal(flat, ""))
+    denc = pc.dictionary_encode(flat)
+    if isinstance(denc, pa.ChunkedArray):
+        denc = denc.combine_chunks()
+    codes = denc.indices.to_numpy()
+    uniques = denc.dictionary.to_pylist()
     ucls = np.empty(len(uniques), dtype=np.int8)
     get = _WORD_CLASS_INT_CACHE.get
     for k, w in enumerate(uniques):
@@ -185,24 +198,39 @@ def detect_mentions_batch(
     emit = bigram | (ident & ~in_bigram)
     emit_idx = np.nonzero(emit)[0]
     if not len(emit_idx):
-        return counts, []
+        return counts, empty
     turn_of = np.searchsorted(ends, emit_idx, side="right")
-    # per-turn surface build + keep-first dedupe over EMITTED indices only
-    surfaces: list[str] = []
-    boundary = np.nonzero(turn_of[1:] != turn_of[:-1])[0] + 1
-    run_starts = np.concatenate(([0], boundary))
-    run_ends = np.concatenate((boundary, [len(emit_idx)]))
-    wl = words  # local alias
-    for s, e in zip(run_starts, run_ends):
-        turn = turn_of[s]
-        seen: set[str] = set()
-        c = 0
-        for k in range(s, e):
-            i = emit_idx[k]
-            surface = f"{wl[i]} {wl[i + 1]}" if bigram[i] else wl[i]
-            if surface not in seen:
-                seen.add(surface)
-                surfaces.append(surface)
-                c += 1
-        counts[turn] = c
+    # keep-first per-turn dedupe, fully vectorized: a surface is
+    # identified by (first-word code, next-word code + 1 if bigram else
+    # 0) — two ints, never the string. codes are int64-combined when the
+    # range allows (always, for realistic dictionaries), else a 2-column
+    # pandas dedupe.
+    import pandas as pd
+
+    ecodes = codes[emit_idx]
+    enext = np.where(
+        bigram[emit_idx],
+        codes[np.minimum(emit_idx + 1, total - 1)] + 1,
+        0,
+    )
+    d1 = len(uniques) + 1
+    key = ecodes.astype(np.int64) * d1 + enext
+    span = (turn_of.astype(np.int64).max() + 1) if len(turn_of) else 1
+    if span < 2**62 // (d1 * d1):
+        dup = pd.Series(turn_of.astype(np.int64) * (d1 * d1) + key).duplicated().to_numpy()
+    else:  # pathological dictionary size: exact 2-column dedupe
+        dup = pd.DataFrame({"t": turn_of, "k": key}).duplicated().to_numpy()
+    kept = ~dup
+    counts_sel = np.bincount(turn_of[kept], minlength=len(sel))
+    counts[sel] = counts_sel
+    # surface strings built by Arrow gathers over the SMALL dictionary:
+    # word1 (all), word1+" "+word2 for bigram rows
+    kcodes = ecodes[kept]
+    knext_idx = np.minimum(emit_idx[kept] + 1, total - 1)
+    kbig = bigram[emit_idx[kept]]
+    w1 = pc.take(denc.dictionary, pa.array(kcodes))
+    joined = pc.binary_join_element_wise(
+        w1, pc.take(denc.dictionary, pa.array(codes[knext_idx])), " "
+    )
+    surfaces = pc.if_else(pa.array(kbig), joined, w1)
     return counts, surfaces

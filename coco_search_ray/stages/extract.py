@@ -236,7 +236,7 @@ def extract_mention_rows(
         # loop because families execute in plan order and nxt_arr carries
         # each row's running ordinal (semantics live in (turn_idx,
         # mention_ord), not in output row order).
-        counts, all_mentions = snap.entity_batch(texts, ent_mask)
+        counts, all_mentions = snap.entity_batch(batch["text"], ent_mask)
         nxt_arr = counts.copy()
         for (code, extract, _maybe, _q), fmask in zip(app_steps, app_masks):
             code_i = int(code)
@@ -291,13 +291,26 @@ def extract_mention_rows(
     starts = np.repeat(np.cumsum(counts) - counts, counts)
     ords = (np.arange(total, dtype=np.int64) - starts).astype(np.int32)
     kind_codes = np.zeros(total, dtype=np.int8)
-    mentions = all_mentions
+    # the batch kernel returns entity surfaces as an ARROW array (never
+    # materialized as Python strings); the scalar fallback as a list
+    ment_is_arrow = isinstance(all_mentions, (pa.Array, pa.ChunkedArray))
 
-    if lit_row:  # append the (rare) literal rows
+    if lit_row:  # append the (rare) qualified/literal rows
         idx = np.concatenate([idx, np.asarray(lit_row, dtype=np.int64)])
         ords = np.concatenate([ords, np.asarray(lit_ord, dtype=np.int32)])
         kind_codes = np.concatenate([kind_codes, np.asarray(lit_code, dtype=np.int8)])
-        mentions = all_mentions + lit_surface
+        lit_arr = pa.array(lit_surface, pa.string())
+        if ment_is_arrow:
+            ent_arr = (
+                all_mentions.combine_chunks()
+                if isinstance(all_mentions, pa.ChunkedArray)
+                else all_mentions
+            )
+            mention_col = pa.concat_arrays([ent_arr, lit_arr])
+        else:
+            mention_col = pa.array(all_mentions + lit_surface, pa.string())
+    else:
+        mention_col = all_mentions if ment_is_arrow else pa.array(all_mentions, pa.string())
 
     idx_arr = pa.array(idx)
     cols = {
@@ -309,7 +322,7 @@ def extract_mention_rows(
     cols.update(
         {
             "tool": pc.take(batch["tool"], idx_arr),
-            "mention": pa.array(mentions, pa.string()),
+            "mention": mention_col,
             "mention_ord": pa.array(ords),
             "kind_code": pa.array(kind_codes),
         }

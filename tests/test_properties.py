@@ -175,7 +175,7 @@ def test_detect_mentions_batch_matches_per_turn(texts):
     counts, flat = detect_mentions_batch(texts)
     expect_per = [detect_mentions(t) if t else [] for t in texts]
     assert list(counts) == [len(m) for m in expect_per]
-    assert flat == [s for m in expect_per for s in m]
+    assert flat.to_pylist() == [s for m in expect_per for s in m]
 
 
 def test_extract_mention_rows_batch_path_equals_fallback():
