@@ -755,6 +755,84 @@ def build_kg_from_dir(
     )
 
 
+def extract_mentions_ds(
+    paths: list[str] | str, extractor_dirs: list[str] | None = None
+) -> ray.data.Dataset:
+    """The EXTRACTION half of build_kg alone: transcripts -> the narrow
+    per-turn mention stream (conv_id, turn_idx, tool, mention,
+    mention_ord, kind_code), block-aligned to the input files so
+    conv-disjoint inputs stay conv-disjoint per output file. Persisting
+    this stream is what makes catalog-only changes cheap to replay
+    (reference semantics: keep clean files' extractions, re-RESOLVE all
+    edges — deps/extractor.py:339-428, esp. 387-395)."""
+    if isinstance(paths, str):
+        paths = [paths]
+    from ..stages.extract import family_plan
+
+    dirs = list(extractor_dirs or [])
+    if dirs:
+        from ..extractors import ensure_directories
+
+        ensure_directories(dirs)
+    ent_names, lit_specs, qual_specs = family_plan()
+
+    def _extract(b: pa.Table) -> pa.Table:
+        if dirs:
+            from ..extractors import ensure_directories as _ed
+
+            _ed(dirs)
+        return extract_mention_rows(
+            b,
+            include_role=False,
+            entity_names=ent_names,
+            literal_specs=lit_specs,
+            qualified_specs=qual_specs,
+        )
+
+    ds = ray.data.read_parquet(paths, override_num_blocks=len(paths))
+    ds = ds.map_batches(
+        lambda b: normalize_turns(b, with_uid=False), batch_format="pyarrow", batch_size=None
+    )
+    return ds.map_batches(_extract, batch_format="pyarrow", batch_size=None)
+
+
+def build_kg_from_mention_stream(
+    mention_paths: list[str],
+    catalog: pa.Table,
+    mapping: dict[str, str] | None = None,
+    concurrency: int | None = None,
+    link_params: dict | None = None,
+) -> ray.data.Dataset:
+    """The LINK + ASSEMBLY half of build_kg over a PERSISTED mention
+    stream (written by extract_mentions_ds): two-phase broadcast linking
+    then the zero-shuffle conv-local assembly. Requires the stream files
+    to be conversation-complete (one extraction output file per
+    conv-disjoint input file — the layout extract_mentions_ds produces).
+    This is the catalog-change replay path: extraction is NOT re-run."""
+    if mapping is None:
+        mapping = canonical_mapping(catalog.to_pylist())
+    from ..stages.extract import family_plan
+
+    _ents, lit_specs, qual_specs = family_plan()
+    lit_preds = [p for _n, p in lit_specs]
+    qual_preds = [p for _n, p in qual_specs]
+
+    def _assemble(df: pd.DataFrame) -> pa.Table:
+        return _assemble_conv_local_arrow(
+            df, literal_preds=lit_preds, qualified_preds=qual_preds
+        )
+
+    ds = ray.data.read_parquet(mention_paths, override_num_blocks=len(mention_paths))
+    ds = ds.materialize()  # consumed twice: unique pass + lookup pass
+    uniq_blocks = ds.map_batches(_block_unique, batch_format="pyarrow").to_pandas()
+    linkmap = unique_mention_linkmap(
+        ds, catalog, mapping, parallelism=concurrency,
+        uniq_blocks=uniq_blocks, link_params=link_params,
+    )
+    ds = apply_linkmap(ds, linkmap, batch_size=None)
+    return ds.map_batches(_assemble, batch_format="pandas", batch_size=None)
+
+
 def normalized_turns_ds(data_dir: str) -> ray.data.Dataset:
     """M0 slice: read -> normalize (used by the ordering-invariant test)."""
     ds = ray.data.read_parquet(transcript_files(data_dir))

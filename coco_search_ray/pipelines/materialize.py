@@ -52,11 +52,21 @@ def run_resumable(
     kg_kwargs: dict | None = None,
     group_size: int = 1,
     canon_params: dict | None = None,
+    keep_mentions: bool = True,
 ) -> dict:
     """Build the triple table for ``data_dir`` under ``out_dir``; skips
     shards already committed with a matching input fingerprint.
     ``fail_after_shards`` injects a crash after N shard commits (used by
     the resume test). Returns run stats.
+
+    ``keep_mentions`` (default on) persists each shard's extracted
+    mention stream under ``out_dir/_mentions/shard=<id>`` so that a
+    CATALOG-ONLY change (globals_hash mismatch with matching input +
+    extraction fingerprints) replays just link + assembly from the saved
+    stream instead of re-running the expensive extraction half — the
+    reference's resume split: extractions of clean files are kept, all
+    edges re-RESOLVED (deps/extractor.py:339-428, esp. 387-395). Stats
+    report such shards under ``shards_relinked``.
 
     ``group_size``: input files per pipeline run / manifest. 1 = finest
     checkpoint granularity (one manifest per file). At small shard sizes
@@ -122,6 +132,16 @@ def run_resumable(
         with open(meta_path, "w") as f:
             json.dump(meta, f)
 
+    # extraction fingerprint: the captured family plan + the stream
+    # schema version — a saved mention stream is replayable only when
+    # extraction semantics are unchanged
+    from ..stages.extract import family_plan
+
+    plan = family_plan()
+    extract_hash = hashlib.sha256(
+        f"{plan}|mention_stream=v{MENTION_STREAM_VERSION}".encode()
+    ).hexdigest()
+
     files = transcript_files(data_dir)
     gs = max(1, group_size)
     if gs == 1:
@@ -139,36 +159,103 @@ def run_resumable(
             "|".join(input_fingerprint(p) for p in paths).encode()
         ).hexdigest()
 
-    todo = [
-        (sid, paths)
-        for sid, paths in shards
-        if not shard_is_done(out_dir, sid, _input_hash(paths), globals_hash)
-    ]
+    def _mentions_dir(sid: str) -> str:
+        return os.path.join(out_dir, "_mentions", f"shard={sid}")
+
+    def _can_relink(sid: str, input_hash: str) -> bool:
+        """input + extraction unchanged, only the run-globals moved, and
+        the saved stream is actually on disk."""
+        from ..state.manifest import read_manifest
+
+        m = read_manifest(out_dir, sid)
+        return bool(
+            m
+            and m.get("status") == "done"
+            and m.get("input_hash") == input_hash
+            and m.get("extract_hash") == extract_hash
+            and os.path.isdir(_mentions_dir(sid))
+        )
+
+    todo: list[tuple[str, list, str, bool]] = []  # (sid, paths, fp, relink)
+    for sid, paths in shards:
+        fp = _input_hash(paths)
+        if shard_is_done(out_dir, sid, fp, globals_hash):
+            continue
+        todo.append((sid, paths, fp, keep_mentions and _can_relink(sid, fp)))
 
     # deletion semantics (reference flow.py:450-461: rows of files removed
     # from the input are dropped): committed shards with no matching input
-    # shard are removed, output + manifest together
+    # shard are removed, output + manifest + saved mention stream together
     valid_ids = {sid for sid, _ in shards}
     deleted = 0
     for m in list_manifests(out_dir):
         sid = m.get("shard")
         if sid not in valid_ids:
             shutil.rmtree(shard_output_dir(out_dir, sid), ignore_errors=True)
+            shutil.rmtree(_mentions_dir(sid), ignore_errors=True)
             os.remove(os.path.join(out_dir, "_manifests", f"{sid}.json"))
             deleted += 1
 
+    def _stream_files(d: str) -> list[str]:
+        return sorted(
+            os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
     done = 0
-    for shard_id, paths in todo:
+    relinked = 0
+    for shard_id, paths, fp, relink in todo:
         if fail_after_shards is not None and done >= fail_after_shards:
             raise RuntimeError(f"injected failure after {done} shards")
-        fp = _input_hash(paths)
         tmp = os.path.join(out_dir, f"_tmp_shard_{shard_id}")
         shutil.rmtree(tmp, ignore_errors=True)
         # config kwargs override the defaults, but a None config value
         # (unset) must not clobber an explicitly-passed argument
         overrides = {k: v for k, v in (kg_kwargs or {}).items() if v is not None}
         kw = {"concurrency": concurrency, "conv_local_shards": True, **overrides}
-        triples = build_kg(paths, catalog, mapping, **kw)
+        if relink:
+            # catalog-only change: replay link + assembly from the saved
+            # stream; extraction (the expensive half) is NOT re-run
+            from .kg import build_kg_from_mention_stream
+
+            triples = build_kg_from_mention_stream(
+                _stream_files(_mentions_dir(shard_id)),
+                catalog,
+                mapping,
+                concurrency=concurrency,
+                link_params=overrides.get("link_params"),
+            )
+            relinked += 1
+        elif keep_mentions:
+            # split build: extraction streams to the persisted mention
+            # dir once, link + assembly read it back — extraction runs
+            # exactly once either way
+            from .kg import build_kg_from_mention_stream, extract_mentions_ds
+
+            mtmp = os.path.join(out_dir, f"_tmp_mentions_{shard_id}")
+            shutil.rmtree(mtmp, ignore_errors=True)
+            extract_mentions_ds(
+                paths, extractor_dirs=overrides.get("extractor_dirs")
+            ).write_parquet(mtmp)
+            mdir = _mentions_dir(shard_id)
+            os.makedirs(os.path.dirname(mdir), exist_ok=True)
+            shutil.rmtree(mdir, ignore_errors=True)
+            os.replace(mtmp, mdir)
+            sf = _stream_files(mdir)
+            if sf:
+                triples = build_kg_from_mention_stream(
+                    sf, catalog, mapping,
+                    concurrency=concurrency,
+                    link_params=overrides.get("link_params"),
+                )
+            else:  # no mentions at all in this shard
+                import pyarrow as pa
+                import ray.data
+
+                from .kg import TRIPLE_SCHEMA
+
+                triples = ray.data.from_arrow(TRIPLE_SCHEMA.empty_table())
+        else:
+            triples = build_kg(paths, catalog, mapping, **kw)
         if subj_buckets:
             # secondary layout: partition each shard's output by
             # hash(subj) % B (uniform by construction — SURVEY.md §7.4) so
@@ -190,19 +277,22 @@ def run_resumable(
         else:
             triples.write_parquet(tmp)
         n_triples = _dir_row_count(tmp)
-        commit_shard(
-            out_dir,
-            shard_id,
-            fp,
-            tmp,
-            {"input_paths": paths, "triples": n_triples, "globals_hash": globals_hash},
-        )
+        stats = {
+            "input_paths": paths,
+            "triples": n_triples,
+            "globals_hash": globals_hash,
+            "relinked": relink,
+        }
+        if keep_mentions:
+            stats["extract_hash"] = extract_hash
+        commit_shard(out_dir, shard_id, fp, tmp, stats)
         done += 1
 
     return {
         "shards_total": len(shards),
         "shards_processed": len(todo) if fail_after_shards is None else done,
         "shards_skipped": len(shards) - len(todo),
+        "shards_relinked": relinked,
         "shards_deleted": deleted,
         "out_dir": out_dir,
     }
@@ -214,6 +304,12 @@ def run_resumable(
 #   v1: subj, pred, obj, conv_id, turn_idx    (r01 layout)
 #   v2: same columns; pred domain extended with literal-family predicates
 TRIPLE_SCHEMA_VERSION = 2
+
+# version of the PERSISTED per-shard mention stream (conv_id, turn_idx,
+# tool, mention, mention_ord, kind_code); part of extract_hash — bump on
+# any change to the stream schema or kind-code encoding so stale streams
+# are never replayed
+MENTION_STREAM_VERSION = 1
 TRIPLE_COLUMNS = ["subj", "pred", "obj", "conv_id", "turn_idx"]
 
 
