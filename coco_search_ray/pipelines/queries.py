@@ -13,7 +13,6 @@ Conventions:
     kg_triples           in-repo single-process oracle (P/R parity pytest);
                          every downstream stat/join over it IS SQL-checked
                          via the triple export
-    q_media_features     synthetic binary decode plumbing, no SQL analog
     q_ann_ivf            approximate by design (recall < 1); exact twin
                          q_ann_topk is green, recall pinned in tests
     q_embedding_neardup_lsh  approximate by design; exact twin
@@ -1737,23 +1736,47 @@ SELECT lang, count(*) AS n_docs, round(avg(norm), 4) AS mean_norm FROM n GROUP B
 
 
 def q_media_features(sf_dir: str) -> pd.DataFrame:
-    """Multimodal plumbing: image/audio/video payloads through the
-    per-kind actor-pool decode stage; (kind, status) counts (all ok)."""
-    import ray as _ray
+    """Multimodal decode + features over a MIXED-format media table:
+    real containers (RIFF/PCM16 WAV, P6 PPM — decoded by the pure-python
+    parsers in stages/multimodal.py) interleaved with the deterministic
+    fake formats. Per media row: format and the scalar feature (RMS for
+    audio, global value mean for image/video). Oracle: the query exports
+    each payload's DECODED raw value stream; the SQL re-derives the
+    feature independently (sqrt(avg(v*v)) / avg(v)) — the decode itself
+    is pinned by unit tests against the stdlib ``wave`` reference and
+    PPM round-trips."""
     import ray.data as _rd
 
-    from ..stages.multimodal import generate_media_table, media_features
+    from ..stages.multimodal import generate_media_table, media_values
 
     n = {"smoke": 64, "correctness": 128, "bench": 256}[tier_for_sf_dir(sf_dir)]
-    ds = _rd.from_arrow(generate_media_table(n))
-    feats = media_features(ds)
-    return (
-        feats.groupby(["kind", "decode_status"])
-        .aggregate(Count(alias_name="n_media"))
-        .to_pandas()
-        .sort_values(["kind", "decode_status"])
-        .reset_index(drop=True)
+    ds = _rd.from_arrow(generate_media_table(n, std_formats=True))
+    t = media_values(ds).to_pandas().sort_values("media_id").reset_index(drop=True)
+    _export_table(
+        sf_dir,
+        "media_values",
+        pa.table(
+            {
+                "media_id": pa.array(t["media_id"], pa.int64()),
+                "kind": pa.array(t["kind"], pa.string()),
+                "fmt": pa.array(t["fmt"], pa.string()),
+                "vals": pa.array(list(t["vals"]), pa.list_(pa.float64())),
+            }
+        ),
     )
+    out = t[["media_id", "kind", "fmt", "feat"]].copy()
+    return _round_half_away(out, ["feat"], 6)
+
+
+Q_MEDIA_FEATURES_SQL = f"""
+WITH v AS (
+  SELECT media_id, kind, fmt, unnest(vals) AS val
+  FROM read_parquet('{_EXP}/media_values.parquet')
+)
+SELECT media_id, kind, fmt,
+       round(CASE WHEN kind = 'audio' THEN sqrt(avg(val * val)) ELSE avg(val) END, 6) AS feat
+FROM v GROUP BY media_id, kind, fmt ORDER BY media_id
+"""
 
 
 REGISTRY.update(
@@ -1763,7 +1786,7 @@ REGISTRY.update(
         "kg_context_coverage": (kg_context_coverage, KG_CONTEXT_COVERAGE_SQL),
         "q_hybrid_search": (q_hybrid_search, Q_HYBRID_SEARCH_SQL),
         "q_doc_encode": (q_doc_encode, Q_DOC_ENCODE_SQL),
-        "q_media_features": (q_media_features, None),
+        "q_media_features": (q_media_features, Q_MEDIA_FEATURES_SQL),
     }
 )
 

@@ -60,9 +60,14 @@ def make_fake_video(width: int, height: int, n_frames: int, seed: int) -> bytes:
     return b"".join(out)
 
 
-def generate_media_table(n: int = 64, seed: int = 42) -> pa.Table:
+def generate_media_table(n: int = 64, seed: int = 42, std_formats: bool = False) -> pa.Table:
     """Synthetic media table: (media_id, kind, payload:binary, meta).
-    Kinds cycle image/audio/video so every decode path is exercised."""
+    Kinds cycle image/audio/video so every decode path is exercised.
+    ``std_formats``: every second image/audio row uses a REAL container
+    format (P6 PPM / RIFF WAV) instead of the deterministic fakes, so
+    the pure-python decoders run against genuinely mixed-format data
+    (videos stay VID1 — there is no trivially-parseable standard video
+    container)."""
     rng = np.random.RandomState(seed)
     ids, kinds, payloads, widths, heights = [], [], [], [], []
     for i in range(n):
@@ -70,9 +75,22 @@ def generate_media_table(n: int = 64, seed: int = 42) -> pa.Table:
         h = int(rng.choice([32, 48, 64]))
         kind = ("image", "audio", "video")[i % 3]
         if kind == "image":
-            payloads.append(make_fake_image(w, h, 3, seed + i))
+            if std_formats and (i // 3) % 2 == 0:
+                img = np.random.RandomState(seed + i).randint(
+                    0, 256, size=(h, w, 3), dtype=np.uint8
+                )
+                payloads.append(encode_ppm(img))
+            else:
+                payloads.append(make_fake_image(w, h, 3, seed + i))
         elif kind == "audio":
-            payloads.append(make_fake_audio(16000, 1600 + 16 * int(rng.randint(0, 50)), seed + i))
+            n_samp = 1600 + 16 * int(rng.randint(0, 50))
+            if std_formats and (i // 3) % 2 == 0:
+                samples = (np.random.RandomState(seed + i).randn(n_samp) * 3000).astype(
+                    np.int16
+                )
+                payloads.append(encode_wav(16000, samples))
+            else:
+                payloads.append(make_fake_audio(16000, n_samp, seed + i))
             w = h = 0
         else:
             payloads.append(make_fake_video(w, h, 4 + int(rng.randint(0, 5)), seed + i))
@@ -89,6 +107,103 @@ def generate_media_table(n: int = 64, seed: int = 42) -> pa.Table:
             "height": pa.array(heights, pa.int32()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL container formats, pure-python decoders (no external codec libs):
+# WAV (RIFF little-endian, PCM16) and PPM (P6, 8-bit). The struct-based
+# parsers here are independent of the stdlib ``wave`` writer used for
+# encoding, so the round-trip test cross-validates two implementations.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav(rate: int, samples: np.ndarray) -> bytes:
+    """PCM16 mono WAV via the stdlib ``wave`` module (the reference
+    writer our hand-rolled RIFF parser is tested against)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Hand-rolled RIFF/WAVE chunk walker: validates the RIFF header,
+    walks chunks to 'fmt ' (must be PCM, 16-bit) and 'data'. Returns
+    (sample_rate, int16 samples, channel-interleaved flattened)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_tag, _channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", body[:16])
+            if fmt_tag != 1 or bits != 16:
+                raise ValueError(f"unsupported WAV encoding (fmt={fmt_tag}, bits={bits})")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    return int(rate), np.frombuffer(data, dtype="<i2")
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Binary PPM (P6), 8-bit RGB."""
+    h, w, c = img.shape
+    if c != 3:
+        raise ValueError("PPM is RGB")
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """P6 parser: whitespace-delimited header tokens (with '#' comment
+    support), then raw RGB bytes."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    tokens: list[bytes] = []
+    pos = 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(payload[start:pos])
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    return np.frombuffer(payload[pos : pos + w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+
+
+def sniff_format(payload: bytes) -> str:
+    """Container format by magic: 'wav' | 'ppm' | 'img1' | 'aud1' |
+    'vid1' | 'unknown'."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == MAGIC:
+        return "img1"
+    if payload[:4] == MAGIC_AUDIO:
+        return "aud1"
+    if payload[:4] == MAGIC_VIDEO:
+        return "vid1"
+    return "unknown"
 
 
 # ---------------------------------------------------------------------------
@@ -178,6 +293,11 @@ class MediaDecodeActor:
         self.frame_stride = max(1, frame_stride)
 
     def _one(self, kind: str, payload: bytes):
+        fmt = sniff_format(payload)
+        if fmt == "ppm":
+            return _image_features(decode_ppm(payload))
+        if fmt == "wav":
+            return _audio_features(*decode_wav(payload))
         if kind == "image":
             return _image_features(self.decode(payload))
         if kind == "audio":
@@ -236,6 +356,72 @@ def media_features(ds, concurrency=None, batch_size: int = 64):
 
     return ds.map_batches(
         MediaDecodeActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency or auto_pool(cap=8),
+        num_cpus=1,
+    )
+
+
+class MediaValuesActor:
+    """Decode each payload to its RAW value stream (audio samples /
+    image pixels / sampled-video-frame pixels) plus the scalar feature
+    the media query value-checks: RMS for audio, global value mean for
+    image/video. Exporting the raw stream lets a SQL oracle re-derive
+    the feature independently (sqrt(avg(v*v)) / avg(v)); the decoders
+    themselves are pinned by unit tests against the stdlib ``wave``
+    reference and PPM round-trips."""
+
+    def __init__(self, frame_stride: int = 2):
+        self.frame_stride = max(1, frame_stride)
+
+    def _values(self, kind: str, payload: bytes) -> np.ndarray:
+        fmt = sniff_format(payload)
+        if fmt == "wav":
+            return decode_wav(payload)[1].astype(np.float64)
+        if fmt == "ppm":
+            return decode_ppm(payload).ravel().astype(np.float64)
+        if fmt == "aud1":
+            return fake_decode_audio(payload)[1].astype(np.float64)
+        if fmt == "img1":
+            return fake_decode(payload).ravel().astype(np.float64)
+        if fmt == "vid1":
+            frames = list(iter_fake_video_frames(payload))[:: self.frame_stride]
+            return np.concatenate(
+                [fake_decode(f).ravel() for f in frames]
+            ).astype(np.float64)
+        raise ValueError(f"unknown media payload format for kind {kind!r}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        o_vals, o_feat, o_fmt = [], [], []
+        for k, p in zip(kinds, payloads):
+            vals = self._values(k, p)
+            o_fmt.append(sniff_format(p))
+            o_vals.append(vals)
+            if k == "audio":
+                o_feat.append(float(np.sqrt((vals**2).mean())) if len(vals) else 0.0)
+            else:
+                o_feat.append(float(vals.mean()) if len(vals) else 0.0)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "fmt": pa.array(o_fmt, pa.string()),
+                "vals": pa.array([v.tolist() for v in o_vals], pa.list_(pa.float64())),
+                "feat": pa.array(o_feat, pa.float64()),
+            }
+        )
+
+
+def media_values(ds, concurrency=None, batch_size: int = 64, frame_stride: int = 2):
+    from ..functions.concurrency import auto_pool
+
+    return ds.map_batches(
+        MediaValuesActor,
+        fn_constructor_kwargs={"frame_stride": frame_stride},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency or auto_pool(cap=8),

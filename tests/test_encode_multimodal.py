@@ -43,6 +43,61 @@ def test_decode_image_stub_raises_without_codec():
         decode_image(make_fake_image(8, 8, 3, seed=0))
 
 
+def test_wav_codec_cross_validated_against_stdlib():
+    """The hand-rolled RIFF chunk walker must agree with the stdlib
+    ``wave`` READER on bytes produced by the stdlib WRITER — two
+    independent implementations of the same real container format."""
+    import io
+    import wave as wave_mod
+
+    from coco_search_ray.stages.multimodal import decode_wav, encode_wav
+
+    samples = (np.random.RandomState(7).randn(2048) * 9000).astype(np.int16)
+    payload = encode_wav(22050, samples)
+
+    rate, got = decode_wav(payload)
+    assert rate == 22050
+    assert np.array_equal(got, samples)
+
+    with wave_mod.open(io.BytesIO(payload)) as w:  # stdlib reader agrees
+        assert w.getframerate() == rate
+        ref = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+    assert np.array_equal(got, ref)
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE" + b"\x00" * 16)
+
+
+def test_ppm_codec_roundtrip_and_comments():
+    from coco_search_ray.stages.multimodal import decode_ppm, encode_ppm
+
+    img = np.random.RandomState(3).randint(0, 256, size=(12, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # header comments (a real-world P6 wrinkle) are skipped
+    raw = b"P6\n# made by hand\n2 1\n255\n" + bytes(range(6))
+    got = decode_ppm(raw)
+    assert got.shape == (1, 2, 3) and got.ravel().tolist() == list(range(6))
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 1\n255\n\x00\x00")
+
+
+def test_media_values_features_match_numpy(ray_session):
+    """media_values: mixed real/fake formats decode, and each row's
+    scalar feature equals the independent numpy recomputation from the
+    exported raw stream."""
+    import ray.data
+    from coco_search_ray.stages.multimodal import generate_media_table, media_values
+
+    ds = ray.data.from_arrow(generate_media_table(24, std_formats=True))
+    out = media_values(ds).to_pandas().sort_values("media_id")
+    assert len(out) == 24
+    assert {"wav", "ppm", "img1", "aud1", "vid1"} <= set(out["fmt"])
+    for _, r in out.iterrows():
+        v = np.asarray(r["vals"], dtype=np.float64)
+        want = float(np.sqrt((v**2).mean())) if r["kind"] == "audio" else float(v.mean())
+        assert abs(r["feat"] - want) < 1e-9
+
+
 def test_media_pipeline(ray_session):
     import ray.data
     from coco_search_ray.stages.multimodal import generate_media_table, media_features
