@@ -1,0 +1,65 @@
+"""Literal family: module-import statements in code snippets inside
+turn text — the transcript analog of the reference's per-language
+dependency extractors (deps/extractors/python.py:42-213 for
+from/import/aliased forms; javascript.py for require()/ES import).
+Surfaces attach to the turn's first linked entity as
+(entity, imports_module, module_path).
+
+Four statement shapes, each ONE regex with ONE capture so the DuckDB
+oracle replays them 1:1 with regexp_extract_all(..., 1):
+
+  1. ``from pkg.mod import ...``        -> pkg.mod
+  2. ``import pkg.mod`` (DOTTED only — a bare ``import word`` is
+     indistinguishable from prose like "the import process")
+  3. ``require('mod')``                 -> mod
+  4. ``import ... from 'mod'`` (ES)     -> mod
+
+All character classes are explicit ASCII (no bare ``\\w``) so Python
+re, RE2 (the Arrow candidate mask) and DuckDB agree; ``\\b`` before
+``import`` is boundary-compatible in the sound direction (RE2's ASCII
+word set is a subset of Python's, so every Python match is inside the
+RE2 candidate mask).
+"""
+
+from __future__ import annotations
+
+import re
+
+NAME = "imports"
+KIND = "literal"
+PRED = "imports_module"
+
+_MOD = r"[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)*"
+_WS = r"[ \t\r\n]"  # explicit ASCII whitespace: identical in re/RE2/DuckDB
+_RULES = [
+    re.compile(r"\bfrom" + _WS + r"+(" + _MOD + r")" + _WS + r"+import" + _WS),
+    re.compile(r"\bimport" + _WS + r"+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)+)"),
+    re.compile(r"require\(" + _WS + r"*['\"]([^'\"]+)['\"]" + _WS + r"*\)"),
+    re.compile(
+        r"\bimport" + _WS + r"+[A-Za-z0-9_{}, *\t\r\n]+" + _WS
+        + r"*from" + _WS + r"+['\"]([^'\"]+)['\"]"
+    ),
+]
+
+QUICK = r"(?:from|import)[ \t\r\n]|require\("
+
+
+def maybe(text: str) -> bool:
+    return "import" in text or "require(" in text
+
+
+def extract(text: str) -> list[str]:
+    """Module paths in first-occurrence order (by match start, ties by
+    rule order), deduped keep-first."""
+    hits: list[tuple[int, int, str]] = []
+    for ri, rx in enumerate(_RULES):
+        for m in rx.finditer(text):
+            hits.append((m.start(), ri, m.group(1)))
+    hits.sort()
+    out: list[str] = []
+    seen: set[str] = set()
+    for _pos, _ri, s in hits:
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out

@@ -1412,8 +1412,20 @@ WITH t AS (
 ), v AS (
   SELECT len(list_distinct(regexp_extract_all(text,
     '\\bv?[0-9]+\\.[0-9]+\\.[0-9]+(?:-[0-9A-Za-z.]+)?\\b'))) AS n FROM t
+), i AS (
+  -- imports family: four single-capture statement rules, per-turn
+  -- dedupe ACROSS rules == one list_distinct over the concatenation
+  -- (counting is order-insensitive, so cross-rule position interleaving
+  -- does not matter here)
+  SELECT len(list_distinct(
+    regexp_extract_all(text, '\\bfrom[ \t\r\n]+([A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z0-9_]+)*)[ \t\r\n]+import[ \t\r\n]', 1)
+    || regexp_extract_all(text, '\\bimport[ \t\r\n]+([A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z0-9_]+)+)', 1)
+    || regexp_extract_all(text, 'require\\([ \t\r\n]*[''"]([^''"]+)[''"][ \t\r\n]*\\)', 1)
+    || regexp_extract_all(text, '\\bimport[ \t\r\n]+[A-Za-z0-9_{{}}, *\t\r\n]+[ \t\r\n]*from[ \t\r\n]+[''"]([^''"]+)[''"]', 1)
+  )) AS n FROM t
 )
-SELECT 'links_to' AS kind, sum(n)::BIGINT AS n_mentions FROM u
+SELECT 'imports_module' AS kind, sum(n)::BIGINT AS n_mentions FROM i
+UNION ALL SELECT 'links_to', sum(n)::BIGINT FROM u
 UNION ALL SELECT 'mentions_email', sum(n)::BIGINT FROM e
 UNION ALL SELECT 'mentions_version', sum(n)::BIGINT FROM v
 UNION ALL SELECT 'quotes', sum(n)::BIGINT FROM q

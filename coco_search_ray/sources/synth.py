@@ -204,6 +204,20 @@ def _generate_shard(
                 if rng.rand() < 0.25:  # some paths nest two levels deep
                     member = f"{member}.{_QUAL_MEMBERS[rng.randint(0, len(_QUAL_MEMBERS))]}"
                 words.append(f"{root}.{member}")
+            # import-statement material (drives extractors/imports.py):
+            # python from/import, dotted import, require(), ES import
+            if qpool and rng.rand() < 0.06:
+                root = qpool[rng.randint(0, n_qpool)]
+                member = _QUAL_MEMBERS[rng.randint(0, len(_QUAL_MEMBERS))]
+                style = rng.randint(0, 4)
+                if style == 0:
+                    words.append(f"from {root} import {member} then")
+                elif style == 1:
+                    words.append(f"import {root}.{member}")
+                elif style == 2:
+                    words.append(f"require('{root}')")
+                else:
+                    words.append(f"import {{ {member} }} from '{root}'")
             shard["conv_id"].append(conv_id)
             shard["turn_idx"].append(ti)
             shard["role"].append(role)
@@ -242,7 +256,7 @@ def generate_transcripts(
     ``catalog.parquet``. Idempotent: returns immediately if a
     ``_SYNTH_OK`` marker with matching params exists."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v8"
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v9"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:

@@ -52,6 +52,26 @@ def test_email_and_path_extract():
     assert paths.extract("ratio 3/4 and https://a.b/c.d") == []  # prose + urls excluded
 
 
+def test_imports_extract():
+    from coco_search_ray.extractors import imports
+
+    t = (
+        "run from payment_service import refresh then import billing.worker "
+        "and require('ledger_core') plus import { init } from 'gateway/lib' done"
+    )
+    assert imports.extract(t) == [
+        "payment_service",
+        "billing.worker",
+        "ledger_core",
+        "gateway/lib",
+    ]
+    # prose 'import' without a dotted module or from-clause is NOT a match
+    assert imports.extract("we import data and the import process runs") == []
+    # dedupe keep-first across rules
+    assert imports.extract("import a.b then from a.b import c") == ["a.b"]
+    assert imports.KIND == "literal" and imports.PRED == "imports_module"
+
+
 def test_qualified_extract():
     from coco_search_ray.extractors import qualified
 
