@@ -1423,12 +1423,20 @@ WITH t AS (
     || regexp_extract_all(text, 'require\\([ \t\r\n]*[''"]([^''"]+)[''"][ \t\r\n]*\\)', 1)
     || regexp_extract_all(text, '\\bimport[ \t\r\n]+[A-Za-z0-9_{{}}, *\t\r\n]+[ \t\r\n]*from[ \t\r\n]+[''"]([^''"]+)[''"]', 1)
   )) AS n FROM t
+), md AS (
+  -- md_links family: inline targets + wiki refs, distinct per turn,
+  -- http(s) excluded on both sides (those are the urls family's)
+  SELECT len(list_filter(list_distinct(
+    regexp_extract_all(text, '\\[[^\\]\n]{{1,80}}\\]\\(([^()\\[\\] \t\r\n]{{1,200}})\\)', 1)
+    || regexp_extract_all(text, '\\[\\[([^\\[\\]\n]{{1,80}})\\]\\]', 1)
+  ), x -> NOT regexp_matches(x, '^https?://'))) AS n FROM t
 )
 SELECT 'imports_module' AS kind, sum(n)::BIGINT AS n_mentions FROM i
 UNION ALL SELECT 'links_to', sum(n)::BIGINT FROM u
 UNION ALL SELECT 'mentions_email', sum(n)::BIGINT FROM e
 UNION ALL SELECT 'mentions_version', sum(n)::BIGINT FROM v
 UNION ALL SELECT 'quotes', sum(n)::BIGINT FROM q
+UNION ALL SELECT 'references_doc', sum(n)::BIGINT FROM md
 UNION ALL SELECT 'references_path', sum(n)::BIGINT FROM p
 """
 

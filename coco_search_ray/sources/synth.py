@@ -204,6 +204,18 @@ def _generate_shard(
                 if rng.rand() < 0.25:  # some paths nest two levels deep
                     member = f"{member}.{_QUAL_MEMBERS[rng.randint(0, len(_QUAL_MEMBERS))]}"
                 words.append(f"{root}.{member}")
+            # markdown link / wiki-ref material (drives
+            # extractors/md_links.py); the http variant belongs to the
+            # urls family and is excluded by md_links on both sides
+            if rng.rand() < 0.05:
+                w = _VOCAB[rng.randint(0, len(_VOCAB))]
+                style = rng.randint(0, 3)
+                if style == 0:
+                    words.append(f"[{w} docs](docs/{w}.md)")
+                elif style == 1:
+                    words.append(f"[[{w}_notes]]")
+                else:
+                    words.append(f"[api](https://svc.example/{w})")
             # import-statement material (drives extractors/imports.py):
             # python from/import, dotted import, require(), ES import
             if qpool and rng.rand() < 0.06:
@@ -256,7 +268,7 @@ def generate_transcripts(
     ``catalog.parquet``. Idempotent: returns immediately if a
     ``_SYNTH_OK`` marker with matching params exists."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v9"
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v10"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:

@@ -72,6 +72,18 @@ def test_imports_extract():
     assert imports.KIND == "literal" and imports.PRED == "imports_module"
 
 
+def test_md_links_extract():
+    from coco_search_ray.extractors import md_links
+
+    t = "see [payment docs](docs/payment.md) and [[billing_notes]] or [api](https://svc.example/x)"
+    assert md_links.extract(t) == ["docs/payment.md", "billing_notes"]
+    # dedupe keep-first; label with spaces ok; bare brackets are not links
+    t2 = "[a b](x.md) then [c](x.md) and [not a link] alone"
+    assert md_links.extract(t2) == ["x.md"]
+    assert md_links.extract("plain text, no links") == []
+    assert md_links.KIND == "literal" and md_links.PRED == "references_doc"
+
+
 def test_qualified_extract():
     from coco_search_ray.extractors import qualified
 
