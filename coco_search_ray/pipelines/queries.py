@@ -1799,6 +1799,173 @@ FROM v GROUP BY media_id, kind, fmt ORDER BY media_id
 """
 
 
+def q_parse_qa_detail(sf_dir: str) -> pd.DataFrame:
+    """Parse-status DETAIL (reference parse_tracking.py:97-111 records
+    the error line of the first tree-sitter error node; our closed-form
+    analog records the char position + line of the offending delimiter
+    under an ordered balance rule). Runs over deterministic structured
+    docs with injected delimiter errors; the query exports the docs and
+    the oracle re-derives every status, position and line in SQL string
+    functions."""
+    import ray.data as _rd
+
+    from ..sources.synth import generate_structured_docs
+    from .stats import parse_qa_detail
+
+    n = {"smoke": 120, "correctness": 240, "bench": 480}[tier_for_sf_dir(sf_dir)]
+    t = generate_structured_docs(n)
+    _export_table(sf_dir, "structured_docs", t)
+    det = (
+        _rd.from_arrow(t)
+        .map_batches(parse_qa_detail, batch_format="pyarrow")
+        .to_pandas()
+    )
+    out = (
+        det.groupby("parse_status", as_index=False)
+        .agg(
+            n_docs=("doc_id", "size"),
+            sum_error_pos=("error_pos", "sum"),
+            sum_error_line=("error_line", "sum"),
+        )
+        .sort_values("parse_status")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"n_docs": "int64", "sum_error_pos": "int64", "sum_error_line": "int64"}
+    )
+
+
+Q_PARSE_QA_DETAIL_SQL = f"""
+WITH d AS (
+  SELECT doc_id, coalesce(text, '') AS text
+  FROM read_parquet('{_EXP}/structured_docs.parquet')
+), c AS (
+  SELECT doc_id, text,
+    length(text) - length(replace(text, '"', '')) AS nq,
+    length(text) - length(replace(text, chr(96), '')) AS nb,
+    length(text) - length(replace(text, '(', '')) AS no,
+    length(text) - length(replace(text, ')', '')) AS nc
+  FROM d
+), s AS (
+  SELECT *,
+    CASE WHEN length(text) = 0 THEN 'empty_text'
+         WHEN nq % 2 = 1 THEN 'unbalanced_quote'
+         WHEN nb % 2 = 1 THEN 'unbalanced_backtick'
+         WHEN no <> nc THEN 'unbalanced_paren'
+         ELSE 'ok' END AS parse_status
+  FROM c
+), e AS (
+  SELECT parse_status, text,
+    CASE WHEN parse_status = 'unbalanced_quote' THEN length(text) - strpos(reverse(text), '"')
+         WHEN parse_status = 'unbalanced_backtick' THEN length(text) - strpos(reverse(text), chr(96))
+         WHEN parse_status = 'unbalanced_paren' AND no > nc THEN length(text) - strpos(reverse(text), '(')
+         WHEN parse_status = 'unbalanced_paren' THEN strpos(text, ')') - 1
+         ELSE -1 END AS error_pos
+  FROM s
+)
+SELECT parse_status, count(*)::BIGINT AS n_docs,
+       sum(error_pos)::BIGINT AS sum_error_pos,
+       sum(CASE WHEN error_pos >= 0
+                THEN length(substr(text, 1, error_pos))
+                     - length(replace(substr(text, 1, error_pos), chr(10), '')) + 1
+                ELSE 0 END)::BIGINT AS sum_error_line
+FROM e GROUP BY parse_status ORDER BY parse_status
+"""
+
+
+def q_doc_block_hierarchy(sf_dir: str) -> pd.DataFrame:
+    """Block/hierarchy metadata over structured docs (reference
+    handler-emitted block_type/hierarchy chunk columns,
+    handlers/hcl.py:59-120): per (block_type, enclosing-heading depth):
+    line count + distinct enclosing headings. Oracle replays the line
+    classifier (fence parity via a window sum, heading carry via
+    last_value IGNORE NULLS) in SQL over the same exported docs."""
+    import ray.data as _rd
+
+    from ..sources.synth import generate_structured_docs
+    from ..stages.blocks import doc_blocks
+
+    n = {"smoke": 120, "correctness": 240, "bench": 480}[tier_for_sf_dir(sf_dir)]
+    t = generate_structured_docs(n)
+    _export_table(sf_dir, "structured_docs", t)
+    blocks = _rd.from_arrow(t).map_batches(doc_blocks, batch_format="pyarrow")
+    counts = (
+        blocks.groupby(["block_type", "depth"])
+        .aggregate(Count(alias_name="n_lines"))
+        .to_pandas()
+    )
+    # distinct enclosing headings per group: per-block Arrow group_by
+    # pre-aggregation (C), tiny driver dedupe (bounded by the heading
+    # vocabulary, not the corpus)
+    uniq = (
+        blocks.map_batches(
+            lambda b: b.select(["block_type", "depth", "heading"])
+            .group_by(["block_type", "depth", "heading"])
+            .aggregate([]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .drop_duplicates()
+        .groupby(["block_type", "depth"], as_index=False)
+        .agg(n_headings=("heading", "size"))
+    )
+    out = (
+        counts.merge(uniq, on=["block_type", "depth"])
+        .sort_values(["block_type", "depth"])
+        .reset_index(drop=True)
+    )
+    out["depth"] = out["depth"].astype("int64")
+    return out.astype({"n_lines": "int64", "n_headings": "int64"})
+
+
+Q_DOC_BLOCK_HIERARCHY_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text FROM read_parquet('{_EXP}/structured_docs.parquet')
+  WHERE text IS NOT NULL AND text <> ''
+), l AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS line_no,
+         unnest(string_split(text, chr(10))) AS line
+  FROM d
+), f AS (
+  SELECT doc_id, line_no, line,
+         CASE WHEN line LIKE '```%' THEN 1 ELSE 0 END AS is_fence
+  FROM l
+), g AS (
+  SELECT *,
+         coalesce(sum(is_fence) OVER (
+           PARTITION BY doc_id ORDER BY line_no
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fences_before
+  FROM f
+), c AS (
+  SELECT doc_id, line_no,
+         CASE WHEN is_fence = 1 THEN 'fence'
+              WHEN fences_before % 2 = 1 THEN 'code'
+              WHEN line = '' THEN 'blank'
+              WHEN regexp_matches(line, '^#{{1,6}} ') THEN 'heading'
+              WHEN line LIKE '- %' THEN 'list_item'
+              ELSE 'text' END AS block_type,
+         CASE WHEN is_fence = 0 AND fences_before % 2 = 0 AND regexp_matches(line, '^#{{1,6}} ')
+              THEN regexp_extract(line, '^(#{{1,6}}) (.*)$', 2) END AS h_title,
+         CASE WHEN is_fence = 0 AND fences_before % 2 = 0 AND regexp_matches(line, '^#{{1,6}} ')
+              THEN length(regexp_extract(line, '^(#{{1,6}}) (.*)$', 1)) END AS h_depth
+  FROM g
+), w AS (
+  SELECT doc_id, line_no, block_type,
+         coalesce(last_value(h_title IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY line_no
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), '') AS heading,
+         coalesce(last_value(h_depth IGNORE NULLS) OVER (
+           PARTITION BY doc_id ORDER BY line_no
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS depth
+  FROM c
+)
+SELECT block_type, depth::BIGINT AS depth, count(*)::BIGINT AS n_lines,
+       count(DISTINCT heading)::BIGINT AS n_headings
+FROM w GROUP BY block_type, depth ORDER BY block_type, depth
+"""
+
+
 REGISTRY.update(
     {
         "kg_impact": (kg_impact, KG_IMPACT_SQL),
@@ -1807,6 +1974,8 @@ REGISTRY.update(
         "q_hybrid_search": (q_hybrid_search, Q_HYBRID_SEARCH_SQL),
         "q_doc_encode": (q_doc_encode, Q_DOC_ENCODE_SQL),
         "q_media_features": (q_media_features, Q_MEDIA_FEATURES_SQL),
+        "q_parse_qa_detail": (q_parse_qa_detail, Q_PARSE_QA_DETAIL_SQL),
+        "q_doc_block_hierarchy": (q_doc_block_hierarchy, Q_DOC_BLOCK_HIERARCHY_SQL),
     }
 )
 

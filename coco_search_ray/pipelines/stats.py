@@ -99,6 +99,72 @@ def qa_summary(turns: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def parse_qa_detail(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Parse-status DETAIL per document/turn — the closed-form analog of
+    the reference's error-position tree walk (parse_tracking.py:97-111:
+    it records the line number of the first tree-sitter error node; we
+    record the char position + line of the offending DELIMITER under a
+    deterministic balance rule, checked in this order):
+
+      empty_text            text is empty/null
+      unbalanced_quote      odd number of '\"'  -> pos of the LAST quote
+      unbalanced_backtick   odd number of backticks -> pos of the last
+      unbalanced_paren      '(' count != ')' count -> pos of the last
+                            '(' (too many opens) or the FIRST ')' (too
+                            many closes)
+      ok                    error_pos = -1, error_line = 0
+
+    error_line = 1 + number of newlines before error_pos. Vectorized:
+    Arrow counts classify every row; Python touches only flagged rows
+    (rare in healthy corpora)."""
+    import pyarrow.compute as pc
+
+    col = batch[text_col]
+    texts = None  # materialized lazily, only if some row is flagged
+    n = batch.num_rows
+    nq = pc.fill_null(pc.count_substring(col, '"'), 0).to_numpy().astype("int64")
+    nb = pc.fill_null(pc.count_substring(col, "`"), 0).to_numpy().astype("int64")
+    no = pc.fill_null(pc.count_substring(col, "("), 0).to_numpy().astype("int64")
+    nc = pc.fill_null(pc.count_substring(col, ")"), 0).to_numpy().astype("int64")
+    empty = pc.fill_null(pc.equal(pc.utf8_length(pc.fill_null(col, "")), 0), True)
+    empty = empty.to_numpy(zero_copy_only=False)
+
+    import numpy as np
+
+    status = np.full(n, "ok", dtype=object)
+    q_bad = (~empty) & (nq % 2 == 1)
+    b_bad = (~empty) & ~q_bad & (nb % 2 == 1)
+    p_bad = (~empty) & ~q_bad & ~b_bad & (no != nc)
+    status[empty] = "empty_text"
+    status[q_bad] = "unbalanced_quote"
+    status[b_bad] = "unbalanced_backtick"
+    status[p_bad] = "unbalanced_paren"
+
+    error_pos = np.full(n, -1, dtype=np.int64)
+    error_line = np.zeros(n, dtype=np.int64)
+    flagged = np.nonzero(q_bad | b_bad | p_bad)[0]
+    if len(flagged):
+        texts = col.to_pylist()
+        for i in flagged:
+            t = texts[i]
+            if q_bad[i]:
+                pos = t.rfind('"')
+            elif b_bad[i]:
+                pos = t.rfind("`")
+            elif no[i] > nc[i]:
+                pos = t.rfind("(")
+            else:
+                pos = t.find(")")
+            error_pos[i] = pos
+            error_line[i] = t.count("\n", 0, pos) + 1
+
+    cols = {name: batch[name] for name in batch.schema.names if name != text_col}
+    cols["parse_status"] = pa.array(status, pa.string())
+    cols["error_pos"] = pa.array(error_pos)
+    cols["error_line"] = pa.array(error_line)
+    return pa.table(cols)
+
+
 def grouped_count_salted(
     ds: ray.data.Dataset, key: str, salt_buckets: int = 16, alias: str = "n"
 ) -> ray.data.Dataset:

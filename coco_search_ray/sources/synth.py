@@ -326,6 +326,69 @@ TIERS = {
 _TIER_ROOT = os.environ.get("COCO_SYNTH_ROOT", "/tmp/coco_synth")
 
 
+def generate_structured_docs(n: int = 200, seed: int = SEED) -> pa.Table:
+    """Deterministic STRUCTURED documents (markdown-ish: headings, list
+    items, code fences, paragraphs) with a controlled rate of delimiter
+    errors (unbalanced quote / backtick / paren) and some empty docs —
+    material for the parse-QA-detail and block-hierarchy queries. NOT
+    part of the transcript tiers (no stamp interaction); generated
+    per-query like the media table."""
+    rng = np.random.RandomState(seed + 7)
+    ids, texts = [], []
+    nv = len(_VOCAB)
+    for i in range(n):
+        if rng.rand() < 0.04:
+            ids.append(i)
+            texts.append("")
+            continue
+        lines: list[str] = []
+        n_lines = 5 + int(rng.randint(0, 26))
+        in_fence = False
+        for _li in range(n_lines):
+            w = _VOCAB[rng.randint(0, nv)]
+            w2 = _VOCAB[rng.randint(0, nv)]
+            r = rng.rand()
+            if in_fence:
+                if r < 0.3:
+                    lines.append("```")
+                    in_fence = False
+                else:
+                    lines.append(f"{w} = {w2}({w!r})")
+            elif r < 0.12:
+                lines.append(f"{'#' * (1 + int(rng.randint(0, 3)))} {w.capitalize()} {w2}")
+            elif r < 0.22:
+                lines.append(f"- {w} {w2} item")
+            elif r < 0.30:
+                lines.append("```")
+                in_fence = True
+            elif r < 0.36:
+                lines.append("")
+            else:
+                lines.append(f'{w} {w2} ("{w}" note) and more {w2}')
+        if in_fence:
+            lines.append("```")
+        # delimiter-error injection (~18% of docs get one extra line)
+        r = rng.rand()
+        if r < 0.18:
+            kind = int(rng.randint(0, 4))
+            w = _VOCAB[rng.randint(0, nv)]
+            bad = [
+                f'broken "{w} quote here',
+                f"stray ` tick {w}",
+                f"open ( paren {w}",
+                f"close ) paren {w}",
+            ][kind]
+            lines.insert(int(rng.randint(0, len(lines) + 1)), bad)
+        ids.append(i)
+        texts.append("\n".join(lines))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
 def tier_for_sf_dir(sf_dir: str) -> str:
     base = os.path.basename(os.path.normpath(sf_dir))
     return {"sf0.001": "smoke", "sf0.01": "correctness", "sf0.1": "bench"}.get(base, "correctness")
