@@ -1430,6 +1430,20 @@ WITH t AS (
     regexp_extract_all(text, '\\[[^\\]\n]{{1,80}}\\]\\(([^()\\[\\] \t\r\n]{{1,200}})\\)', 1)
     || regexp_extract_all(text, '\\[\\[([^\\[\\]\n]{{1,80}})\\]\\]', 1)
   ), x -> NOT regexp_matches(x, '^https?://'))) AS n FROM t
+), img AS (
+  -- images family: yaml image: keys + Dockerfile FROM lines; the
+  -- tag-first alternation order matches the pipeline (leftmost-first
+  -- in both Python re and RE2); cross-rule dedupe == one list_distinct
+  SELECT len(list_distinct(
+    regexp_extract_all(text, '\\bimage:[ \t]*([a-z0-9]+(?:[._-][a-z0-9]+)*(?:/[a-z0-9]+(?:[._-][a-z0-9]+)*)*:[A-Za-z0-9_][A-Za-z0-9._-]*|[a-z0-9]+(?:[._-][a-z0-9]+)*(?:/[a-z0-9]+(?:[._-][a-z0-9]+)*)+)', 1)
+    || regexp_extract_all(text, '\\bFROM[ \t]+([a-z0-9]+(?:[._-][a-z0-9]+)*(?:/[a-z0-9]+(?:[._-][a-z0-9]+)*)*:[A-Za-z0-9_][A-Za-z0-9._-]*|[a-z0-9]+(?:[._-][a-z0-9]+)*(?:/[a-z0-9]+(?:[._-][a-z0-9]+)*)+)', 1)
+  )) AS n FROM t
+), ci AS (
+  -- ci_uses family: external owner/repo@version + local ./workflow refs
+  SELECT len(list_distinct(
+    regexp_extract_all(text, '\\buses:[ \t]*[''"]?([A-Za-z0-9_][A-Za-z0-9_.-]*(?:/[A-Za-z0-9_.-]+)+@[A-Za-z0-9._/-]+)', 1)
+    || regexp_extract_all(text, '\\buses:[ \t]*[''"]?(\\./[A-Za-z0-9._/-]+)', 1)
+  )) AS n FROM t
 )
 SELECT 'imports_module' AS kind, sum(n)::BIGINT AS n_mentions FROM i
 UNION ALL SELECT 'links_to', sum(n)::BIGINT FROM u
@@ -1438,6 +1452,8 @@ UNION ALL SELECT 'mentions_version', sum(n)::BIGINT FROM v
 UNION ALL SELECT 'quotes', sum(n)::BIGINT FROM q
 UNION ALL SELECT 'references_doc', sum(n)::BIGINT FROM md
 UNION ALL SELECT 'references_path', sum(n)::BIGINT FROM p
+UNION ALL SELECT 'uses_action', sum(n)::BIGINT FROM ci
+UNION ALL SELECT 'uses_image', sum(n)::BIGINT FROM img
 """
 
 
@@ -2272,5 +2288,134 @@ REGISTRY.update(
     {
         "q_region_revenue": (q_region_revenue, Q_REGION_REVENUE_SQL),
         "q_orders_anti_join": (q_orders_anti_join, Q_ORDERS_ANTI_JOIN_SQL),
+    }
+)
+
+
+def q_ci_actions_parsed(sf_dir: str) -> pd.DataFrame:
+    """Structured-metadata parse of CI action refs — the reference's
+    _parse_action_ref split into owner/repo/version parts
+    (deps/extractors/github_actions.py:21-40): extract uses_action
+    surfaces from the synth transcripts (external rule only — local
+    ./workflow refs carry no owner/version and parse to null), parse
+    with ONE anchored RE2 regex (identical in Arrow and DuckDB), and
+    aggregate ref counts + distinct versions per (owner, repo)."""
+    from ..stages.extract import extract_mention_rows
+    from .kg import normalized_turns_ds
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    ds = normalized_turns_ds(data_dir).map_batches(
+        lambda b: extract_mention_rows(
+            b, entity_names=(), literal_specs=(("ci_uses", "uses_action"),)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def parse(b: pa.Table) -> pa.Table:
+        parts = pc.extract_regex(
+            b["mention"], r"^(?P<owner>[^/]+)/(?P<repo>[^/@]+)(?:/[^@]+)?@(?P<version>.+)$"
+        )
+        parts = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+        parts = parts.filter(pc.is_valid(parts))
+        return pa.table(
+            {
+                "owner": pc.struct_field(parts, "owner"),
+                "repo": pc.struct_field(parts, "repo"),
+                "version": pc.struct_field(parts, "version"),
+            }
+        )
+
+    parsed = ds.map_batches(parse, batch_format="pyarrow")
+    n_refs = parsed.groupby(["owner", "repo"]).aggregate(Count(alias_name="n_refs")).to_pandas()
+    triples = (
+        parsed.groupby(["owner", "repo", "version"]).aggregate(Count(alias_name="_n")).to_pandas()
+    )
+    nv = triples.groupby(["owner", "repo"]).size().reset_index(name="n_versions")
+    out = n_refs.merge(nv, on=["owner", "repo"])
+    out = out.sort_values(
+        ["n_refs", "owner", "repo"], ascending=[False, True, True], kind="mergesort"
+    ).head(30).reset_index(drop=True)
+    return out[["owner", "repo", "n_refs", "n_versions"]].astype(
+        {"n_refs": "int64", "n_versions": "int64"}
+    )
+
+
+Q_CI_ACTIONS_PARSED_SQL = f"""
+WITH t AS (
+  SELECT coalesce(text, '') AS text FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
+), refs AS (
+  -- same external rule + per-turn keep-first dedupe as the pipeline
+  -- (the local ./ rule's surfaces never collide with external ones)
+  SELECT unnest(list_distinct(
+    regexp_extract_all(text, '\\buses:[ \t]*[''"]?([A-Za-z0-9_][A-Za-z0-9_.-]*(?:/[A-Za-z0-9_.-]+)+@[A-Za-z0-9._/-]+)', 1)
+  )) AS ref FROM t
+), p AS (
+  SELECT regexp_extract(ref, '^([^/]+)/([^/@]+)(?:/[^@]+)?@(.+)$', 1) AS owner,
+         regexp_extract(ref, '^([^/]+)/([^/@]+)(?:/[^@]+)?@(.+)$', 2) AS repo,
+         regexp_extract(ref, '^([^/]+)/([^/@]+)(?:/[^@]+)?@(.+)$', 3) AS version
+  FROM refs
+  WHERE regexp_matches(ref, '^([^/]+)/([^/@]+)(?:/[^@]+)?@(.+)$')
+)
+SELECT owner, repo, count(*)::BIGINT AS n_refs,
+       count(DISTINCT version)::BIGINT AS n_versions
+FROM p GROUP BY owner, repo
+ORDER BY n_refs DESC, owner, repo LIMIT 30
+"""
+
+
+def q_image_tags(sf_dir: str) -> pd.DataFrame:
+    """Container-image ref parse (the compose/helm image-ref repo:tag
+    split, deps/extractors/docker_compose.py:43-58): extract uses_image
+    surfaces from the synth transcripts, split the single possible
+    ``:tag`` suffix (the name charset excludes ``:``), and count refs
+    per (repo, tag); untagged refs keep tag = ''."""
+    from ..stages.extract import extract_mention_rows
+    from .kg import normalized_turns_ds
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    ds = normalized_turns_ds(data_dir).map_batches(
+        lambda b: extract_mention_rows(
+            b, entity_names=(), literal_specs=(("images", "uses_image"),)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def parse(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["mention"].str.partition(":")
+        return pd.DataFrame({"repo": s[0], "tag": s[2]})
+
+    parsed = ds.map_batches(parse, batch_format="pandas")
+    out = (
+        parsed.groupby(["repo", "tag"]).aggregate(Count(alias_name="n_refs")).to_pandas()
+    )
+    out = out.sort_values(
+        ["n_refs", "repo", "tag"], ascending=[False, True, True], kind="mergesort"
+    ).head(30).reset_index(drop=True)
+    return out[["repo", "tag", "n_refs"]].astype({"n_refs": "int64"})
+
+
+Q_IMAGE_TAGS_SQL = f"""
+WITH t AS (
+  SELECT coalesce(text, '') AS text FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
+), refs AS (
+  SELECT unnest(list_distinct(
+    regexp_extract_all(text, '\\bimage:[ \t]*([a-z0-9]+(?:[._-][a-z0-9]+)*(?:/[a-z0-9]+(?:[._-][a-z0-9]+)*)*:[A-Za-z0-9_][A-Za-z0-9._-]*|[a-z0-9]+(?:[._-][a-z0-9]+)*(?:/[a-z0-9]+(?:[._-][a-z0-9]+)*)+)', 1)
+    || regexp_extract_all(text, '\\bFROM[ \t]+([a-z0-9]+(?:[._-][a-z0-9]+)*(?:/[a-z0-9]+(?:[._-][a-z0-9]+)*)*:[A-Za-z0-9_][A-Za-z0-9._-]*|[a-z0-9]+(?:[._-][a-z0-9]+)*(?:/[a-z0-9]+(?:[._-][a-z0-9]+)*)+)', 1)
+  )) AS ref FROM t
+), p AS (
+  SELECT CASE WHEN strpos(ref, ':') > 0 THEN substr(ref, 1, strpos(ref, ':') - 1) ELSE ref END AS repo,
+         CASE WHEN strpos(ref, ':') > 0 THEN substr(ref, strpos(ref, ':') + 1) ELSE '' END AS tag
+  FROM refs
+)
+SELECT repo, tag, count(*)::BIGINT AS n_refs
+FROM p GROUP BY repo, tag
+ORDER BY n_refs DESC, repo, tag LIMIT 30
+"""
+
+
+REGISTRY.update(
+    {
+        "q_ci_actions_parsed": (q_ci_actions_parsed, Q_CI_ACTIONS_PARSED_SQL),
+        "q_image_tags": (q_image_tags, Q_IMAGE_TAGS_SQL),
     }
 )

@@ -230,6 +230,28 @@ def _generate_shard(
                     words.append(f"require('{root}')")
                 else:
                     words.append(f"import {{ {member} }} from '{root}'")
+            # container-image refs (drives extractors/images.py): yaml
+            # image: keys + Dockerfile FROM lines (the reference's
+            # docker_compose / gitlab_ci / helm image shapes)
+            if rng.rand() < 0.05:
+                w = _VOCAB[rng.randint(0, len(_VOCAB))]
+                w2 = _VOCAB[rng.randint(0, len(_VOCAB))]
+                style = rng.randint(0, 3)
+                if style == 0:
+                    words.append(f"image: {w}/{w2}:{rng.randint(0, 4)}.{rng.randint(0, 20)}")
+                elif style == 1:
+                    words.append(f"FROM {w}:{rng.randint(0, 4)}.{rng.randint(0, 20)}")
+                else:
+                    words.append(f"image: registry.example/{w}/{w2}:latest")
+            # CI action refs (drives extractors/ci_uses.py): the
+            # github_actions uses: owner/repo@version + local ./workflow
+            if rng.rand() < 0.04:
+                w = _VOCAB[rng.randint(0, len(_VOCAB))]
+                w2 = _VOCAB[rng.randint(0, len(_VOCAB))]
+                if rng.rand() < 0.3:
+                    words.append(f"uses: ./.ci/{w}.yml")
+                else:
+                    words.append(f"uses: {w}/{w2}-action@v{rng.randint(1, 9)}")
             shard["conv_id"].append(conv_id)
             shard["turn_idx"].append(ti)
             shard["role"].append(role)
@@ -268,7 +290,7 @@ def generate_transcripts(
     ``catalog.parquet``. Idempotent: returns immediately if a
     ``_SYNTH_OK`` marker with matching params exists."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v10"
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v11"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:

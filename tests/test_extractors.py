@@ -84,6 +84,42 @@ def test_md_links_extract():
     assert md_links.KIND == "literal" and md_links.PRED == "references_doc"
 
 
+def test_images_extract():
+    from coco_search_ray.extractors import images
+
+    t = (
+        "deploy image: payment/billing:1.2 then FROM ledger:0.13 and "
+        "image: registry.example/gateway/router:latest done"
+    )
+    assert images.extract(t) == [
+        "payment/billing:1.2",
+        "ledger:0.13",
+        "registry.example/gateway/router:latest",
+    ]
+    # a bare word after image: is prose, not a ref; lowercase from is not FROM
+    assert images.extract("the image: something here, from nginx") == []
+    # untagged ref needs a slash; dedupe keep-first across rules
+    assert images.extract("image: repo/app then FROM repo/app") == ["repo/app"]
+    assert images.KIND == "literal" and images.PRED == "uses_image"
+
+
+def test_ci_uses_extract():
+    from coco_search_ray.extractors import ci_uses
+
+    t = (
+        "step uses: actions/checkout@v4 then uses: ./.ci/deploy.yml and "
+        "uses: 'google-actions/auth@v2.1.0' again uses: actions/checkout@v4"
+    )
+    assert ci_uses.extract(t) == [
+        "actions/checkout@v4",
+        "./.ci/deploy.yml",
+        "google-actions/auth@v2.1.0",
+    ]
+    # a bare word after uses: (no @ref, no ./ path) is prose
+    assert ci_uses.extract("this uses: caching and uses: the db") == []
+    assert ci_uses.KIND == "literal" and ci_uses.PRED == "uses_action"
+
+
 def test_qualified_extract():
     from coco_search_ray.extractors import qualified
 
