@@ -1444,8 +1444,25 @@ WITH t AS (
     regexp_extract_all(text, '\\buses:[ \t]*[''"]?([A-Za-z0-9_][A-Za-z0-9_.-]*(?:/[A-Za-z0-9_.-]+)+@[A-Za-z0-9._/-]+)', 1)
     || regexp_extract_all(text, '\\buses:[ \t]*[''"]?(\\./[A-Za-z0-9._/-]+)', 1)
   )) AS n FROM t
+), sym AS (
+  -- symbols family: 7 per-language definition rules; the Go-receiver
+  -- rule composes Type.Name via regexp_replace with backrefs (same
+  -- anchored pattern both sides); cross-rule dedupe == one list_distinct
+  SELECT len(list_distinct(
+    regexp_extract_all(text, '\\bdef[ \t]+([A-Za-z_][A-Za-z0-9_]*)\\(', 1)
+    || regexp_extract_all(text, '\\bclass[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*[:({{]', 1)
+    || regexp_extract_all(text, '\\bfunction[ \t]+([A-Za-z_][A-Za-z0-9_]*)\\(', 1)
+    || regexp_extract_all(text, '\\bfunc[ \t]+([A-Za-z_][A-Za-z0-9_]*)\\(', 1)
+    || list_transform(
+         regexp_extract_all(text, '\\bfunc[ \t]+\\([A-Za-z_][A-Za-z0-9_]*[ \t]+\\*?[A-Za-z_][A-Za-z0-9_]*\\)[ \t]+[A-Za-z_][A-Za-z0-9_]*\\('),
+         x -> regexp_replace(x, '^\\bfunc[ \t]+\\([A-Za-z_][A-Za-z0-9_]*[ \t]+\\*?([A-Za-z_][A-Za-z0-9_]*)\\)[ \t]+([A-Za-z_][A-Za-z0-9_]*)\\($', '\\1.\\2')
+       )
+    || regexp_extract_all(text, '\\bfn[ \t]+([A-Za-z_][A-Za-z0-9_]*)[(<]', 1)
+    || regexp_extract_all(text, '\\bstruct[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*\\{{', 1)
+  )) AS n FROM t
 )
-SELECT 'imports_module' AS kind, sum(n)::BIGINT AS n_mentions FROM i
+SELECT 'defines_symbol' AS kind, sum(n)::BIGINT AS n_mentions FROM sym
+UNION ALL SELECT 'imports_module', sum(n)::BIGINT FROM i
 UNION ALL SELECT 'links_to', sum(n)::BIGINT FROM u
 UNION ALL SELECT 'mentions_email', sum(n)::BIGINT FROM e
 UNION ALL SELECT 'mentions_version', sum(n)::BIGINT FROM v
@@ -2419,3 +2436,91 @@ REGISTRY.update(
         "q_image_tags": (q_image_tags, Q_IMAGE_TAGS_SQL),
     }
 )
+
+
+# (rule kind labels, positional with extractors/symbols._RULES)
+_SYMBOL_RULE_KINDS = (
+    "py_def",
+    "class_def",
+    "js_function",
+    "go_func",
+    "go_method",
+    "rust_fn",
+    "struct_def",
+)
+
+
+def q_symbol_defs(sf_dir: str) -> pd.DataFrame:
+    """Per-language symbol-definition inventory — the reference's
+    tree-sitter symbol table rolled up by node kind (indexer/
+    symbols.py:216-291 emits (symbol, kind) per language; Go receiver
+    methods become Type.Name). Applies each of the symbols family's
+    seven rules independently (per-turn per-rule dedupe, like the
+    family's cross-rule keep-first but kind-attributed) and reports
+    mention + distinct-symbol counts per definition kind."""
+    from ..extractors.symbols import _RULES
+    from .kg import normalized_turns_ds
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+
+    def parse(b: pa.Table) -> pa.Table:
+        texts = b["text"]
+        kinds: list[str] = []
+        syms: list[str] = []
+        for (rx, is_recv), kind in zip(_RULES, _SYMBOL_RULE_KINDS):
+            # one vectorized RE2 candidate mask per rule; Python finditer
+            # only on the (rare) matching rows — the appendix-path shape
+            mask = pc.fill_null(pc.match_substring_regex(texts, rx.pattern), False)
+            cand = texts.filter(mask).to_pylist()
+            for t in cand:
+                seen: set[str] = set()
+                for m in rx.finditer(t):
+                    s = f"{m.group(1)}.{m.group(2)}" if is_recv else m.group(1)
+                    if s not in seen:
+                        seen.add(s)
+                        kinds.append(kind)
+                        syms.append(s)
+        return pa.table(
+            {"def_kind": pa.array(kinds, pa.string()), "symbol": pa.array(syms, pa.string())}
+        )
+
+    rows = normalized_turns_ds(data_dir).map_batches(parse, batch_format="pyarrow")
+    pair = rows.groupby(["def_kind", "symbol"]).aggregate(Count(alias_name="n")).to_pandas()
+    out = (
+        pair.groupby("def_kind")
+        .agg(n_mentions=("n", "sum"), n_symbols=("symbol", "size"))
+        .reset_index()
+        .sort_values("def_kind", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_mentions": "int64", "n_symbols": "int64"})
+
+
+Q_SYMBOL_DEFS_SQL = f"""
+WITH t AS (
+  SELECT coalesce(text, '') AS text FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
+), r AS (
+  SELECT 'py_def' AS def_kind, unnest(list_distinct(
+    regexp_extract_all(text, '\\bdef[ \t]+([A-Za-z_][A-Za-z0-9_]*)\\(', 1))) AS symbol FROM t
+  UNION ALL SELECT 'class_def', unnest(list_distinct(
+    regexp_extract_all(text, '\\bclass[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*[:({{]', 1))) FROM t
+  UNION ALL SELECT 'js_function', unnest(list_distinct(
+    regexp_extract_all(text, '\\bfunction[ \t]+([A-Za-z_][A-Za-z0-9_]*)\\(', 1))) FROM t
+  UNION ALL SELECT 'go_func', unnest(list_distinct(
+    regexp_extract_all(text, '\\bfunc[ \t]+([A-Za-z_][A-Za-z0-9_]*)\\(', 1))) FROM t
+  UNION ALL SELECT 'go_method', unnest(list_distinct(list_transform(
+    regexp_extract_all(text, '\\bfunc[ \t]+\\([A-Za-z_][A-Za-z0-9_]*[ \t]+\\*?[A-Za-z_][A-Za-z0-9_]*\\)[ \t]+[A-Za-z_][A-Za-z0-9_]*\\('),
+    x -> regexp_replace(x, '^\\bfunc[ \t]+\\([A-Za-z_][A-Za-z0-9_]*[ \t]+\\*?([A-Za-z_][A-Za-z0-9_]*)\\)[ \t]+([A-Za-z_][A-Za-z0-9_]*)\\($', '\\1.\\2')
+  ))) FROM t
+  UNION ALL SELECT 'rust_fn', unnest(list_distinct(
+    regexp_extract_all(text, '\\bfn[ \t]+([A-Za-z_][A-Za-z0-9_]*)[(<]', 1))) FROM t
+  UNION ALL SELECT 'struct_def', unnest(list_distinct(
+    regexp_extract_all(text, '\\bstruct[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*\\{{', 1))) FROM t
+)
+SELECT def_kind, count(*)::BIGINT AS n_mentions,
+       count(DISTINCT symbol)::BIGINT AS n_symbols
+FROM r GROUP BY def_kind ORDER BY def_kind
+"""
+
+
+REGISTRY.update({"q_symbol_defs": (q_symbol_defs, Q_SYMBOL_DEFS_SQL)})

@@ -243,6 +243,27 @@ def _generate_shard(
                     words.append(f"FROM {w}:{rng.randint(0, 4)}.{rng.randint(0, 20)}")
                 else:
                     words.append(f"image: registry.example/{w}/{w2}:latest")
+            # symbol-definition material (drives extractors/symbols.py):
+            # per-language def / class / function / func / Go-receiver /
+            # fn / struct statements (the tree-sitter symbol surface)
+            if qpool and rng.rand() < 0.06:
+                name = qpool[rng.randint(0, n_qpool)]
+                style = rng.randint(0, 7)
+                if style == 0:
+                    words.append(f"def {name}(x):")
+                elif style == 1:
+                    words.append(f"class {name.capitalize()}:")
+                elif style == 2:
+                    words.append(f"function {name}(ev)")
+                elif style == 3:
+                    words.append(f"func {name.capitalize()}(ctx)")
+                elif style == 4:
+                    meth = _VOCAB[rng.randint(0, len(_VOCAB))]
+                    words.append(f"func (s *{name.capitalize()}) {meth.capitalize()}(ctx)")
+                elif style == 5:
+                    words.append(f"fn {name}(input)")
+                else:
+                    words.append(f"struct {name.capitalize()} {{ field }}")
             # CI action refs (drives extractors/ci_uses.py): the
             # github_actions uses: owner/repo@version + local ./workflow
             if rng.rand() < 0.04:
@@ -290,7 +311,7 @@ def generate_transcripts(
     ``catalog.parquet``. Idempotent: returns immediately if a
     ``_SYNTH_OK`` marker with matching params exists."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v11"
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v12"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:

@@ -120,6 +120,31 @@ def test_ci_uses_extract():
     assert ci_uses.KIND == "literal" and ci_uses.PRED == "uses_action"
 
 
+def test_symbols_extract():
+    from coco_search_ray.extractors import symbols
+
+    t = (
+        "here def process_refund(x): and class PaymentGateway: plus "
+        "function handleClick(ev) then func Encode(ctx) and "
+        "func (s *Server) Start(ctx) also fn parse_input(v) and "
+        "struct Config { field } end"
+    )
+    assert symbols.extract(t) == [
+        "process_refund",
+        "PaymentGateway",
+        "handleClick",
+        "Encode",
+        "Server.Start",
+        "parse_input",
+        "Config",
+    ]
+    # prose forms never match: no trailing delimiter / no def-keyword shape
+    assert symbols.extract("the class size is large, struct ure, fn keyword") == []
+    # receiver form does not double-fire the plain-func rule; dedupe keep-first
+    assert symbols.extract("func (r *Pool) Get( and def Get( again") == ["Pool.Get", "Get"]
+    assert symbols.KIND == "literal" and symbols.PRED == "defines_symbol"
+
+
 def test_qualified_extract():
     from coco_search_ray.extractors import qualified
 
