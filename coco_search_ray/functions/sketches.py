@@ -75,6 +75,54 @@ def hashes_of_strings(values: list) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def cms_make(d: int = 4, w: int = 4096) -> np.ndarray:
+    """(d x w) counter matrix; d independent rows via double hashing."""
+    return np.zeros((d, w), dtype=np.int64)
+
+
+def _cms_positions(hashes: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(d, n) column indices — row i uses h1 + i*h2 (same double-hashing
+    scheme as the bloom filter; h2 forced odd for full period)."""
+    h1 = hashes.astype(np.uint64)
+    h2 = (h1 >> np.uint64(32)) | np.uint64(1)
+    i = np.arange(d, dtype=np.uint64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(w)).astype(np.int64)
+
+
+def cms_add_hashes(cms: np.ndarray, hashes: np.ndarray, counts: np.ndarray | None = None) -> None:
+    """Fold (hash, count) pairs into the sketch, vectorized per row."""
+    if not len(hashes):
+        return
+    d, w = cms.shape
+    pos = _cms_positions(hashes, d, w)
+    c = np.ones(len(hashes), dtype=np.int64) if counts is None else counts.astype(np.int64)
+    for i in range(d):
+        np.add.at(cms[i], pos[i], c)
+
+
+def cms_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Sketches over disjoint streams sum elementwise."""
+    return a + b
+
+
+def cms_query_hashes(cms: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point estimates: min over the d rows — NEVER below the true count
+    (all collisions only add), at most true + eps*N with eps ~ e/w."""
+    if not len(hashes):
+        return np.zeros(0, dtype=np.int64)
+    d, w = cms.shape
+    pos = _cms_positions(hashes, d, w)
+    est = cms[0][pos[0]]
+    for i in range(1, d):
+        est = np.minimum(est, cms[i][pos[i]])
+    return est
+
+
+# ---------------------------------------------------------------------------
 # Bloom filter
 # ---------------------------------------------------------------------------
 

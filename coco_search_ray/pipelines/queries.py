@@ -398,6 +398,26 @@ def q_events_hll_users(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["event_type", "n_users_hll"])
 
 
+def q_events_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Count-Min-guided heavy hitters: users with >= 0.75% of all events.
+    The sketch prunes the long tail before the exact shuffle; because the
+    CMS never underestimates and survivors are re-counted exactly, the
+    RESULT is exact — hence a plain GROUP BY ... HAVING oracle."""
+    from ..stages.sketch import cms_heavy_hitters
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    out = cms_heavy_hitters(ds, "user_id", phi=0.0075).to_pandas()
+    return out.astype({"user_id": "int64", "n_events": "int64"})
+
+
+Q_EVENTS_HEAVY_HITTERS_SQL = """
+SELECT user_id, count(*) AS n_events
+FROM events
+GROUP BY user_id
+HAVING count(*) >= CAST(ceil(0.0075 * (SELECT count(*) FROM events)) AS BIGINT)
+"""
+
+
 def q_supplier_balance(sf_dir: str) -> pd.DataFrame:
     supplier = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
     nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
@@ -1159,6 +1179,7 @@ REGISTRY: dict[str, tuple] = {
     "q_top_orders_per_segment": (q_top_orders_per_segment, Q_TOP_ORDERS_PER_SEGMENT_SQL),
     "q_lineitem_bloom_semi_join": (q_lineitem_bloom_semi_join, Q_LINEITEM_BLOOM_SEMI_JOIN_SQL),
     "q_events_hll_users": (q_events_hll_users, None),
+    "q_events_heavy_hitters": (q_events_heavy_hitters, Q_EVENTS_HEAVY_HITTERS_SQL),
     "q_order_price_quantiles": (q_order_price_quantiles, Q_ORDER_PRICE_QUANTILES_SQL),
     "q_events_tumbling": (q_events_tumbling, Q_EVENTS_TUMBLING_SQL),
     "q_events_user_stats": (q_events_user_stats, Q_EVENTS_USER_STATS_SQL),

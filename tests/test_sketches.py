@@ -121,3 +121,51 @@ def test_pack_bins_matches_sequential(ray_session):
     assert (out["bin"].to_numpy() == expect).all()
     # bins are contiguous runs over the id order
     assert (np.diff(out["bin"].to_numpy()) >= 0).all()
+
+
+def test_cms_never_underestimates_and_merges():
+    from coco_search_ray.functions.sketches import (
+        cms_add_hashes,
+        cms_make,
+        cms_merge,
+        cms_query_hashes,
+        hashes_of_strings,
+    )
+
+    rng = np.random.default_rng(7)
+    # zipf-ish stream: few heavy keys, long tail
+    keys = [f"k{i}" for i in range(5_000)]
+    freq = np.maximum(1, (10_000 / (np.arange(5_000) + 1)).astype(np.int64))
+    cms = cms_make(d=4, w=4096)
+    h = hashes_of_strings(keys)
+    cms_add_hashes(cms, h, freq)
+    est = cms_query_hashes(cms, h)
+    assert (est >= freq).all()  # the one-sided guarantee
+    # heavy keys are estimated near-exactly (eps*N slack)
+    n_total = int(freq.sum())
+    assert (est[:50] - freq[:50]).max() <= int(np.e / 4096 * n_total) + 1
+
+    # merge over a disjoint split == one pass over the whole stream
+    a, b = cms_make(), cms_make()
+    cms_add_hashes(a, h[:2_500], freq[:2_500])
+    cms_add_hashes(b, h[2_500:], freq[2_500:])
+    assert np.array_equal(cms_merge(a, b), cms)
+    # empty adds / queries are no-ops
+    cms_add_hashes(a, hashes_of_strings([]))
+    assert cms_query_hashes(a, hashes_of_strings([])).shape == (0,)
+
+
+def test_cms_heavy_hitters_exact(ray_session):
+    import ray.data
+
+    from coco_search_ray.stages.sketch import cms_heavy_hitters
+
+    # 20 heavy users (>=200 events each) over a 10k-user tail of singletons
+    vals = [f"hot{i}" for i in range(20) for _ in range(200 + i)]
+    vals += [f"cold{i}" for i in range(10_000)]
+    n = len(vals)
+    ds = ray.data.from_arrow(pa.table({"user": pa.array(vals)})).random_shuffle(seed=3).repartition(8)
+    phi = 150 / n  # threshold 150: all hot survive, no cold does
+    out = cms_heavy_hitters(ds, "user", phi=phi).to_pandas()
+    got = dict(zip(out["user"], out["n_events"]))
+    assert got == {f"hot{i}": 200 + i for i in range(20)}  # EXACT counts
