@@ -47,6 +47,21 @@ def hash_embeddings(texts: list[str], dim: int = EMBED_DIM) -> np.ndarray:
     return (tiled.astype(np.float32) / 255.0) * 2.0 - 1.0
 
 
+def digest_embeddings(texts: list[str]) -> np.ndarray:
+    """(n, 32) base form of :func:`hash_embeddings`: the raw sha256 digest
+    bytes mapped to [-1, 1]. For dim % 32 == 0, ``hash_embeddings`` tiles
+    this matrix dim/32 times verbatim — so cosine similarity over the
+    tiled space equals cosine over this base space (the linker scores in
+    base space: 24x fewer matmul flops at EMBED_DIM=768, same scores)."""
+    if not texts:
+        return np.empty((0, 32), dtype=np.float32)
+    digests = np.frombuffer(
+        b"".join(hashlib.sha256(t.encode("utf-8")).digest() for t in texts),
+        dtype=np.uint8,
+    ).reshape(len(texts), 32)
+    return (digests.astype(np.float32) / 255.0) * 2.0 - 1.0
+
+
 def stable_hash64(s: str) -> int:
     """Deterministic 64-bit hash of a string (first 8 bytes of SHA-1).
     Python's builtin ``hash`` is salted per process — never use it for

@@ -109,8 +109,21 @@ class EntityIndex:
         self.surfaces = surfaces
         self.is_canonical = dict(zip(keys, is_canonical))
         self.n_docs = len(keys)
+        # lexicographic rank of each key — lets batched top-k ordering use
+        # integer lexsort instead of per-mention Python sorts on strings
+        _order = np.argsort(np.array(keys)) if keys else np.empty(0, dtype=np.int64)
+        self.key_rank = np.empty(len(keys), dtype=np.int64)
+        self.key_rank[_order] = np.arange(len(keys))
 
-        emb = hash_embeddings(surfaces, dim)
+        # score in the 32-dim digest base space when the tiled hash
+        # embedding permits (dim % 32 == 0): identical cosines, 24x fewer
+        # matmul flops at 768 — the linker's dense channel was matmul-bound
+        from .hashing import digest_embeddings
+
+        self._embed = (
+            digest_embeddings if dim % 32 == 0 else (lambda ts: hash_embeddings(ts, dim))
+        )
+        emb = self._embed(surfaces)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         self.emb = (emb / norms).astype(np.float32)
@@ -216,7 +229,7 @@ class EntityIndex:
         fuses — exported so an oracle can independently re-derive the
         RRF + boost + tiebreak math from the raw channels."""
         prefetch = prefetch_limit(limit, self.prefetch_cap)
-        qvec = hash_embeddings([query])[0]
+        qvec = self._embed([query])[0]
         qn = np.linalg.norm(qvec)
         if qn > 0:
             qvec = qvec / qn
@@ -265,21 +278,35 @@ class EntityIndex:
         ivf = self.ivf_centroids is not None
         for lo in range(0, len(mentions), chunk):
             batch = mentions[lo : lo + chunk]
-            qmat = hash_embeddings(batch)
+            qmat = self._embed(batch)
             norms = np.linalg.norm(qmat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             qmat = qmat / norms
-            if not ivf:
-                all_scores = qmat @ self.emb.T if self.n_docs else np.empty((len(batch), 0))
             k = min(prefetch, self.n_docs)
+            if not ivf and k > 0:
+                # dense channel for the WHOLE chunk in three numpy calls:
+                # batched top-k, then one flat lexsort on
+                # (row, -score, key_rank) — identical order to the
+                # per-mention (-score, key) Python sort
+                neg_scores = -(qmat @ self.emb.T)
+                # per-row argpartition: numpy's axis-1 partition is ~6x
+                # slower than a row loop at k=10
+                top_idx = np.empty((len(batch), k), dtype=np.int64)
+                for r in range(len(batch)):
+                    top_idx[r] = np.argpartition(neg_scores[r], k - 1)[:k]
+                top_sc = -np.take_along_axis(neg_scores, top_idx, axis=1)
+                rowid = np.repeat(np.arange(len(batch)), k)
+                order = np.lexsort((self.key_rank[top_idx.ravel()], -top_sc.ravel(), rowid))
+                top_idx_s = top_idx.ravel()[order].reshape(len(batch), k)
+                top_sc_s = top_sc.ravel()[order].reshape(len(batch), k)
             for r, mention in enumerate(batch):
                 if ivf:
                     dense = self._dense_ranked(qmat[r], prefetch)
                 elif k > 0:
-                    scores = all_scores[r]
-                    idx = np.argpartition(-scores, k - 1)[:k]
-                    order = sorted(idx.tolist(), key=lambda i: (-float(scores[i]), self.keys[i]))
-                    dense = [(self.keys[i], float(scores[i])) for i in order]
+                    dense = [
+                        (self.keys[i], float(s))
+                        for i, s in zip(top_idx_s[r].tolist(), top_sc_s[r].tolist())
+                    ]
                 else:
                     dense = []
                 keyword = self._keyword_ranked(mention, prefetch)

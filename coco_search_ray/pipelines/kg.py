@@ -291,9 +291,11 @@ def unique_mention_linkmap(
     if uniq_blocks is None:
         uniq_blocks = mention_ds.map_batches(_block_unique, batch_format="pyarrow").to_pandas()
     uniq = sorted(set(uniq_blocks["mention"]))
-    # linking the unique set is seconds of CPU; cap fan-out so it reuses
-    # warm workers instead of cold-starting a wide task wave
-    par = parallelism or min(8, max(2, _auto_concurrency()))
+    # fan-out scales with the WORK (~0.9 ms of hybrid-link CPU per unique
+    # surface): small unique sets stay narrow so they reuse warm workers,
+    # large ones spread across the cluster — this phase is a barrier, so
+    # an 8-task cap turned 60k+ uniques into >10 s of serial wall
+    par = parallelism or max(2, min(_auto_concurrency(), -(-len(uniq) // 2500)))
     from ..functions.linker_core import EntityIndex
 
     index_ref = ray.put(EntityIndex(catalog.to_pylist(), **(link_params or {})))
