@@ -195,26 +195,41 @@ class EntityIndex:
         return [(self.keys[pool[i]], float(scores[i])) for i in order]
 
     def _keyword_ranked(self, query: str, prefetch: int) -> list[tuple[str, float]]:
+        idxs, scores = self._keyword_topk(query, prefetch)
+        return [(self.keys[i], float(s)) for i, s in zip(idxs.tolist(), scores.tolist())]
+
+    def _keyword_topk(self, query: str, prefetch: int) -> tuple[np.ndarray, np.ndarray]:
+        """tf-idf keyword channel as (doc_idx, score) arrays, ordered
+        score desc / key asc. float32 accumulation over a REUSED buffer
+        (touched-entries-only reset + divide) — bit-identical scores to
+        the original per-mention ``np.zeros(n_docs)`` accumulation, but
+        O(postings touched) instead of O(n_docs) per mention."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         qtoks = [t.lower() for t in normalize_query_tokens(query)]
         if not qtoks:
-            return []
-        acc = np.zeros(self.n_docs, dtype=np.float32)
-        hit = False
+            return empty
+        acc = getattr(self, "_kw_acc", None)
+        if acc is None:
+            acc = self._kw_acc = np.zeros(self.n_docs, dtype=np.float32)
+        touched: list[np.ndarray] = []
         for t in set(qtoks):
             p = self.postings.get(t)
             if p is None:
                 continue
-            hit = True
             idxs, tfs = p
             acc[idxs] += np.float32(self.idf[t]) * np.minimum(tfs, 4.0)
-        if not hit:
-            return []
-        acc = acc / self.doc_len
-        nz = np.nonzero(acc)[0]
-        k = min(prefetch, len(nz))
-        top = nz[np.argpartition(-acc[nz], k - 1)[:k]] if len(nz) > k else nz
-        order = sorted(top.tolist(), key=lambda i: (-float(acc[i]), self.keys[i]))
-        return [(self.keys[i], float(acc[i])) for i in order[:prefetch]]
+            touched.append(idxs)
+        if not touched:
+            return empty
+        tu = np.unique(np.concatenate(touched)) if len(touched) > 1 else touched[0]
+        sc = acc[tu] / self.doc_len[tu]
+        acc[tu] = 0.0
+        k = min(prefetch, len(tu))
+        if len(tu) > k:
+            part = np.argpartition(-sc, k - 1)[:k]
+            tu, sc = tu[part], sc[part]
+        order = np.lexsort((self.key_rank[tu], -sc.astype(np.float64)))[:prefetch]
+        return tu[order], sc[order].astype(np.float64)
 
     # ------------------------------------------------------------------
 
@@ -266,8 +281,11 @@ class EntityIndex:
 
     def link_many(self, mentions: list[str], limit: int = DEFAULT_LIMIT) -> list[LinkResult | None]:
         """Batch linking: ONE (n_mentions x dim) @ (dim x n_docs) matmul for
-        the dense channel (BLAS instead of n matvecs — this is what makes
-        actor-memo warmup cheap), then per-mention keyword scoring + RRF.
+        the dense channel, per-mention keyword top-k over a reused buffer,
+        then RRF fusion + canonical boost + the acceptance rule fully
+        vectorized across the chunk (rank math is exact in float64, so the
+        batched fusion is bitwise-identical to per-mention ``rrf_fuse`` —
+        pytest pins decisions + scores against the ``search()`` path).
         Results are identical to link() per mention."""
         if not mentions:
             return []
@@ -275,7 +293,12 @@ class EntityIndex:
         out: list[LinkResult | None] = []
         # chunk so the score matrix stays < ~100 MB (exact mode)
         chunk = max(1, min(len(mentions), max(256, 25_000_000 // max(1, self.n_docs))))
-        ivf = self.ivf_centroids is not None
+        if self.ivf_centroids is not None:
+            # IVF mode (large catalogs): per-mention cluster probing; the
+            # fused decision still runs through the batched kernel below
+            for lo in range(0, len(mentions), chunk):
+                out.extend(self._link_chunk_ivf(mentions[lo : lo + chunk], prefetch, limit))
+            return out
         for lo in range(0, len(mentions), chunk):
             batch = mentions[lo : lo + chunk]
             qmat = self._embed(batch)
@@ -283,7 +306,8 @@ class EntityIndex:
             norms[norms == 0] = 1.0
             qmat = qmat / norms
             k = min(prefetch, self.n_docs)
-            if not ivf and k > 0:
+            n = len(batch)
+            if k > 0:
                 # dense channel for the WHOLE chunk in three numpy calls:
                 # batched top-k, then one flat lexsort on
                 # (row, -score, key_rank) — identical order to the
@@ -291,36 +315,143 @@ class EntityIndex:
                 neg_scores = -(qmat @ self.emb.T)
                 # per-row argpartition: numpy's axis-1 partition is ~6x
                 # slower than a row loop at k=10
-                top_idx = np.empty((len(batch), k), dtype=np.int64)
-                for r in range(len(batch)):
+                top_idx = np.empty((n, k), dtype=np.int64)
+                for r in range(n):
                     top_idx[r] = np.argpartition(neg_scores[r], k - 1)[:k]
                 top_sc = -np.take_along_axis(neg_scores, top_idx, axis=1)
-                rowid = np.repeat(np.arange(len(batch)), k)
+                rowid = np.repeat(np.arange(n), k)
                 order = np.lexsort((self.key_rank[top_idx.ravel()], -top_sc.ravel(), rowid))
-                top_idx_s = top_idx.ravel()[order].reshape(len(batch), k)
-                top_sc_s = top_sc.ravel()[order].reshape(len(batch), k)
+                drow = rowid  # already sorted by row (stable lexsort)
+                didx = top_idx.ravel()[order]
+                dsc = top_sc.ravel()[order].astype(np.float64)
+                drank = np.tile(np.arange(1, k + 1, dtype=np.int64), n)
+            else:
+                drow = didx = drank = np.empty(0, dtype=np.int64)
+                dsc = np.empty(0, dtype=np.float64)
+            krow_l, kidx_l, ksc_l, krank_l = [], [], [], []
             for r, mention in enumerate(batch):
-                if ivf:
-                    dense = self._dense_ranked(qmat[r], prefetch)
-                elif k > 0:
-                    dense = [
-                        (self.keys[i], float(s))
-                        for i, s in zip(top_idx_s[r].tolist(), top_sc_s[r].tolist())
-                    ]
-                else:
-                    dense = []
-                keyword = self._keyword_ranked(mention, prefetch)
-                fused = apply_canonical_boost(
-                    rrf_fuse(dense, keyword, k=self.rrf_k), self.is_canonical, multiplier=self.boost
+                kidx, ksc = self._keyword_topk(mention, prefetch)
+                if len(kidx):
+                    krow_l.append(np.full(len(kidx), r, dtype=np.int64))
+                    kidx_l.append(kidx)
+                    ksc_l.append(ksc)
+                    krank_l.append(np.arange(1, len(kidx) + 1, dtype=np.int64))
+            if krow_l:
+                krow = np.concatenate(krow_l)
+                kidx = np.concatenate(kidx_l)
+                ksc = np.concatenate(ksc_l)
+                krank = np.concatenate(krank_l)
+            else:
+                krow = kidx = krank = np.empty(0, dtype=np.int64)
+                ksc = np.empty(0, dtype=np.float64)
+            out.extend(
+                self._fuse_accept(
+                    n, drow, didx, drank, dsc, krow, kidx, krank, ksc, limit
                 )
-                res: LinkResult | None = None
-                for c in fused[:limit]:
-                    dense_exact = (
-                        c.vector_score is not None and c.vector_score >= DENSE_EXACT_THRESHOLD
-                    )
-                    if c.match_type in ("keyword", "both") or dense_exact:
-                        eid, surface = c.key.split("|", 1)
-                        res = LinkResult(eid, surface, c.fused_score, c.match_type)
-                        break
-                out.append(res)
+            )
+        return out
+
+    def _link_chunk_ivf(
+        self, batch: list[str], prefetch: int, limit: int
+    ) -> list[LinkResult | None]:
+        qmat = self._embed(batch)
+        norms = np.linalg.norm(qmat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        qmat = qmat / norms
+        drow_l, didx_l, dsc_l, drank_l = [], [], [], []
+        krow_l, kidx_l, ksc_l, krank_l = [], [], [], []
+        key_to_idx = getattr(self, "_key_to_idx", None)
+        if key_to_idx is None:
+            key_to_idx = self._key_to_idx = {key: i for i, key in enumerate(self.keys)}
+        for r, mention in enumerate(batch):
+            dense = self._dense_ranked(qmat[r], prefetch)
+            if dense:
+                drow_l.append(np.full(len(dense), r, dtype=np.int64))
+                didx_l.append(np.array([key_to_idx[key] for key, _ in dense], dtype=np.int64))
+                dsc_l.append(np.array([s for _, s in dense], dtype=np.float64))
+                drank_l.append(np.arange(1, len(dense) + 1, dtype=np.int64))
+            kidx, ksc = self._keyword_topk(mention, prefetch)
+            if len(kidx):
+                krow_l.append(np.full(len(kidx), r, dtype=np.int64))
+                kidx_l.append(kidx)
+                ksc_l.append(ksc)
+                krank_l.append(np.arange(1, len(kidx) + 1, dtype=np.int64))
+
+        def _cat(lst, dtype):
+            return np.concatenate(lst) if lst else np.empty(0, dtype=dtype)
+
+        return self._fuse_accept(
+            len(batch),
+            _cat(drow_l, np.int64), _cat(didx_l, np.int64),
+            _cat(drank_l, np.int64), _cat(dsc_l, np.float64),
+            _cat(krow_l, np.int64), _cat(kidx_l, np.int64),
+            _cat(krank_l, np.int64), _cat(ksc_l, np.float64),
+            limit,
+        )
+
+    def _fuse_accept(
+        self,
+        n: int,
+        drow: np.ndarray, didx: np.ndarray, drank: np.ndarray, dsc: np.ndarray,
+        krow: np.ndarray, kidx: np.ndarray, krank: np.ndarray, ksc: np.ndarray,
+        limit: int,
+    ) -> list[LinkResult | None]:
+        """Vectorized RRF fuse + canonical boost + acceptance over COO
+        candidate arrays (row = mention ordinal in the chunk, idx = doc).
+        Implements exactly: fused = sum over channels of 1/(rrf_k + rank);
+        boost x self.boost on canonical docs; order per row by
+        (-fused, keyword-present, key asc); accept the FIRST of the top
+        ``limit`` with keyword evidence or vector_score >= 0.99."""
+        rows = np.concatenate([drow, krow])
+        idxs = np.concatenate([didx, kidx])
+        vr = np.concatenate([drank, np.zeros(len(krow), dtype=np.int64)])
+        kr = np.concatenate([np.zeros(len(drow), dtype=np.int64), krank])
+        vs = np.concatenate([dsc, np.full(len(krow), -np.inf)])
+        ks = np.concatenate([np.full(len(drow), np.nan), ksc])
+        if len(rows) == 0:
+            return [None] * n
+        # merge (row, idx) pairs present in both channels: stable lexsort
+        # puts the dense entry first (dense was concatenated first)
+        morder = np.lexsort((np.arange(len(rows)), idxs, rows))
+        rows, idxs = rows[morder], idxs[morder]
+        vr, kr, vs, ks = vr[morder], kr[morder], vs[morder], ks[morder]
+        dup = np.zeros(len(rows), dtype=bool)
+        dup[1:] = (rows[1:] == rows[:-1]) & (idxs[1:] == idxs[:-1])
+        di = np.nonzero(dup)[0]
+        if len(di):
+            # second of the pair is the keyword entry; fold into the first
+            kr[di - 1] = kr[di]
+            ks[di - 1] = ks[di]
+            keep = ~dup
+            rows, idxs = rows[keep], idxs[keep]
+            vr, kr, vs, ks = vr[keep], kr[keep], vs[keep], ks[keep]
+        fused = np.where(vr > 0, 1.0 / (self.rrf_k + vr), 0.0) + np.where(
+            kr > 0, 1.0 / (self.rrf_k + kr), 0.0
+        )
+        canon = getattr(self, "_canon_arr", None)
+        if canon is None:
+            canon = self._canon_arr = np.array(
+                [self.is_canonical.get(key, False) for key in self.keys], dtype=bool
+            )
+        fused = np.where(canon[idxs], fused * self.boost, fused)
+        kw_absent = (kr == 0).astype(np.int8)
+        sidx = np.lexsort((self.key_rank[idxs], kw_absent, -fused, rows))
+        srows = rows[sidx]
+        starts = np.flatnonzero(np.r_[True, srows[1:] != srows[:-1]])
+        counts = np.diff(np.r_[starts, len(sidx)])
+        pos = np.arange(len(sidx)) - np.repeat(starts, counts)
+        ok = (pos < limit) & ((kr[sidx] > 0) | (vs[sidx] >= DENSE_EXACT_THRESHOLD))
+        out: list[LinkResult | None] = [None] * n
+        if ok.any():
+            oki = np.nonzero(ok)[0]
+            first_rows, first_at = np.unique(srows[oki], return_index=True)
+            for row, at in zip(first_rows.tolist(), oki[first_at].tolist()):
+                j = sidx[at]
+                eid, surface = self.keys[idxs[j]].split("|", 1)
+                mt = (
+                    "both"
+                    if vr[j] > 0 and kr[j] > 0
+                    else ("keyword" if kr[j] > 0 else "semantic")
+                )
+                out[row] = LinkResult(eid, surface, float(fused[j]), mt)
         return out

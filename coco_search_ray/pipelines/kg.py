@@ -291,11 +291,13 @@ def unique_mention_linkmap(
     if uniq_blocks is None:
         uniq_blocks = mention_ds.map_batches(_block_unique, batch_format="pyarrow").to_pandas()
     uniq = sorted(set(uniq_blocks["mention"]))
-    # fan-out scales with the WORK (~0.9 ms of hybrid-link CPU per unique
+    # fan-out scales with the WORK (~0.2 ms of hybrid-link CPU per unique
     # surface): small unique sets stay narrow so they reuse warm workers,
-    # large ones spread across the cluster — this phase is a barrier, so
-    # an 8-task cap turned 60k+ uniques into >10 s of serial wall
-    par = parallelism or max(2, min(_auto_concurrency(), -(-len(uniq) // 2500)))
+    # large ones spread across the cluster. This phase is a BARRIER with
+    # no competing stages, so it may use every CPU — _auto_concurrency's
+    # half-CPU actor-pool cap serialized it 2x for no reason
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    par = parallelism or max(2, min(cpus, -(-len(uniq) // 1500)))
     from ..functions.linker_core import EntityIndex
 
     index_ref = ray.put(EntityIndex(catalog.to_pylist(), **(link_params or {})))

@@ -95,3 +95,62 @@ def test_ivf_mode_large_catalog():
             assert names[ids.index(r.entity_id)] == names[i]
     finally:
         linker_core.IVF_THRESHOLD = old
+
+
+def _ref_decision(idx, mention):
+    """Independent per-mention linking decision derived from the
+    search() path (channel_lists + rrf_fuse + boost run per mention) —
+    the comparator for link_many's batched fuse/accept kernel."""
+    from coco_search_ray.functions.linker_core import DEFAULT_LIMIT, DENSE_EXACT_THRESHOLD
+
+    for c in idx.search(mention, limit=DEFAULT_LIMIT, hybrid=True):
+        if c["match_type"] in ("keyword", "both") or (
+            c["vector_score"] is not None and c["vector_score"] >= DENSE_EXACT_THRESHOLD
+        ):
+            return (c["entity_id"], c["surface"], c["score"], c["match_type"])
+    return None
+
+
+def _mention_corpus(cat):
+    mentions = cat.column("canonical_name").to_pylist()[:40]
+    for aliases in cat.column("aliases").to_pylist()[:25]:
+        mentions += aliases
+    mentions += [
+        "account_payment", "accountPayment", "nonsense_token", "zzqqwweerrtt",
+        "get_user_by_id", "", "a", "Payment Service", "payment service",
+    ]
+    return mentions
+
+
+def test_link_many_matches_per_mention_search():
+    """Batched link_many (vectorized fuse + boost + accept) must make
+    BYTE-identical decisions (entity, surface, fused score, match_type)
+    to the per-mention search() path, exact mode."""
+    cat = generate_catalog(120)
+    idx = EntityIndex(cat.to_pylist())
+    mentions = _mention_corpus(cat)
+    fast = idx.link_many(mentions)
+    for m, f in zip(mentions, fast):
+        ref = _ref_decision(idx, m)
+        got = (f.entity_id, f.surface, f.fused_score, f.match_type) if f else None
+        assert got == ref, m
+
+
+def test_link_many_matches_per_mention_search_ivf():
+    """Same parity under IVF probing (large-catalog dense channel)."""
+    from coco_search_ray.functions import linker_core
+
+    old = linker_core.IVF_THRESHOLD
+    linker_core.IVF_THRESHOLD = 100
+    try:
+        cat = generate_catalog(200)
+        idx = linker_core.EntityIndex(cat.to_pylist())
+        assert idx.ivf_centroids is not None
+        mentions = _mention_corpus(cat)
+        fast = idx.link_many(mentions)
+        for m, f in zip(mentions, fast):
+            ref = _ref_decision(idx, m)
+            got = (f.entity_id, f.surface, f.fused_score, f.match_type) if f else None
+            assert got == ref, m
+    finally:
+        linker_core.IVF_THRESHOLD = old
