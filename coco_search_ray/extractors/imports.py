@@ -31,13 +31,19 @@ PRED = "imports_module"
 
 _MOD = r"[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)*"
 _WS = r"[ \t\r\n]"  # explicit ASCII whitespace: identical in re/RE2/DuckDB
+# (rule, substring gate): the gate is a sound necessary condition (a
+# rule match always contains its keyword) so extract() can skip regex
+# scans on rows whose QUICK hit came from another statement shape
 _RULES = [
-    re.compile(r"\bfrom" + _WS + r"+(" + _MOD + r")" + _WS + r"+import" + _WS),
-    re.compile(r"\bimport" + _WS + r"+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)+)"),
-    re.compile(r"require\(" + _WS + r"*['\"]([^'\"]+)['\"]" + _WS + r"*\)"),
-    re.compile(
-        r"\bimport" + _WS + r"+[A-Za-z0-9_{}, *\t\r\n]+" + _WS
-        + r"*from" + _WS + r"+['\"]([^'\"]+)['\"]"
+    (re.compile(r"\bfrom" + _WS + r"+(" + _MOD + r")" + _WS + r"+import" + _WS), "from"),
+    (re.compile(r"\bimport" + _WS + r"+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)+)"), "import"),
+    (re.compile(r"require\(" + _WS + r"*['\"]([^'\"]+)['\"]" + _WS + r"*\)"), "require("),
+    (
+        re.compile(
+            r"\bimport" + _WS + r"+[A-Za-z0-9_{}, *\t\r\n]+" + _WS
+            + r"*from" + _WS + r"+['\"]([^'\"]+)['\"]"
+        ),
+        "from",
     ),
 ]
 
@@ -52,7 +58,9 @@ def extract(text: str) -> list[str]:
     """Module paths in first-occurrence order (by match start, ties by
     rule order), deduped keep-first."""
     hits: list[tuple[int, int, str]] = []
-    for ri, rx in enumerate(_RULES):
+    for ri, (rx, gate) in enumerate(_RULES):
+        if gate not in text:
+            continue
         for m in rx.finditer(text):
             hits.append((m.start(), ri, m.group(1)))
     hits.sort()

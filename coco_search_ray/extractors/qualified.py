@@ -71,8 +71,10 @@ def extract(text: str) -> list[str]:
     first-occurrence order, deduped keep-first."""
     out: list[str] = []
     seen: set[str] = set()
-    for m in _RE.finditer(text):
-        s = m.group(0)
+    # findall: the pattern's only group is non-capturing, so matches come
+    # back as full surface strings in one C-level pass (finditer paid a
+    # Match object + .group() call per hit in the hot path)
+    for s in _RE.findall(text):
         if s in seen:
             continue
         seen.add(s)

@@ -36,15 +36,18 @@ PRED = "defines_symbol"
 
 _ID = r"[A-Za-z_][A-Za-z0-9_]*"
 _RECV = r"\bfunc[ \t]+\(" + _ID + r"[ \t]+\*?(" + _ID + r")\)[ \t]+(" + _ID + r")\("
-_RULES: list[tuple[re.Pattern, bool]] = [
-    # (compiled rule, is_receiver) — receiver composes group1.group2
-    (re.compile(r"\bdef[ \t]+(" + _ID + r")\("), False),
-    (re.compile(r"\bclass[ \t]+(" + _ID + r")[ \t]*[:({]"), False),
-    (re.compile(r"\bfunction[ \t]+(" + _ID + r")\("), False),
-    (re.compile(r"\bfunc[ \t]+(" + _ID + r")\("), False),
-    (re.compile(_RECV), True),
-    (re.compile(r"\bfn[ \t]+(" + _ID + r")[(<]"), False),
-    (re.compile(r"\bstruct[ \t]+(" + _ID + r")[ \t]*\{"), False),
+_RULES: list[tuple[re.Pattern, bool, str]] = [
+    # (compiled rule, is_receiver, substring gate) — receiver composes
+    # group1.group2; the gate is a sound necessary condition (a rule
+    # match always contains its keyword) so extract() can skip the
+    # regex scan on rows whose QUICK hit came from another keyword
+    (re.compile(r"\bdef[ \t]+(" + _ID + r")\("), False, "def"),
+    (re.compile(r"\bclass[ \t]+(" + _ID + r")[ \t]*[:({]"), False, "class"),
+    (re.compile(r"\bfunction[ \t]+(" + _ID + r")\("), False, "function"),
+    (re.compile(r"\bfunc[ \t]+(" + _ID + r")\("), False, "func"),
+    (re.compile(_RECV), True, "func"),
+    (re.compile(r"\bfn[ \t]+(" + _ID + r")[(<]"), False, "fn"),
+    (re.compile(r"\bstruct[ \t]+(" + _ID + r")[ \t]*\{"), False, "struct"),
 ]
 
 QUICK = r"\b(?:def|class|function|func|fn|struct)[ \t]"
@@ -65,7 +68,9 @@ def extract(text: str) -> list[str]:
     start, ties by rule order), deduped keep-first; Go receiver methods
     surface as ``Type.Name``."""
     hits: list[tuple[int, int, str]] = []
-    for ri, (rx, is_recv) in enumerate(_RULES):
+    for ri, (rx, is_recv, gate) in enumerate(_RULES):
+        if gate not in text:
+            continue
         for m in rx.finditer(text):
             s = f"{m.group(1)}.{m.group(2)}" if is_recv else m.group(1)
             hits.append((m.start(), ri, s))

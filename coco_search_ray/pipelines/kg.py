@@ -457,28 +457,36 @@ def assemble_conv_local(
     if df.empty:
         return pd.DataFrame(_EMPTY_TRIPLES)
     df = _normalize_assembly_frame(df)
-    df = df.sort_values(["conv_id", "turn_idx", "mention_ord"], kind="mergesort")
+    # ALL grouping/joining below runs on one fused int64 key
+    # _tk = conv_code * T + turn_idx (T > max turn + 1, so turn+1
+    # arithmetic never crosses a conversation boundary): int merges and
+    # int sorts instead of string-keyed ones — the string conv_id is
+    # decoded back only on the final output rows
+    conv_codes, conv_uniq = pd.factorize(df["conv_id"])
+    turn = df["turn_idx"].to_numpy()
+    T = int(turn.max()) + 2
+    df = df.assign(_tk=conv_codes.astype(np.int64) * T + turn)
+    df = df.sort_values(["_tk", "mention_ord"], kind="mergesort")
     # entity rows AND qualified roots join the turn's entity graph
     ent_rows = df[(df["kind_code"] == 0) | (df["kind_code"] <= -2)]
 
     # linked entities per turn, deduped keep-first in mention order
     ent = ent_rows.dropna(subset=["entity_id"]).drop_duplicates(
-        subset=["conv_id", "turn_idx", "entity_id"], keep="first"
-    )[["conv_id", "turn_idx", "entity_id", "tool"]].copy()
+        subset=["_tk", "entity_id"], keep="first"
+    )[["_tk", "entity_id", "tool"]].copy()
     if ent.empty:
         return pd.DataFrame(_EMPTY_TRIPLES)
-    ent["rank"] = ent.groupby(["conv_id", "turn_idx"], sort=False).cumcount()
+    ent["rank"] = ent.groupby("_tk", sort=False).cumcount()
 
     # mentions: ordered pairs (rank_i < rank_j) within a turn
-    p = ent.merge(ent, on=["conv_id", "turn_idx"], suffixes=("_i", "_j"))
+    p = ent.merge(ent, on="_tk", suffixes=("_i", "_j"))
     p = p[(p["rank_i"] < p["rank_j"]) & (p["entity_id_i"] != p["entity_id_j"])]
     mentions = pd.DataFrame(
         {
             "subj": p["entity_id_i"],
             "pred": "mentions",
             "obj": p["entity_id_j"],
-            "conv_id": p["conv_id"],
-            "turn_idx": p["turn_idx"],
+            "_tk": p["_tk"],
         }
     )
 
@@ -490,24 +498,22 @@ def assemble_conv_local(
             "subj": ut["entity_id"],
             "pred": "uses_tool",
             "obj": ut["tool"],
-            "conv_id": ut["conv_id"],
-            "turn_idx": ut["turn_idx"],
+            "_tk": ut["_tk"],
         }
     )
 
     # replies_to: first entity of turn t -> first entity of turn t-1, both
-    # turns entity-bearing and adjacent
-    first = ent[ent["rank"] == 0][["conv_id", "turn_idx", "entity_id"]]
+    # turns entity-bearing and adjacent (tk+1 == same conv, next turn)
+    first = ent[ent["rank"] == 0][["_tk", "entity_id"]]
     prev = first.rename(columns={"entity_id": "entity_id_prev"}).copy()
-    prev["turn_idx"] = prev["turn_idx"] + 1
-    rt = first.merge(prev, on=["conv_id", "turn_idx"])
+    prev["_tk"] = prev["_tk"] + 1
+    rt = first.merge(prev, on="_tk")
     replies = pd.DataFrame(
         {
             "subj": rt["entity_id"],
             "pred": "replies_to",
             "obj": rt["entity_id_prev"],
-            "conv_id": rt["conv_id"],
-            "turn_idx": rt["turn_idx"],
+            "_tk": rt["_tk"],
         }
     )
 
@@ -517,17 +523,14 @@ def assemble_conv_local(
     lit = df[(df["kind_code"] > 0) & df["surface"].notna()]
     if not lit.empty:
         pred_map = {i + 1: p for i, p in enumerate(_literal_preds(literal_preds))}
-        lt = lit.merge(
-            first.rename(columns={"entity_id": "_subj"}), on=["conv_id", "turn_idx"]
-        )
+        lt = lit.merge(first.rename(columns={"entity_id": "_subj"}), on="_tk")
         parts.append(
             pd.DataFrame(
                 {
                     "subj": lt["_subj"],
                     "pred": lt["kind_code"].map(pred_map),
                     "obj": lt["surface"],
-                    "conv_id": lt["conv_id"],
-                    "turn_idx": lt["turn_idx"],
+                    "_tk": lt["_tk"],
                 }
             )
         )
@@ -545,15 +548,16 @@ def assemble_conv_local(
                     "subj": q["entity_id"],
                     "pred": q["kind_code"].map(qpred_map),
                     "obj": q["surface"],
-                    "conv_id": q["conv_id"],
-                    "turn_idx": q["turn_idx"],
+                    "_tk": q["_tk"],
                 }
             )
         )
 
     out = pd.concat(parts, ignore_index=True)
-    out = out.drop_duplicates(subset=["subj", "pred", "obj", "conv_id", "turn_idx"], keep="first")
-    out["turn_idx"] = out["turn_idx"].astype("int32")
+    out = out.drop_duplicates(subset=["subj", "pred", "obj", "_tk"], keep="first")
+    tk = out.pop("_tk").to_numpy()
+    out["conv_id"] = np.asarray(conv_uniq)[tk // T]
+    out["turn_idx"] = (tk % T).astype("int32")
     return out.reset_index(drop=True)
 
 

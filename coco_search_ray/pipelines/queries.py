@@ -2488,7 +2488,7 @@ def q_symbol_defs(sf_dir: str) -> pd.DataFrame:
         texts = b["text"]
         kinds: list[str] = []
         syms: list[str] = []
-        for (rx, is_recv), kind in zip(_RULES, _SYMBOL_RULE_KINDS):
+        for (rx, is_recv, _gate), kind in zip(_RULES, _SYMBOL_RULE_KINDS):
             # one vectorized RE2 candidate mask per rule; Python finditer
             # only on the (rare) matching rows — the appendix-path shape
             mask = pc.fill_null(pc.match_substring_regex(texts, rx.pattern), False)
