@@ -8,18 +8,39 @@ break fusion and force a plasma round-trip (CLAUDE.md perf lesson).
 
 from __future__ import annotations
 
+import pickle
+
 import ray
 
-_deref_cache: dict[str, object] = {}
+_deref_cache: dict[tuple[str, bool], object] = {}
 _CACHE_MAX = 4  # a stage may legitimately hold a few broadcast objects;
 # a single slot would make two refs evict each other every batch
 
 
-def deref_cached(ref) -> object:
-    key = ref.hex()
+def localize(obj: object) -> object:
+    """Deep-copy broadcast state out of plasma into the process heap.
+
+    ray.get deserializes numpy arrays ZERO-COPY as read-only views onto
+    the object store's shared-memory mmap. That is the right default for
+    data flowing block-to-block, but for hot per-batch kernels that
+    hammer the same broadcast arrays from every worker simultaneously
+    the shared pages contend: measured 8x slower (2.81 s vs 0.33 s
+    median) for the linker's digest matmuls at 32-way parallelism on
+    this host. One pickle round-trip per worker per broadcast object
+    moves the arrays into private memory; only worth it for
+    numpy-bearing state reused across many batches (indexes, score
+    matrices, rank vectors), never for one-shot payloads.
+    """
+    return pickle.loads(pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL))
+
+
+def deref_cached(ref, localize_arrays: bool = False) -> object:
+    key = (ref.hex(), localize_arrays)
     obj = _deref_cache.get(key)
     if obj is None:
         obj = ray.get(ref)
+        if localize_arrays:
+            obj = localize(obj)
         if len(_deref_cache) >= _CACHE_MAX:
             _deref_cache.clear()
         _deref_cache[key] = obj

@@ -291,8 +291,12 @@ class EntityIndex:
             return []
         prefetch = prefetch_limit(limit)
         out: list[LinkResult | None] = []
-        # chunk so the score matrix stays < ~100 MB (exact mode)
-        chunk = max(1, min(len(mentions), max(256, 25_000_000 // max(1, self.n_docs))))
+        # chunk so the (chunk x n_docs) float64 score matrix stays a few
+        # MB: every linker on the node hammers its own matrix through
+        # argpartition/take passes, and cache-resident chunks are ~16x
+        # faster than L3-blowing ones at 32-way parallelism (measured
+        # 6.8 s -> 0.43 s per 2.2k mentions on the bench catalog)
+        chunk = max(64, min(len(mentions), max(256, 2_000_000 // max(1, self.n_docs))))
         if self.ivf_centroids is not None:
             # IVF mode (large catalogs): per-mention cluster probing; the
             # fused decision still runs through the batched kernel below

@@ -22,6 +22,7 @@ import ray.data
 
 from ..functions.concurrency import auto_pool
 from ..functions.numeric import round_half_away
+from ..functions.broadcast import localize
 
 
 def _normalize(vecs: np.ndarray) -> np.ndarray:
@@ -61,7 +62,7 @@ def brute_force_topk(
 
     class _Score:
         def __init__(self):
-            self.q = ray.get(q_ref)
+            self.q = localize(ray.get(q_ref))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
@@ -133,9 +134,9 @@ def ivf_topk(
 
     class _Score:
         def __init__(self):
-            self.cent = ray.get(cent_ref)
-            self.probe = ray.get(probe_ref)
-            self.q = ray.get(q_ref)
+            self.cent = localize(ray.get(cent_ref))
+            self.probe = localize(ray.get(probe_ref))
+            self.q = localize(ray.get(q_ref))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)

@@ -31,7 +31,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Min
 
-from ..functions.broadcast import deref_cached
+from ..functions.broadcast import deref_cached, localize
 from ..functions.concurrency import auto_pool
 from ..functions.hashing import (
     MinHasher,
@@ -483,8 +483,8 @@ def embedding_neardup_pairs(
 
     class _Pairs:
         def __init__(self):
-            self.mat = ray.get(mat_ref)
-            self.ids = ray.get(ids_ref)
+            self.mat = localize(ray.get(mat_ref))
+            self.ids = localize(ray.get(ids_ref))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             bids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
@@ -532,7 +532,7 @@ def embedding_neardup_pairs_lsh(
 
     class _Bucket:
         def __init__(self):
-            self.planes = ray.get(planes_ref)
+            self.planes = localize(ray.get(planes_ref))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)

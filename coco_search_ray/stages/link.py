@@ -43,8 +43,11 @@ class LinkerActor:
     ):
         if index_ref is not None:
             # prebuilt index broadcast from the driver: O(catalog) build
-            # paid once, not once per actor
-            self.index = ray.get(index_ref)
+            # paid once, not once per actor; localized out of plasma so
+            # the per-batch link kernels run on private arrays
+            from ..functions.broadcast import localize
+
+            self.index = localize(ray.get(index_ref))
         else:
             if catalog_rows is None:
                 obj = ray.get(catalog_ref)
