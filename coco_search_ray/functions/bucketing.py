@@ -19,6 +19,8 @@ def add_key_bucket(
     batch: pa.Table, key_col: str, num_buckets: int, out_col: str = "_bucket"
 ) -> pa.Table:
     col = batch[key_col]
+    if pa.types.is_dictionary(col.type):
+        col = pc.cast(col, col.type.value_type)
     if pa.types.is_integer(col.type):
         ids = col.to_numpy(zero_copy_only=False)
         bucket = pa.array((np.abs(ids) % num_buckets).astype(np.int32))

@@ -258,10 +258,55 @@ def _add_link_key(b: pa.Table) -> pa.Table:
     return b.append_column("_link_key", key)
 
 
+def _one_chunk(col) -> pa.Array:
+    """ChunkedArray -> single Array (no-op for plain Arrays)."""
+    if isinstance(col, pa.ChunkedArray):
+        if col.num_chunks == 1:
+            return col.chunk(0)
+        col = col.combine_chunks()
+        return col.chunk(0) if isinstance(col, pa.ChunkedArray) and col.num_chunks else (
+            col if isinstance(col, pa.Array) else pa.array([], col.type.value_type if pa.types.is_dictionary(col.type) else col.type)
+        )
+    return col
+
+
+def _dict_compress(b: pa.Table) -> pa.Table:
+    """Dictionary-encode the repeating string columns of the mention
+    stream before it is MATERIALIZED: conv_id / tool / mention repeat
+    enormously (70k distinct mentions per ~500k-row block at bench
+    tier), so the plasma copy shrinks ~3x and every downstream consumer
+    gets the per-block uniques for free (lookup probes the DICTIONARY,
+    not the rows)."""
+    cols, names = [], []
+    for name in b.schema.names:
+        col = b[name]
+        if name in ("conv_id", "tool", "mention") and not pa.types.is_dictionary(
+            b.schema.field(name).type
+        ):
+            col = pc.dictionary_encode(col)
+        names.append(name)
+        cols.append(col)
+    return pa.table(dict(zip(names, cols)))
+
+
+def _dict_decode(b: pa.Table) -> pa.Table:
+    """Inverse of _dict_compress (the distributed-linkmap branch joins /
+    repartitions on plain string columns)."""
+    for i, f in enumerate(b.schema):
+        if pa.types.is_dictionary(f.type):
+            b = b.set_column(i, f.name, pc.cast(b[f.name], f.type.value_type))
+    return b
+
+
 def _block_unique(b: pa.Table) -> pa.Table:
     # ENTITY surfaces link as-is; QUALIFIED surfaces contribute their
     # ROOT segment; literal families (quotes, urls, ...) stay verbatim
     # and never enter the linkmap
+    if "mention" in b.schema.names and pa.types.is_dictionary(
+        b.schema.field("mention").type
+    ):
+        i = b.schema.get_field_index("mention")
+        b = b.set_column(i, "mention", pc.cast(b["mention"], pa.string()))
     if "kind_code" in b.schema.names:
         ent = b.filter(pc.equal(b["kind_code"], pa.scalar(0, pa.int8())))["mention"]
         qual = b.filter(pc.less_equal(b["kind_code"], _K_QUAL))["mention"]
@@ -417,6 +462,54 @@ def apply_linkmap(
 
     def lookup(batch: pa.Table) -> pa.Table:
         k, v = _deref_once(table_ref)
+        if (
+            "kind_code" in batch.schema.names
+            and batch.num_rows
+            and pa.types.is_dictionary(batch.schema.field("mention").type)
+        ):
+            # dictionary fast path (the _dict_compress-ed stream): every
+            # string operation runs once per DISTINCT mention (the
+            # block's dictionary), rows are pure integer indexing. The
+            # output val column is itself a dictionary whose values are
+            # [linked(U) | U | composed(qualified Us)] and whose index
+            # encodes (slot, code) — assemble_conv_local_fast re-encodes
+            # it, so duplicate/null dictionary VALUES are fine.
+            mcol = _one_chunk(batch["mention"])
+            U = mcol.dictionary
+            u = len(U)
+            codes = mcol.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            kind = _one_chunk(batch["kind_code"]).to_numpy(zero_copy_only=False)
+            linked = pc.take(v, pc.index_in(U, value_set=k))
+            arrs = [linked, U]
+            qrows = kind <= -2
+            if qrows.any():
+                qcodes = np.unique(codes[qrows])
+                qU = pc.take(U, pa.array(qcodes))
+                parts = pc.split_pattern(qU, pattern=".", max_splits=1)
+                roots = pc.list_element(parts, 0)
+                tails = pc.list_element(parts, 1)  # qualified surfaces always contain '.'
+                qlinked = pc.take(v, pc.index_in(roots, value_set=k))
+                arrs.append(pc.binary_join_element_wise(qlinked, tails, "."))
+                qmap = np.zeros(u, dtype=np.int64)
+                qmap[qcodes] = np.arange(len(qcodes), dtype=np.int64)
+                qslot = 2 * u + qmap[codes]
+            else:
+                qslot = 0
+            slot = np.where(kind == 0, codes, np.where(kind > 0, u + codes, qslot))
+            D = pa.concat_arrays([_one_chunk(a) for a in arrs])
+            val = pa.DictionaryArray.from_arrays(pa.array(slot, pa.int64()), D)
+            return pa.table(
+                {
+                    "conv_id": batch["conv_id"],
+                    "turn_idx": batch["turn_idx"],
+                    "mention_ord": batch["mention_ord"],
+                    "tool": batch["tool"],
+                    "kind_code": batch["kind_code"],
+                    "val": val,
+                }
+            )
+        if any(pa.types.is_dictionary(f.type) for f in batch.schema):
+            batch = _dict_decode(batch)  # empty/odd blocks: plain path
         if "kind_code" in batch.schema.names:
             # ONE value column for assembly: linked entity id for entity
             # rows, the verbatim surface for literal rows, and
@@ -584,6 +677,223 @@ def _assemble_group_arrow(df: pd.DataFrame) -> pa.Table:
     return pa.Table.from_pandas(out, schema=TRIPLE_SCHEMA, preserve_index=False)
 
 
+def _first_occurrence_sorted(keys: list[np.ndarray]) -> np.ndarray:
+    """Ascending positions of the FIRST occurrence of each distinct key
+    tuple (keep-first dedup that preserves original row order). ``keys``
+    are equal-length int arrays, least-significant first (np.lexsort
+    convention)."""
+    n = len(keys[0])
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    pos = np.arange(n, dtype=np.int64)
+    order = np.lexsort([pos] + keys)  # stable: ties resolve to lowest pos
+    changed = np.zeros(len(order), dtype=bool)
+    for k in keys:
+        ks = k[order]
+        np.logical_or(changed[1:], ks[1:] != ks[:-1], out=changed[1:])
+    changed[0] = True
+    # runs are contiguous after the sort and each run's first element has
+    # the smallest original position (pos was the final tiebreak)
+    return np.sort(order[np.flatnonzero(changed)])
+
+
+def assemble_conv_local_fast(
+    batch: pa.Table,
+    literal_preds: list[str] | None = None,
+    qualified_preds: list[str] | None = None,
+) -> pa.Table:
+    """Arrow/numpy twin of ``assemble_conv_local``: every merge, dedup
+    and rank runs on int codes (dictionary indices); strings are touched
+    only in the per-block dictionaries (O(distinct), not O(rows)) and in
+    the final C-kernel ``pc.take`` decode. Output rows and row ORDER are
+    identical to the pandas kernel (pytest-pinned) at ~3x less CPU and a
+    fraction of the memory traffic — the pandas kernel dragged object
+    strings through every take/merge, which thrashes at 32-way
+    parallelism. Requires the narrow (val + kind_code) assembly schema;
+    pandas-schema callers go through assemble_conv_local."""
+    if batch.num_rows == 0:
+        return TRIPLE_SCHEMA.empty_table()
+    b = batch.combine_chunks()
+
+    def _codes(col) -> tuple[np.ndarray, pa.Array]:
+        """(int64 codes with -1 for null, unique non-null values).
+
+        Accepts plain string columns AND the pre-dictionary-encoded
+        stream (whose dictionaries may hold duplicate or null VALUES —
+        the lookup stage's composed val dictionary does): those are
+        re-encoded on the small dictionary and the row indices remapped,
+        so code equality always means string equality."""
+        col = _one_chunk(col)
+        if pa.types.is_dictionary(col.type):
+            small = col.dictionary
+            idx = pc.fill_null(col.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+            enc = pc.dictionary_encode(small)
+            cmap = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+            codes = np.where(idx >= 0, cmap[np.maximum(idx, 0)], -1)
+            return codes, enc.dictionary
+        d = pc.dictionary_encode(col)
+        codes = pc.fill_null(d.indices, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+        return codes, d.dictionary
+
+    ccode, conv_uniq = _codes(b["conv_id"])  # never -1: conv_id non-null
+    vcode, vals_u = _codes(b["val"])
+    u = len(vals_u)
+    if u == 0:
+        return TRIPLE_SCHEMA.empty_table()  # every value null -> no entities
+    tcode, tools_u = _codes(b["tool"])
+    tool_empty = -1
+    for i, t in enumerate(tools_u.to_pylist()):
+        if t == "":
+            tool_empty = i
+            break
+
+    kind = b["kind_code"].to_numpy(zero_copy_only=False).astype(np.int64)
+    turn = b["turn_idx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ords = b["mention_ord"].to_numpy(zero_copy_only=False).astype(np.int64)
+    T = int(turn.max()) + 2
+    tk = ccode * T + turn
+
+    # per-UNIQUE-val split of qualified "<root>.<tail>" values (canonical
+    # entity ids never contain '.'): strings handled once per distinct
+    # value, not once per row
+    us = pd.Series(np.asarray(vals_u.to_pandas(), dtype=object))
+    sp = us.str.split(".", n=1, expand=True)
+    if 1 not in sp.columns:
+        sp[1] = None
+    root_u = sp[0].to_numpy(dtype=object)
+    tail_u = sp[1].to_numpy(dtype=object)
+    # entity-code space: val-as-entity (kind 0 rows) union root-as-entity
+    # (qualified rows)
+    e_all, ents_u = pd.factorize(np.concatenate([us.to_numpy(dtype=object), root_u]))
+    e_of_val, e_of_root = e_all[:u], e_all[u:]
+    tail_valid = tail_u != None  # noqa: E711  (object-array null test)
+
+    order = np.lexsort((ords, tk))
+    tk_s, kind_s, vcode_s, tcode_s = tk[order], kind[order], vcode[order], tcode[order]
+
+    # --- entity rows: kind 0 (ecode = val) and kind <= -2 (ecode = root)
+    is_entrow = ((kind_s == 0) | (kind_s <= -2)) & (vcode_s >= 0)
+    ent_idx = np.flatnonzero(is_entrow)
+    ent_tk = tk_s[ent_idx]
+    ek = kind_s[ent_idx]
+    ev = vcode_s[ent_idx]
+    ecode = np.where(ek == 0, e_of_val[ev], e_of_root[ev])
+    n_ents = len(ents_u)
+    # keep-first dedup on (tk, ecode) — rows already in (tk, ord) order
+    _, fidx = np.unique(ent_tk * n_ents + ecode, return_index=True)
+    fidx = np.sort(fidx)
+    ent_tk, ecode, etool = ent_tk[fidx], ecode[fidx], tcode_s[ent_idx][fidx]
+    if len(ent_tk) == 0:
+        return TRIPLE_SCHEMA.empty_table()
+
+    # group boundaries per turn (ent_tk ascending)
+    gstart = np.flatnonzero(np.r_[True, ent_tk[1:] != ent_tk[:-1]])
+    gsize = np.diff(np.r_[gstart, len(ent_tk)])
+    gpos = np.arange(len(ent_tk)) - np.repeat(gstart, gsize)  # rank in turn
+
+    # --- mentions: ordered pairs (i < j) within a turn, e_i != e_j
+    rem = (np.repeat(gsize, gsize) - gpos - 1).astype(np.int64)
+    tot = int(rem.sum())
+    if tot:
+        starts = np.cumsum(rem) - rem
+        ii = np.repeat(np.arange(len(ent_tk)), rem)
+        jj = np.arange(tot) - starts[ii] + ii + 1
+        keep = ecode[ii] != ecode[jj]
+        m_tk, m_s, m_o = ent_tk[ii][keep], ecode[ii][keep], ecode[jj][keep]
+    else:
+        m_tk = m_s = m_o = np.empty(0, dtype=np.int64)
+
+    # --- uses_tool
+    um = etool != tool_empty
+    u_tk, u_s, u_o = ent_tk[um], ecode[um], etool[um]
+
+    # --- replies_to: first entity of turn t -> first entity of turn t-1
+    f_tk = ent_tk[gstart]
+    f_e = ecode[gstart]
+    prev_pos = np.searchsorted(f_tk, f_tk - 1)
+    has_prev = (prev_pos < len(f_tk)) & (f_tk[np.minimum(prev_pos, len(f_tk) - 1)] == f_tk - 1)
+    r_tk, r_s, r_o = f_tk[has_prev], f_e[has_prev], f_e[prev_pos[has_prev]]
+
+    # --- literal families: (first entity of the turn, family PRED, surface)
+    lit_mask = (kind_s > 0) & (vcode_s >= 0)
+    l_idx = np.flatnonzero(lit_mask)
+    l_tk = tk_s[l_idx]
+    lpos = np.searchsorted(f_tk, l_tk)
+    l_has = (lpos < len(f_tk)) & (f_tk[np.minimum(lpos, len(f_tk) - 1)] == l_tk)
+    l_idx, l_tk, lpos = l_idx[l_has], l_tk[l_has], lpos[l_has]
+    l_s = f_e[lpos]
+    l_o = vcode_s[l_idx]  # obj in val space
+    l_k = kind_s[l_idx]
+
+    # --- qualified hierarchy: (root entity, PRED, member tail)
+    q_mask = (kind_s <= -2) & (vcode_s >= 0)
+    q_idx = np.flatnonzero(q_mask)
+    q_v = vcode_s[q_idx]
+    qt = tail_valid[q_v]
+    q_idx, q_v = q_idx[qt], q_v[qt]
+    q_tk = tk_s[q_idx]
+    q_s = e_of_root[q_v]
+    q_o = q_v  # obj in val space (decoded via tail_u)
+    q_k = kind_s[q_idx]
+
+    # --- predicate code space: 0=mentions 1=uses_tool 2=replies_to,
+    # 3.. literal families, then qualified families
+    lits = _literal_preds(literal_preds)
+    quals = _qualified_preds_list(qualified_preds)
+    pred_strings = ["mentions", "uses_tool", "replies_to"] + list(lits) + list(quals)
+    l_p = l_k + 2  # kind 1.. -> 3..
+    q_p = (-2 - q_k) + 3 + len(lits)
+
+    all_tk = np.concatenate([m_tk, u_tk, r_tk, l_tk, q_tk])
+    all_p = np.concatenate(
+        [
+            np.zeros(len(m_tk), dtype=np.int64),
+            np.ones(len(u_tk), dtype=np.int64),
+            np.full(len(r_tk), 2, dtype=np.int64),
+            l_p,
+            q_p,
+        ]
+    )
+    all_s = np.concatenate([m_s, u_s, r_s, l_s, q_s])
+    all_o = np.concatenate([m_o, u_o, r_o, l_o, q_o])
+    # keep-first dedup on (subj, pred, obj, tk): obj codes live in the
+    # pred's own space (entity / tool / val), so (pred, obj-code)
+    # equality == (pred, obj-string) equality
+    keep = _first_occurrence_sorted([all_o, all_s, all_p, all_tk])
+    all_tk, all_p, all_s, all_o = all_tk[keep], all_p[keep], all_s[keep], all_o[keep]
+
+    # --- decode via C-kernel takes on the small dictionaries
+    subj = pc.take(pa.array(ents_u, pa.string()), pa.array(all_s))
+    pred = pc.take(pa.array(pred_strings, pa.string()), pa.array(all_p))
+    # obj: entity space for mentions/replies, tool space for uses_tool,
+    # val space for literals, tail space for qualified
+    obj_np = np.empty(len(all_o), dtype=object)
+    ents_np = np.asarray(ents_u, dtype=object)
+    esp = (all_p == 0) | (all_p == 2)
+    obj_np[esp] = ents_np[all_o[esp]]
+    tsp = all_p == 1
+    if tsp.any():
+        tools_np = np.asarray(tools_u.to_pandas(), dtype=object)
+        obj_np[tsp] = tools_np[all_o[tsp]]
+    lsp = (all_p >= 3) & (all_p < 3 + len(lits))
+    if lsp.any():
+        vals_np = us.to_numpy(dtype=object)
+        obj_np[lsp] = vals_np[all_o[lsp]]
+    qsp = all_p >= 3 + len(lits)
+    if qsp.any():
+        obj_np[qsp] = tail_u[all_o[qsp]]
+    return pa.table(
+        {
+            "subj": subj,
+            "pred": pred,
+            "obj": pa.array(obj_np, pa.string()),
+            "conv_id": pc.take(conv_uniq, pa.array(all_tk // T)),
+            "turn_idx": pa.array((all_tk % T).astype(np.int32), pa.int32()),
+        },
+        schema=TRIPLE_SCHEMA,
+    )
+
+
 # floor for the general-path assembly shuffle; the effective count scales
 # with cluster CPUs via auto_buckets() (a constant 64 would hand each
 # map_groups task 1/64th of all conversations regardless of cluster size)
@@ -677,9 +987,17 @@ def build_kg(
             qualified_specs=qual_specs,
         )
 
-    def _assemble(df: pd.DataFrame) -> pa.Table:
-        return _assemble_conv_local_arrow(
-            df, literal_preds=lit_preds, qualified_preds=qual_preds
+    def _assemble(b: pa.Table) -> pa.Table:
+        return assemble_conv_local_fast(
+            b, literal_preds=lit_preds, qualified_preds=qual_preds
+        )
+
+    def _assemble_group(df: pd.DataFrame) -> pa.Table:
+        # map_groups hands pandas frames; the fast kernel is Arrow-native
+        return assemble_conv_local_fast(
+            pa.Table.from_pandas(df, preserve_index=False),
+            literal_preds=lit_preds,
+            qualified_preds=qual_preds,
         )
 
     ds = ds.map_batches(
@@ -689,6 +1007,9 @@ def build_kg(
     if two_phase:
         # mentions dataset is consumed twice (unique pass + lookup pass);
         # pin the small intermediate instead of recomputing the extraction
+        # — dictionary-compressed (fused with extraction), so the plasma
+        # copy is ~3x smaller and lookup/assembly work per DISTINCT value
+        ds = ds.map_batches(_dict_compress, batch_format="pyarrow", batch_size=bs)
         ds = ds.materialize()
         # SIZE-TRIGGERED branch selection (not a code edit): the per-block
         # unique pass runs once; its row count upper-bounds the distinct
@@ -706,6 +1027,8 @@ def build_kg(
             # conversation locality is destroyed, so assembly must take
             # the shuffled general path even for conv-disjoint inputs
             conv_local_shards = False
+            # the join/repartition path works on plain string columns
+            ds = ds.map_batches(_dict_decode, batch_format="pyarrow")
             uniq_ds = uniq_blocks_ds.groupby("mention").aggregate(
                 _RayCount(alias_name="_n")
             ).select_columns(["mention"])
@@ -737,7 +1060,7 @@ def build_kg(
         )
         ds = ds.map_batches(_to_assembly_schema, batch_format="pyarrow")
     if conv_local_shards:
-        return ds.map_batches(_assemble, batch_format="pandas", batch_size=None)
+        return ds.map_batches(_assemble, batch_format="pyarrow", batch_size=None)
     # general path (input NOT partitioned by conversation): ONE all-to-all
     # shuffle on the COARSE key hash(conv_id) % ASSEMBLY_BUCKETS — never a
     # Ray group per conversation (millions of tiny groups at scale;
@@ -746,9 +1069,14 @@ def build_kg(
     # construction, which is all assemble_conv_local requires.
     nb = _assembly_buckets()
     ds = ds.map_batches(
-        lambda b: _add_conv_bucket(b, nb), batch_format="pyarrow", batch_size=bs
+        # the shuffle + map_groups round-trips through pandas, which
+        # rejects the compressed stream's null-valued dictionaries
+        # (Categorical categories cannot be null) — decode first
+        lambda b: _add_conv_bucket(_dict_decode(b), nb),
+        batch_format="pyarrow",
+        batch_size=bs,
     )
-    return ds.groupby("_conv_bucket").map_groups(_assemble, batch_format="pandas")
+    return ds.groupby("_conv_bucket").map_groups(_assemble_group, batch_format="pandas")
 
 
 def build_kg_from_dir(
@@ -831,9 +1159,9 @@ def build_kg_from_mention_stream(
     lit_preds = [p for _n, p in lit_specs]
     qual_preds = [p for _n, p in qual_specs]
 
-    def _assemble(df: pd.DataFrame) -> pa.Table:
-        return _assemble_conv_local_arrow(
-            df, literal_preds=lit_preds, qualified_preds=qual_preds
+    def _assemble(b: pa.Table) -> pa.Table:
+        return assemble_conv_local_fast(
+            b, literal_preds=lit_preds, qualified_preds=qual_preds
         )
 
     ds = ray.data.read_parquet(mention_paths, override_num_blocks=len(mention_paths))
@@ -844,7 +1172,7 @@ def build_kg_from_mention_stream(
         uniq_blocks=uniq_blocks, link_params=link_params,
     )
     ds = apply_linkmap(ds, linkmap, batch_size=None)
-    return ds.map_batches(_assemble, batch_format="pandas", batch_size=None)
+    return ds.map_batches(_assemble, batch_format="pyarrow", batch_size=None)
 
 
 def normalized_turns_ds(data_dir: str) -> ray.data.Dataset:

@@ -238,20 +238,34 @@ def extract_mention_rows(
         # mention_ord), not in output row order).
         counts, all_mentions = snap.entity_batch(batch["text"], ent_mask)
         nxt_arr = counts.copy()
+        lit_rows_parts: list[np.ndarray] = []
+        lit_code_parts: list[np.ndarray] = []
+        lit_ord_parts: list[np.ndarray] = []
         for (code, extract, _maybe, _q), fmask in zip(app_steps, app_masks):
-            code_i = int(code)
-            for r in np.nonzero(fmask)[0]:
-                surfaces = extract(texts[r])
-                if not surfaces:
-                    continue
-                nxt = int(nxt_arr[r])
-                for s in surfaces:
-                    lit_row.append(r)
-                    lit_code.append(code_i)
-                    lit_surface.append(s)
-                    lit_ord.append(nxt)
-                    nxt += 1
-                nxt_arr[r] = nxt
+            rows = np.nonzero(fmask)[0]
+            if not len(rows):
+                continue
+            res = [extract(texts[r]) for r in rows]
+            ns = np.fromiter(map(len, res), dtype=np.int64, count=len(res))
+            nz = ns > 0
+            if not nz.any():
+                continue
+            rows_nz, ns_nz = rows[nz], ns[nz]
+            tot = int(ns_nz.sum())
+            # per-row running ordinal, fully vectorized: this family's
+            # surfaces slot in after the row's current count
+            fstarts = np.cumsum(ns_nz) - ns_nz
+            within = np.arange(tot, dtype=np.int64) - np.repeat(fstarts, ns_nz)
+            lit_rows_parts.append(np.repeat(rows_nz, ns_nz))
+            lit_ord_parts.append(np.repeat(nxt_arr[rows_nz], ns_nz) + within)
+            lit_code_parts.append(np.full(tot, code, dtype=np.int8))
+            for x in res:
+                lit_surface.extend(x)
+            nxt_arr[rows_nz] += ns_nz
+        if lit_rows_parts:
+            lit_row = np.concatenate(lit_rows_parts)
+            lit_ord = np.concatenate(lit_ord_parts)
+            lit_code = np.concatenate(lit_code_parts)
     else:
         counts = np.empty(n_rows, dtype=np.int64)
         all_mentions = []
@@ -295,7 +309,7 @@ def extract_mention_rows(
     # materialized as Python strings); the scalar fallback as a list
     ment_is_arrow = isinstance(all_mentions, (pa.Array, pa.ChunkedArray))
 
-    if lit_row:  # append the (rare) qualified/literal rows
+    if len(lit_row):  # append the (rare) qualified/literal rows
         idx = np.concatenate([idx, np.asarray(lit_row, dtype=np.int64)])
         ords = np.concatenate([ords, np.asarray(lit_ord, dtype=np.int32)])
         kind_codes = np.concatenate([kind_codes, np.asarray(lit_code, dtype=np.int8)])

@@ -184,3 +184,55 @@ def test_vectorized_assembly_matches_spec_with_qualified_and_literals():
     slow = slow[key].sort_values(key, kind="mergesort").reset_index(drop=True)
     assert (fast["pred"] == "has_member").any()
     pd.testing.assert_frame_equal(fast, slow)
+
+
+def test_arrow_fast_assembly_row_identical_to_pandas_kernel():
+    """assemble_conv_local_fast (Arrow/int-code hot path) must be
+    row-for-row identical — rows AND row order — to assemble_conv_local
+    (the pandas kernel it replaced in build_kg) on val-form frames with
+    all three kind classes, unlinked rows, and duplicate qualified
+    surfaces whose roots canonicalize to the same entity (the case that
+    exercises the final keep-first dedup)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    from coco_search_ray.pipelines.kg import (
+        _assemble_conv_local_arrow,
+        assemble_conv_local_fast,
+    )
+
+    lit_preds = ["quotes", "links_to"]
+    qual_preds = ["has_member"]
+    rng = np.random.RandomState(23)
+    members = ["run", "init.deep", "close"]
+    rows = []
+    for conv in range(40):
+        for turn in range(rng.randint(1, 9)):
+            tool = ["", "bash", "search"][rng.randint(3)]
+            ord_ = 0
+            for _ in range(rng.randint(0, 4)):
+                val = f"E{rng.randint(5):03d}" if rng.rand() > 0.2 else None
+                rows.append((f"c{conv:03d}", turn, ord_, 0, val, tool)); ord_ += 1
+            for _ in range(rng.randint(0, 3)):  # duplicate-prone qualified
+                val = (
+                    f"E{rng.randint(3):03d}.{members[rng.randint(3)]}"
+                    if rng.rand() > 0.25
+                    else None
+                )
+                rows.append((f"c{conv:03d}", turn, ord_, -2, val, tool)); ord_ += 1
+            for _ in range(rng.randint(0, 2)):
+                rows.append(
+                    (f"c{conv:03d}", turn, ord_, rng.randint(1, 3), f"lit{rng.randint(3)}", tool)
+                ); ord_ += 1
+    df = pd.DataFrame(
+        rows, columns=["conv_id", "turn_idx", "mention_ord", "kind_code", "val", "tool"]
+    )
+    df["kind_code"] = df["kind_code"].astype("int8")
+    df["turn_idx"] = df["turn_idx"].astype("int32")
+
+    ref = _assemble_conv_local_arrow(df.copy(), lit_preds, qual_preds).to_pandas()
+    fast = assemble_conv_local_fast(
+        pa.Table.from_pandas(df, preserve_index=False), lit_preds, qual_preds
+    ).to_pandas()
+    assert (ref["pred"] == "has_member").any()
+    pd.testing.assert_frame_equal(ref, fast)  # exact rows, exact order
