@@ -217,8 +217,20 @@ def extract_mention_rows(
             mask = pc.match_substring_regex(batch["text"], snap.quick)
             batch = batch.filter(pc.fill_null(mask, False))
 
-    texts = batch["text"].to_pylist()
-    n_rows = len(texts)
+    n_rows = batch.num_rows
+    if use_batch_kernel and app_masks:
+        # Python strings are materialized ONLY for rows some literal /
+        # qualified family will actually extract from (the union of the
+        # family masks, ~40% of kept rows) — the entity kernel reads the
+        # Arrow column directly and never needs them
+        app_any = app_masks[0].copy()
+        for m in app_masks[1:]:
+            np.logical_or(app_any, m, out=app_any)
+        need = np.nonzero(app_any)[0]
+        sub = pc.take(batch["text"], pa.array(need)).to_pylist()
+        texts: dict[int, str] = dict(zip(need.tolist(), sub))
+    else:
+        texts = batch["text"].to_pylist()
     # literal appendix: the common row has NO literal mentions, so the
     # hot loop stays the single-family entity path; literal rows are
     # collected separately and appended as extra output rows (row order
