@@ -1555,9 +1555,21 @@ KG_QUALIFIED_MENTIONS_SQL = f"""
 WITH t AS (
   SELECT coalesce(text, '') AS text FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
 ), m AS (
-  -- per-turn keep-first dedupe == list_distinct per row
+  -- qualified_names family: per-turn keep-first dedupe == list_distinct
   SELECT unnest(list_distinct(regexp_extract_all(text,
     '[A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z_][A-Za-z0-9_]*)+'))) AS s
+  FROM t
+  UNION ALL
+  -- hcl_blocks family: resource/data block declarations composed to the
+  -- type.name address (full-match extract + backref replace, the same
+  -- two-group composition the extractor does); cross-rule dedupe ==
+  -- one list_distinct over the concatenation; the type-shape gate is
+  -- the shared root filter below (root == type for composed addresses)
+  SELECT unnest(list_distinct(list_transform(
+    regexp_extract_all(text, '\\bresource[ \\t]+"[A-Za-z_][A-Za-z0-9_]*"[ \\t]+"[A-Za-z_][A-Za-z0-9_-]*"')
+    || regexp_extract_all(text, '\\bdata[ \\t]+"[A-Za-z_][A-Za-z0-9_]*"[ \\t]+"[A-Za-z_][A-Za-z0-9_-]*"'),
+    x -> regexp_replace(x, '^(?:resource|data)[ \\t]+"([A-Za-z_][A-Za-z0-9_]*)"[ \\t]+"([A-Za-z_][A-Za-z0-9_-]*)"$', '\\1.\\2')
+  ))) AS s
   FROM t
 ), q AS (
   SELECT s, split_part(s, '.', 1) AS root FROM m
@@ -2545,3 +2557,82 @@ FROM r GROUP BY def_kind ORDER BY def_kind
 
 
 REGISTRY.update({"q_symbol_defs": (q_symbol_defs, Q_SYMBOL_DEFS_SQL)})
+
+
+def q_hcl_resources(sf_dir: str) -> pd.DataFrame:
+    """HCL block-declaration inventory — the reference's hcl handler
+    block_type/labels hierarchy (handlers/hcl.py:59-120) and terraform
+    deps extractor (deps/extractors/terraform.py) rolled up by block
+    kind: mention + distinct-address counts for resource vs data blocks
+    whose TYPE passes the identifier-shape (linkability) gate. Applies
+    each of the hcl_blocks family's rules independently with per-turn
+    per-rule dedupe (the kind-attributed twin of the family's
+    cross-rule keep-first, same construction as q_symbol_defs)."""
+    from ..extractors.hcl_blocks import _RULES, _type_ok
+    from .kg import normalized_turns_ds
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+
+    def parse(b: pa.Table) -> pa.Table:
+        texts = b["text"]
+        kinds: list[str] = []
+        addrs: list[str] = []
+        for (rx, _gate), kind in zip(_RULES, ("resource", "data")):
+            mask = pc.fill_null(pc.match_substring_regex(texts, rx.pattern), False)
+            cand = texts.filter(mask).to_pylist()
+            for t in cand:
+                seen: set[str] = set()
+                for m in rx.finditer(t):
+                    if not _type_ok(m.group(1)):
+                        continue
+                    s = f"{m.group(1)}.{m.group(2)}"
+                    if s not in seen:
+                        seen.add(s)
+                        kinds.append(kind)
+                        addrs.append(s)
+        return pa.table(
+            {"block_kind": pa.array(kinds, pa.string()), "address": pa.array(addrs, pa.string())}
+        )
+
+    rows = normalized_turns_ds(data_dir).map_batches(parse, batch_format="pyarrow")
+    pair = rows.groupby(["block_kind", "address"]).aggregate(Count(alias_name="n")).to_pandas()
+    out = (
+        pair.groupby("block_kind")
+        .agg(n_mentions=("n", "sum"), n_addresses=("address", "size"))
+        .reset_index()
+        .sort_values("block_kind", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out.astype({"n_mentions": "int64", "n_addresses": "int64"})
+
+
+Q_HCL_RESOURCES_SQL = f"""
+WITH t AS (
+  SELECT coalesce(text, '') AS text FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
+), r AS (
+  SELECT 'resource' AS block_kind, unnest(list_distinct(list_transform(
+    regexp_extract_all(text, '\\bresource[ \\t]+"[A-Za-z_][A-Za-z0-9_]*"[ \\t]+"[A-Za-z_][A-Za-z0-9_-]*"'),
+    x -> regexp_replace(x, '^resource[ \\t]+"([A-Za-z_][A-Za-z0-9_]*)"[ \\t]+"([A-Za-z_][A-Za-z0-9_-]*)"$', '\\1.\\2')
+  ))) AS address FROM t
+  UNION ALL SELECT 'data', unnest(list_distinct(list_transform(
+    regexp_extract_all(text, '\\bdata[ \\t]+"[A-Za-z_][A-Za-z0-9_]*"[ \\t]+"[A-Za-z_][A-Za-z0-9_-]*"'),
+    x -> regexp_replace(x, '^data[ \\t]+"([A-Za-z_][A-Za-z0-9_]*)"[ \\t]+"([A-Za-z_][A-Za-z0-9_-]*)"$', '\\1.\\2')
+  ))) FROM t
+), g AS (
+  -- identifier-shape gate on the TYPE (split on the FIRST dot; labels
+  -- may contain '-') — same rules as the shared qualified root gate
+  SELECT block_kind, address, split_part(address, '.', 1) AS root FROM r
+), f AS (
+  SELECT block_kind, address FROM g
+  WHERE regexp_matches(root, '[a-zA-Z0-9]+_[a-zA-Z0-9]+')
+     OR (length(root) >= 6 AND regexp_matches(substr(root, 1, 1), '[a-z]')
+         AND regexp_matches(root, '[a-z][A-Z]'))
+     OR (length(root) >= 8 AND regexp_matches(root, '[A-Z][a-z]+[A-Z]'))
+)
+SELECT block_kind, count(*)::BIGINT AS n_mentions,
+       count(DISTINCT address)::BIGINT AS n_addresses
+FROM f GROUP BY block_kind ORDER BY block_kind
+"""
+
+
+REGISTRY.update({"q_hcl_resources": (q_hcl_resources, Q_HCL_RESOURCES_SQL)})

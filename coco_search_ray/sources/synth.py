@@ -273,6 +273,17 @@ def _generate_shard(
                     words.append(f"uses: ./.ci/{w}.yml")
                 else:
                     words.append(f"uses: {w}/{w2}-action@v{rng.randint(1, 9)}")
+            # HCL block declarations (drives extractors/hcl_blocks.py):
+            # resource/data blocks; identifier-shaped pool types link,
+            # plain prose-word types exercise the shape-gate drop path
+            if qpool and rng.rand() < 0.04:
+                w = _VOCAB[rng.randint(0, len(_VOCAB))]
+                kw = "resource" if rng.rand() < 0.7 else "data"
+                if rng.rand() < 0.2:
+                    words.append(f'{kw} "{w}" "{w}01" {{')
+                else:
+                    rtype = qpool[rng.randint(0, n_qpool)]
+                    words.append(f'{kw} "{rtype}" "{w}-{rng.randint(0, 9)}" {{')
             shard["conv_id"].append(conv_id)
             shard["turn_idx"].append(ti)
             shard["role"].append(role)
@@ -311,7 +322,7 @@ def generate_transcripts(
     ``catalog.parquet``. Idempotent: returns immediately if a
     ``_SYNTH_OK`` marker with matching params exists."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v12"
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v13"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:

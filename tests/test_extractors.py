@@ -255,3 +255,47 @@ def test_literal_triples_end_to_end(ray_session, smoke_dir, tmp_path):
         assert ("quotes", "the daily job") in preds
         assert ("links_to", "https://svc.example/run") in preds
         assert ("quotes", "a quoted thing") not in preds  # no entity in c2
+
+
+def test_hcl_blocks_extract():
+    from coco_search_ray.extractors import hcl_blocks
+
+    t = (
+        'define resource "payment_gateway" "primary" { ports = 1 } then '
+        'data "ledger_store" "snapshot-2" { } and resource "payment_gateway" "primary" { again }'
+    )
+    # keep-first dedupe across rules, match-start order, composed type.name
+    assert hcl_blocks.extract(t) == ["payment_gateway.primary", "ledger_store.snapshot-2"]
+    # prose-word (non-identifier-shaped) types fail the linkability gate
+    assert hcl_blocks.extract('resource "gateway" "one" {') == []
+    # QUICK is a sound necessary condition under RE2 for every match
+    import re
+    assert re.search(hcl_blocks.QUICK, t)
+    assert hcl_blocks.maybe(t)
+
+
+def test_hcl_blocks_link_and_assemble_end_to_end():
+    """The composed address's TYPE links against the catalog and emits
+    the declares_resource hierarchy triple plus the entity-graph
+    membership (the second QUALIFIED family exercises multi-qualified
+    kind codes end to end)."""
+    import pyarrow as pa
+    from coco_search_ray.stages.extract import extract_mention_rows, family_plan
+    from coco_search_ray.pipelines.kg import assemble_conv_local_fast, _narrow_assembly_table
+
+    ents, lits, quals = family_plan()
+    assert ("hcl_blocks", "declares_resource") in quals
+
+    batch = pa.table(
+        {
+            "conv_id": ["c1"],
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": ["user"],
+            "text": ['payment_service then resource "payment_gateway" "primary" {'],
+            "tool": ["bash"],
+        }
+    )
+    m = extract_mention_rows(batch, entity_names=ents, literal_specs=lits, qualified_specs=quals)
+    surfaces = dict(zip(m["mention"].to_pylist(), m["kind_code"].to_pylist()))
+    hcl_code = -2 - [n for n, _p in quals].index("hcl_blocks")
+    assert surfaces["payment_gateway.primary"] == hcl_code
