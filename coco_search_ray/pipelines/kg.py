@@ -1165,6 +1165,9 @@ def build_kg_from_mention_stream(
         )
 
     ds = ray.data.read_parquet(mention_paths, override_num_blocks=len(mention_paths))
+    # same dictionary compression as the cold path (fused with the read)
+    # so replay gets the per-unique lookup + int-code assembly too
+    ds = ds.map_batches(_dict_compress, batch_format="pyarrow", batch_size=None)
     ds = ds.materialize()  # consumed twice: unique pass + lookup pass
     uniq_blocks = ds.map_batches(_block_unique, batch_format="pyarrow").to_pandas()
     linkmap = unique_mention_linkmap(
