@@ -2636,3 +2636,105 @@ FROM f GROUP BY block_kind ORDER BY block_kind
 
 
 REGISTRY.update({"q_hcl_resources": (q_hcl_resources, Q_HCL_RESOURCES_SQL)})
+
+
+# n-gram width: real decontamination uses 8-13; the synthetic corpus is
+# a bounded-vocab word soup where 8-grams never collide (an all-zero,
+# vacuous check), so the GATE runs the same math at width 3 — the SQL
+# below is generated from this constant, so both sides move together
+_DECON_N = 3
+import re  # noqa: E402  (tail-of-module operator section)
+_DECON_SPLIT = re.compile(r"[^a-z0-9_]+", re.ASCII)
+_DECON_BENCH_SOURCE = "src0"  # the held-out "benchmark" slice
+
+
+def _doc_ngram_set(text: str) -> set[str]:
+    ws = [w for w in _DECON_SPLIT.split((text or "").lower()) if w]
+    return {" ".join(ws[i : i + _DECON_N]) for i in range(len(ws) - _DECON_N + 1)}
+
+
+def q_doc_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Training-data DECONTAMINATION: flag corpus documents sharing any
+    8-gram with a held-out benchmark slice (source='src0') — the
+    standard n-gram-overlap contamination rule used before pretraining.
+    Shape at scale: the benchmark side is small by construction, so its
+    distinct n-gram set is built with per-block pre-aggregation and
+    broadcast ONCE (ray.put; a Bloom filter drops in for set membership
+    when the benchmark outgrows a plain set — stages/sketch.py has the
+    builder); the corpus side streams through one map_batches with a
+    worker-cached deref. No shuffle anywhere."""
+    from ..functions.broadcast import deref_cached
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    bench = ds.filter(expr=f"source == '{_DECON_BENCH_SOURCE}'")
+
+    def block_ngrams(b: pa.Table) -> pa.Table:
+        s: set[str] = set()
+        for t in b["text"].to_pylist():
+            s |= _doc_ngram_set(t)
+        return pa.table({"ng": pa.array(sorted(s), pa.string())})
+
+    bench_set = frozenset(
+        bench.map_batches(block_ngrams, batch_format="pyarrow").to_pandas()["ng"]
+    )
+    set_ref = ray.put(bench_set)
+
+    def flag(b: pa.Table) -> pa.Table:
+        bs = deref_cached(set_ref)
+        srcs = b["source"].to_pylist()
+        hits = np.zeros(b.num_rows, dtype=np.int64)
+        for i, t in enumerate(b["text"].to_pylist()):
+            ngs = _doc_ngram_set(t)
+            if ngs:
+                hits[i] = len(ngs & bs)
+        return pa.table(
+            {
+                "source": pa.array(srcs, pa.string()),
+                "contaminated": pa.array((hits > 0).astype(np.int64), pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+            }
+        )
+
+    corpus = ds.filter(expr=f"source != '{_DECON_BENCH_SOURCE}'")
+    out = (
+        corpus.map_batches(flag, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("contaminated", alias_name="n_contaminated_docs"),
+            Sum("n_hits", alias_name="n_hits"),
+        )
+        .to_pandas()
+        .sort_values("source", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"n_docs": "int64", "n_contaminated_docs": "int64", "n_hits": "int64"}
+    )
+
+
+Q_DOC_DECONTAMINATE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x != '') AS ws
+  FROM documents
+), n AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, greatest(len(ws) - {_DECON_N - 2}, 1)),
+           i -> array_to_string(list_slice(ws, i, i + {_DECON_N - 1}), ' ')
+         )) AS ngl
+  FROM w
+), b2 AS (
+  SELECT list_distinct(flatten(list(ngl))) AS bl FROM n WHERE source = 'src0'
+)
+SELECT n.source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN len(list_intersect(n.ngl, b2.bl)) > 0 THEN 1 ELSE 0 END)::BIGINT AS n_contaminated_docs,
+       sum(len(list_intersect(n.ngl, b2.bl)))::BIGINT AS n_hits
+FROM n, b2 WHERE n.source <> 'src0'
+GROUP BY n.source ORDER BY n.source
+"""
+
+
+REGISTRY.update({"q_doc_decontaminate": (q_doc_decontaminate, Q_DOC_DECONTAMINATE_SQL)})
