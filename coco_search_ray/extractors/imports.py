@@ -8,11 +8,14 @@ Surfaces attach to the turn's first linked entity as
 Four statement shapes, each ONE regex with ONE capture so the DuckDB
 oracle replays them 1:1 with regexp_extract_all(..., 1):
 
-  1. ``from pkg.mod import ...``        -> pkg.mod
+  1. ``from pkg.mod import ...`` / ``from .rel.mod import ...``
+     -> pkg.mod / .rel.mod (relative dots kept — they ARE the path)
   2. ``import pkg.mod`` (DOTTED only — a bare ``import word`` is
      indistinguishable from prose like "the import process")
   3. ``require('mod')``                 -> mod
   4. ``import ... from 'mod'`` (ES)     -> mod
+  5. ``import mod as alias`` (the ``as`` keyword disambiguates an
+     UNdotted module from prose; reference python.py aliased imports)
 
 All character classes are explicit ASCII (no bare ``\\w``) so Python
 re, RE2 (the Arrow candidate mask) and DuckDB agree; ``\\b`` before
@@ -35,7 +38,7 @@ _WS = r"[ \t\r\n]"  # explicit ASCII whitespace: identical in re/RE2/DuckDB
 # rule match always contains its keyword) so extract() can skip regex
 # scans on rows whose QUICK hit came from another statement shape
 _RULES = [
-    (re.compile(r"\bfrom" + _WS + r"+(" + _MOD + r")" + _WS + r"+import" + _WS), "from"),
+    (re.compile(r"\bfrom" + _WS + r"+((?:\.{1,3})?" + _MOD + r")" + _WS + r"+import" + _WS), "from"),
     (re.compile(r"\bimport" + _WS + r"+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)+)"), "import"),
     (re.compile(r"require\(" + _WS + r"*['\"]([^'\"]+)['\"]" + _WS + r"*\)"), "require("),
     (
@@ -45,6 +48,7 @@ _RULES = [
         ),
         "from",
     ),
+    (re.compile(r"\bimport" + _WS + r"+(" + _MOD + r")" + _WS + r"+as" + _WS), "as"),
 ]
 
 QUICK = r"(?:from|import)[ \t\r\n]|require\("

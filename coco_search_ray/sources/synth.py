@@ -221,15 +221,19 @@ def _generate_shard(
             if qpool and rng.rand() < 0.06:
                 root = qpool[rng.randint(0, n_qpool)]
                 member = _QUAL_MEMBERS[rng.randint(0, len(_QUAL_MEMBERS))]
-                style = rng.randint(0, 4)
+                style = rng.randint(0, 6)
                 if style == 0:
                     words.append(f"from {root} import {member} then")
                 elif style == 1:
                     words.append(f"import {root}.{member}")
                 elif style == 2:
                     words.append(f"require('{root}')")
-                else:
+                elif style == 3:
                     words.append(f"import {{ {member} }} from '{root}'")
+                elif style == 4:
+                    words.append(f"import {root} as {member}")
+                else:
+                    words.append(f"from .{root} import {member} now")
             # container-image refs (drives extractors/images.py): yaml
             # image: keys + Dockerfile FROM lines (the reference's
             # docker_compose / gitlab_ci / helm image shapes)
@@ -322,7 +326,7 @@ def generate_transcripts(
     ``catalog.parquet``. Idempotent: returns immediately if a
     ``_SYNTH_OK`` marker with matching params exists."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v13"
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v14"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:
