@@ -948,11 +948,14 @@ def build_kg(
         mapping = canonical_mapping(catalog.to_pylist())
     if isinstance(paths, str):
         paths = [paths]
+    # prune at the read: the KG build consumes conv_id/turn_idx/text/tool
+    # only — role and ts never reach a triple, so they never leave storage
+    _KG_COLS = ["conv_id", "turn_idx", "text", "tool"]
     if conv_local_shards:
-        ds = ray.data.read_parquet(paths, override_num_blocks=len(paths))
+        ds = ray.data.read_parquet(paths, columns=_KG_COLS, override_num_blocks=len(paths))
         bs = None
     else:
-        ds = ray.data.read_parquet(paths)
+        ds = ray.data.read_parquet(paths, columns=_KG_COLS)
         bs = 8192
     # external extractor families (registry override surface): load dirs
     # in the driver, CAPTURE the family plan (names + preds, ordered),

@@ -17,24 +17,23 @@ _VALID_ROLES = {"user", "assistant", "tool", "system"}
 
 
 def normalize_turns(batch: pa.Table, with_uid: bool = True) -> pa.Table:
-    role = pc.utf8_lower(pc.utf8_trim_whitespace(batch["role"]))
-    # unexpected roles -> "other" (skip-and-log semantics: bad records are
-    # normalized, never dropped silently; reference flow.py:446-448 logs+skips)
-    role_ok = pc.is_in(role, value_set=pa.array(sorted(_VALID_ROLES)))
-    role = pc.if_else(role_ok, role, pa.scalar("other"))
+    names = set(batch.schema.names)
+    cols = {"conv_id": batch["conv_id"], "turn_idx": batch["turn_idx"]}
+    if "role" in names:  # pruned away on the KG hot path (never consumed)
+        role = pc.utf8_lower(pc.utf8_trim_whitespace(batch["role"]))
+        # unexpected roles -> "other" (skip-and-log semantics: bad records
+        # are normalized, never dropped silently; reference flow.py:446-448)
+        role_ok = pc.is_in(role, value_set=pa.array(sorted(_VALID_ROLES)))
+        cols["role"] = pc.if_else(role_ok, role, pa.scalar("other"))
 
     tool = pc.utf8_lower(pc.utf8_trim_whitespace(batch["tool"]))
     tool = pc.if_else(pc.is_valid(tool), tool, pa.scalar(""))
     tool = pc.if_else(pc.equal(tool, pa.scalar("none")), pa.scalar(""), tool)
 
-    cols = {
-        "conv_id": batch["conv_id"],
-        "turn_idx": batch["turn_idx"],
-        "role": role,
-        "text": batch["text"],
-        "tool": tool,
-        "ts": batch["ts"],
-    }
+    cols["text"] = batch["text"]
+    cols["tool"] = tool
+    if "ts" in names:  # ditto
+        cols["ts"] = batch["ts"]
     if with_uid:
         # provenance uid — skipped on the KG hot path (the extraction
         # stage drops it immediately; building 10^7 string concats per
