@@ -1056,7 +1056,12 @@ def build_kg(
                 ds, catalog, mapping, parallelism=concurrency,
                 uniq_blocks=uniq_blocks_ds.to_pandas(), link_params=link_params,
             )
-            ds = apply_linkmap(ds, linkmap, batch_size=bs)
+            # batch == block here regardless of bs: a SLICED batch keeps
+            # the whole block's dictionary, so the per-DISTINCT lookup
+            # work would repeat once per slice (68x per block at
+            # bs=8192 — measured as a 10x wall blowup on the general
+            # path); the vectorized lookup has no reason to sub-batch
+            ds = apply_linkmap(ds, linkmap, batch_size=None)
     else:
         ds = link_stage(
             ds, catalog, mapping, concurrency=concurrency, batch_size=bs, link_params=link_params
