@@ -122,7 +122,13 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.queries import REGISTRY
 
             if args.name not in REGISTRY:
-                p.error(f"unknown query {args.name!r}; see list-queries")
+                # fail fast with the closest names — the reference's
+                # validate_query index-name validation UX
+                import difflib
+
+                near = difflib.get_close_matches(args.name, REGISTRY, n=3, cutoff=0.4)
+                hint = f" (did you mean: {', '.join(near)}?)" if near else ""
+                p.error(f"unknown query {args.name!r}{hint}; see list-queries")
             fn, _sql = REGISTRY[args.name]
             res = fn(args.sf_dir)
             if hasattr(res, "to_pandas"):

@@ -145,3 +145,16 @@ def test_oracle_on_edge_rows(tmp_path, smoke_dir):
     pq.write_table(_turns_table(EDGE_ROWS), str(d / "transcripts-0000.parquet"))
     out = oracle_triples(str(d))
     assert list(out.columns) == ["subj", "pred", "obj", "conv_id", "turn_idx"]
+
+
+def test_cli_unknown_query_suggests_near_matches(capsys):
+    """validate_query UX: a typo'd query name fails fast naming the
+    closest registry entries (reference index-name validation shape)."""
+    import pytest
+
+    from coco_search_ray.job import main
+
+    with pytest.raises(SystemExit):
+        main(["query", "--name", "q_hcl_resurces", "--sf", "/nonexistent"])
+    err = capsys.readouterr().err
+    assert "q_hcl_resources" in err and "did you mean" in err
