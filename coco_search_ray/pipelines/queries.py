@@ -2739,3 +2739,46 @@ GROUP BY n.source ORDER BY n.source
 
 
 REGISTRY.update({"q_doc_decontaminate": (q_doc_decontaminate, Q_DOC_DECONTAMINATE_SQL)})
+
+
+def q_events_props_stats(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured column operator: project the integer field
+    ``k`` out of the events table's JSON ``props`` column (DuckDB as
+    the vectorized kernel inside map_batches — stages/jsonops.py; Arrow
+    registers zero-copy, the projection runs vectorized C++) and
+    aggregate per event_type. Kernel and oracle share DuckDB's
+    json_extract semantics by construction."""
+    from ..stages.jsonops import extract_json_field
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    ds = ds.map_batches(
+        lambda b: extract_json_field(b, "props", "k", "k_val"),
+        batch_format="pyarrow",
+    )
+    out = (
+        ds.groupby("event_type")
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("k_val", alias_name="sum_k"),
+            Min("k_val", alias_name="min_k"),
+            Max("k_val", alias_name="max_k"),
+        )
+        .to_pandas()
+        .sort_values("event_type", kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"n_events": "int64", "sum_k": "int64", "min_k": "int64", "max_k": "int64"}
+    )
+
+
+Q_EVENTS_PROPS_STATS_SQL = """
+SELECT event_type, count(*) AS n_events,
+       sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+       min(json_extract(props, '$.k')::BIGINT)::BIGINT AS min_k,
+       max(json_extract(props, '$.k')::BIGINT)::BIGINT AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+REGISTRY.update({"q_events_props_stats": (q_events_props_stats, Q_EVENTS_PROPS_STATS_SQL)})
