@@ -92,7 +92,7 @@ def run_bench() -> dict:
     # protocol as --scaling; see BASELINE.md).
     scratch = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     out_dir = f"{scratch}/coco_bench_out_{NUM_CPUS}"
-    reps = int(os.environ.get("COCO_BENCH_REPS", "2"))
+    reps = int(os.environ.get("COCO_BENCH_REPS", "3"))
     headline_sec = float("inf")
     for _ in range(reps):
         shutil.rmtree(out_dir, ignore_errors=True)
