@@ -1020,10 +1020,30 @@ def build_kg(
         # (no shuffle). Large -> distributed distinct + partitioned
         # map-side join (no driver/broadcast state).
         uniq_blocks_ds = ds.map_batches(_block_unique, batch_format="pyarrow").materialize()
+        # The raw per-block-unique row count is SUM(block uniques) — an
+        # upper bound on the global distinct count that overestimates by
+        # ~the block count when surfaces repeat across blocks (at 384
+        # input files a ~100k-distinct vocabulary summed to 27M rows and
+        # wrongly escalated to the distributed branch). Collapse
+        # cross-block duplicates with a SHUFFLE-FREE fan-in tree
+        # (repartition concatenates adjacent blocks; per-block unique
+        # again) before deciding; genuinely high-cardinality streams
+        # barely shrink and escalate after one round.
+        uniq_count = uniq_blocks_ds.count()
+        while uniq_count > _DISTINCT_BROADCAST_MAX:
+            target = max(1, uniq_blocks_ds.num_blocks() // 16)
+            reduced = uniq_blocks_ds.repartition(target).map_batches(
+                _block_unique, batch_format="pyarrow"
+            ).materialize()
+            rcount = reduced.count()
+            shrunk = rcount < uniq_count * 0.75
+            uniq_blocks_ds, uniq_count = reduced, rcount
+            if not shrunk:
+                break  # real cardinality, not block-count inflation
         use_distributed = (
             distributed_linkmap
             if distributed_linkmap is not None
-            else uniq_blocks_ds.count() > _DISTINCT_BROADCAST_MAX
+            else uniq_count > _DISTINCT_BROADCAST_MAX
         )
         if use_distributed:
             # the link-key hash join below REPARTITIONS blocks by key —

@@ -379,6 +379,10 @@ TIERS = {
     # ~10s catalog-bound floor: canonicalization + unique-mention linking
     # cost is O(catalog), not O(turns))
     "bench": (192_000, 24_000_000, 2_000, 128),
+    # one-off headroom evidence: 3x bench (~90M turns, ~285M triples) —
+    # exercises object-store pressure and block-count growth; not part
+    # of the per-round bench/scaling protocol
+    "stress": (576_000, 72_000_000, 2_000, 384),
 }
 
 _TIER_ROOT = os.environ.get("COCO_SYNTH_ROOT", "/tmp/coco_synth")
