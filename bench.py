@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "q_doc_minhash_neardup",
     "q_ann_topk",
     "q_embedding_neardup",
+    "q_doc_decontaminate",
+    "q_events_props_stats",
 ]
 
 
