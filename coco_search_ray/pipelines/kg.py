@@ -874,7 +874,12 @@ def assemble_conv_local_fast(
     tsp = all_p == 1
     if tsp.any():
         tools_np = np.asarray(tools_u.to_pandas(), dtype=object)
-        obj_np[tsp] = tools_np[all_o[tsp]]
+        tcodes = all_o[tsp]
+        tvals = np.empty(len(tcodes), dtype=object)
+        tm = tcodes >= 0
+        tvals[tm] = tools_np[tcodes[tm]]
+        tvals[~tm] = None  # null tool: pandas spec emits a null-obj row
+        obj_np[tsp] = tvals
     lsp = (all_p >= 3) & (all_p < 3 + len(lits))
     if lsp.any():
         vals_np = us.to_numpy(dtype=object)

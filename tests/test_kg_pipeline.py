@@ -208,7 +208,9 @@ def test_arrow_fast_assembly_row_identical_to_pandas_kernel():
     rows = []
     for conv in range(40):
         for turn in range(rng.randint(1, 9)):
-            tool = ["", "bash", "search"][rng.randint(3)]
+            # None exercises the null-tool edge (pandas spec emits a
+            # null-obj uses_tool row; the fast kernel must match)
+            tool = ["", "bash", "search", None][rng.randint(4)]
             ord_ = 0
             for _ in range(rng.randint(0, 4)):
                 val = f"E{rng.randint(5):03d}" if rng.rand() > 0.2 else None
