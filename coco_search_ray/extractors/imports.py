@@ -14,8 +14,11 @@ oracle replays them 1:1 with regexp_extract_all(..., 1):
      indistinguishable from prose like "the import process")
   3. ``require('mod')``                 -> mod
   4. ``import ... from 'mod'`` (ES)     -> mod
-  5. ``import mod as alias`` (the ``as`` keyword disambiguates an
-     UNdotted module from prose; reference python.py aliased imports)
+  5. ``import mod as alias`` at a STATEMENT START (text start, newline
+     or ';') — the ``as`` keyword disambiguates an UNdotted module from
+     prose, and the anchor keeps the rule from firing on the ``import
+     y as z`` tail of a from-import (reference python.py aliased
+     imports handle that via the parser; regex needs the anchor)
 
 All character classes are explicit ASCII (no bare ``\\w``) so Python
 re, RE2 (the Arrow candidate mask) and DuckDB agree; ``\\b`` before
@@ -48,7 +51,16 @@ _RULES = [
         ),
         "from",
     ),
-    (re.compile(r"\bimport" + _WS + r"+(" + _MOD + r")" + _WS + r"+as" + _WS), "as"),
+    # anchored to a statement start (text start / newline / ';'):
+    # 'from x import y as z' must NOT fire this rule for y — the
+    # from-clause puts the 'import' mid-statement, never at a start.
+    # RE2 has no lookbehind, so the anchor is the lockstep-able form.
+    (
+        re.compile(
+            r"(?:^|[\r\n;])[ \t]*import" + _WS + r"+(" + _MOD + r")" + _WS + r"+as" + _WS
+        ),
+        "as",
+    ),
 ]
 
 QUICK = r"(?:from|import)[ \t\r\n]|require\("

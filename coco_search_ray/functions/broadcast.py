@@ -31,7 +31,14 @@ def localize(obj: object) -> object:
     numpy-bearing state reused across many batches (indexes, score
     matrices, rank vectors), never for one-shot payloads.
     """
-    return pickle.loads(pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL))
+    try:
+        return pickle.loads(pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL))
+    except Exception:
+        # state holding a non-stdlib-picklable member (closure, local
+        # class): cloudpickle handles it; still one round-trip off plasma
+        from ray import cloudpickle
+
+        return cloudpickle.loads(cloudpickle.dumps(obj))
 
 
 def deref_cached(ref, localize_arrays: bool = False) -> object:

@@ -27,6 +27,7 @@ without touching this logic.
 from __future__ import annotations
 
 from dataclasses import dataclass
+import functools
 import math
 
 import numpy as np
@@ -120,8 +121,12 @@ class EntityIndex:
         # matmul flops at 768 — the linker's dense channel was matmul-bound
         from .hashing import digest_embeddings
 
+        # functools.partial, not a lambda: the index must survive stdlib
+        # pickling (broadcast.localize round-trips it on every worker)
         self._embed = (
-            digest_embeddings if dim % 32 == 0 else (lambda ts: hash_embeddings(ts, dim))
+            digest_embeddings
+            if dim % 32 == 0
+            else functools.partial(hash_embeddings, dim=dim)
         )
         emb = self._embed(surfaces)
         norms = np.linalg.norm(emb, axis=1, keepdims=True)

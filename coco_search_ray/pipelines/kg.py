@@ -368,6 +368,41 @@ def unique_mention_linkmap(
 # dict and the two-phase path switches to the distributed branch
 _DISTINCT_BROADCAST_MAX = 2_000_000
 
+# above this much INPUT (transcript parquet bytes, driver-side stat) the
+# two-phase branch stops PINNING the mention stream in the object store
+# (it is consumed twice: unique pass + lookup pass) and instead streams
+# extraction ONCE into parquet files, then runs both passes from disk —
+# the stream is ~tens of TB of plasma spill per job at 10^12 turns, and
+# the files double as the relink-resume artifact. Same size-trigger
+# discipline as _DISTINCT_BROADCAST_MAX; override via env for tests.
+_STREAM_PIN_MAX_INPUT_BYTES = 16 << 30  # 16 GiB
+
+
+def _stream_pin_max_input_bytes() -> int:
+    import os
+
+    return int(
+        os.environ.get("KG_STREAM_PIN_MAX_INPUT_BYTES", _STREAM_PIN_MAX_INPUT_BYTES)
+    )
+
+
+def _local_paths_bytes(paths: list[str]) -> int | None:
+    """Total size of local input files; None when any path is remote /
+    unstattable (auto-spill then stays off — explicit opt-in only)."""
+    import os
+
+    total = 0
+    for p in paths:
+        try:
+            if os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+            else:
+                total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
 
 def linkmap_dataset(
     uniq_ds: ray.data.Dataset,
@@ -495,7 +530,13 @@ def apply_linkmap(
                 qslot = 2 * u + qmap[codes]
             else:
                 qslot = 0
-            slot = np.where(kind == 0, codes, np.where(kind > 0, u + codes, qslot))
+            # qualified arm matches qrows EXACTLY (kind <= -2); kind -1
+            # is unused by construction, but routing it into qslot would
+            # silently compose garbage — treat it as a literal row like
+            # the plain path below, and the parity stays a non-event
+            slot = np.where(
+                kind == 0, codes, np.where(kind <= -2, qslot, u + codes)
+            )
             D = pa.concat_arrays([_one_chunk(a) for a in arrs])
             val = pa.DictionaryArray.from_arrays(pa.array(slot, pa.int64()), D)
             return pa.table(
@@ -741,7 +782,10 @@ def assemble_conv_local_fast(
     if u == 0:
         return TRIPLE_SCHEMA.empty_table()  # every value null -> no entities
     tcode, tools_u = _codes(b["tool"])
-    tool_empty = -1
+    # sentinel must be a code NO row can carry: null tool decodes to -1,
+    # and the pandas spec (tool != '') KEEPS null-tool rows as null-obj
+    # triples — -1 here would silently drop them when '' is absent
+    tool_empty = -2
     for i, t in enumerate(tools_u.to_pylist()):
         if t == "":
             tool_empty = i
@@ -928,6 +972,8 @@ def build_kg(
     distributed_linkmap: bool | None = None,
     extractor_dirs: list[str] | None = None,
     link_params: dict | None = None,
+    spill_stream: bool | None = None,
+    stream_spill_dir: str | None = None,
 ) -> ray.data.Dataset:
     """transcript parquet paths + catalog -> streaming Dataset of triples.
 
@@ -948,7 +994,16 @@ def build_kg(
     batch_size=None end-to-end so batches == blocks and a conversation is
     never split), and assembly runs per block with an inner pandas
     groupby. The general path pays one all-to-all groupby(conv_id)
-    instead; both produce identical triples (pytest-checked)."""
+    instead; both produce identical triples (pytest-checked).
+
+    ``spill_stream`` (None = auto above _STREAM_PIN_MAX_INPUT_BYTES of
+    local input) swaps the two-phase branch's object-store pin of the
+    mention stream for a one-pass parquet spill to ``stream_spill_dir``
+    (default: a fresh /tmp dir; at cluster scale pass shared storage —
+    the files are the same schema run_resumable persists for relink
+    resume). Unique and lookup passes then stream from the files;
+    nothing holds the full stream in memory. Identical triples either
+    branch (pytest-pinned)."""
     if mapping is None:
         mapping = canonical_mapping(catalog.to_pylist())
     if isinstance(paths, str):
@@ -1013,12 +1068,50 @@ def build_kg(
     )
     ds = ds.map_batches(_extract, batch_format="pyarrow", batch_size=bs)
     if two_phase:
-        # mentions dataset is consumed twice (unique pass + lookup pass);
-        # pin the small intermediate instead of recomputing the extraction
-        # — dictionary-compressed (fused with extraction), so the plasma
-        # copy is ~3x smaller and lookup/assembly work per DISTINCT value
-        ds = ds.map_batches(_dict_compress, batch_format="pyarrow", batch_size=bs)
-        ds = ds.materialize()
+        # The mention stream is consumed twice (unique pass + lookup
+        # pass). SIZE-TRIGGERED storage choice for that reuse:
+        #   small input  -> pin the dictionary-compressed stream in the
+        #                   object store (~3x smaller than raw; zero I/O)
+        #   large input  -> stream extraction ONCE into parquet files and
+        #                   run both passes from disk — pinning would hold
+        #                   the whole stream (TBs at 10^12 turns) in
+        #                   plasma/spill for the length of the job
+        if spill_stream is None:
+            in_bytes = _local_paths_bytes(paths)
+            spill_stream = (
+                in_bytes is not None and in_bytes > _stream_pin_max_input_bytes()
+            )
+        stream_files: list[str] | None = None
+        if spill_stream:
+            import os
+            import tempfile
+
+            sdir = stream_spill_dir or tempfile.mkdtemp(prefix="kg_mention_stream_")
+            os.makedirs(sdir, exist_ok=True)
+            # one file per block: blocks are conv-complete (file-aligned
+            # on the conv-local path; irrelevant on the general path), so
+            # the re-read below keeps conversations whole per block
+            ds.write_parquet(sdir)
+            stream_files = sorted(
+                os.path.join(sdir, f)
+                for f in os.listdir(sdir)
+                if f.endswith(".parquet")
+            )
+
+            def _stream_ds(compress: bool = True) -> ray.data.Dataset:
+                d = ray.data.read_parquet(
+                    stream_files, override_num_blocks=len(stream_files)
+                )
+                if compress:
+                    d = d.map_batches(
+                        _dict_compress, batch_format="pyarrow", batch_size=None
+                    )
+                return d
+
+            ds = _stream_ds()
+        else:
+            ds = ds.map_batches(_dict_compress, batch_format="pyarrow", batch_size=bs)
+            ds = ds.materialize()
         # SIZE-TRIGGERED branch selection (not a code edit): the per-block
         # unique pass runs once; its row count upper-bounds the distinct
         # surface count. Small -> driver union + broadcast dict lookup
@@ -1201,7 +1294,13 @@ def build_kg_from_mention_stream(
     # same dictionary compression as the cold path (fused with the read)
     # so replay gets the per-unique lookup + int-code assembly too
     ds = ds.map_batches(_dict_compress, batch_format="pyarrow", batch_size=None)
-    ds = ds.materialize()  # consumed twice: unique pass + lookup pass
+    # consumed twice (unique pass + lookup pass): pin in the object store
+    # only while the stream is small; above the threshold each pass just
+    # re-reads the files it already lives in (same size-trigger
+    # discipline as build_kg's spill branch)
+    stream_bytes = _local_paths_bytes(list(mention_paths))
+    if stream_bytes is None or stream_bytes <= _stream_pin_max_input_bytes():
+        ds = ds.materialize()
     uniq_blocks = ds.map_batches(_block_unique, batch_format="pyarrow").to_pandas()
     linkmap = unique_mention_linkmap(
         ds, catalog, mapping, parallelism=concurrency,

@@ -1443,7 +1443,7 @@ WITH t AS (
     || regexp_extract_all(text, '\\bimport[ \t\r\n]+([A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z0-9_]+)+)', 1)
     || regexp_extract_all(text, 'require\\([ \t\r\n]*[''"]([^''"]+)[''"][ \t\r\n]*\\)', 1)
     || regexp_extract_all(text, '\\bimport[ \t\r\n]+[A-Za-z0-9_{{}}, *\t\r\n]+[ \t\r\n]*from[ \t\r\n]+[''"]([^''"]+)[''"]', 1)
-    || regexp_extract_all(text, '\\bimport[ \t\r\n]+([A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z0-9_]+)*)[ \t\r\n]+as[ \t\r\n]', 1)
+    || regexp_extract_all(text, '(?:^|[\r\n;])[ \t]*import[ \t\r\n]+([A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z0-9_]+)*)[ \t\r\n]+as[ \t\r\n]', 1)
   )) AS n FROM t
 ), md AS (
   -- md_links family: inline targets + wiki refs, distinct per turn,

@@ -231,7 +231,9 @@ def _generate_shard(
                 elif style == 3:
                     words.append(f"import {{ {member} }} from '{root}'")
                 elif style == 4:
-                    words.append(f"import {root} as {member}")
+                    # leading newline: rule 5 is statement-start anchored
+                    # (a mid-prose 'import x as y' is NOT a statement)
+                    words.append(f"\nimport {root} as {member}")
                 else:
                     words.append(f"from .{root} import {member} now")
             # container-image refs (drives extractors/images.py): yaml
@@ -326,7 +328,7 @@ def generate_transcripts(
     ``catalog.parquet``. Idempotent: returns immediately if a
     ``_SYNTH_OK`` marker with matching params exists."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v14"
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v15"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:

@@ -238,3 +238,87 @@ def test_arrow_fast_assembly_row_identical_to_pandas_kernel():
     ).to_pandas()
     assert (ref["pred"] == "has_member").any()
     pd.testing.assert_frame_equal(ref, fast)  # exact rows, exact order
+
+
+def test_fast_assembly_null_tool_block_without_empty_string():
+    """A block whose tool dictionary contains NO '' (only nulls and a
+    real tool) must still emit null-obj uses_tool rows for the null-tool
+    turns — the -1 null code must never collide with the kernel's
+    empty-tool sentinel (round-3 ADVICE: tool_empty = -1 silently
+    dropped them when '' was absent from the dictionary)."""
+    import pandas as pd
+    import pyarrow as pa
+    from coco_search_ray.pipelines.kg import (
+        _assemble_conv_local_arrow,
+        assemble_conv_local_fast,
+    )
+
+    df = pd.DataFrame(
+        {
+            "conv_id": ["c0", "c0", "c0", "c0"],
+            "turn_idx": pd.array([0, 0, 1, 2], dtype="int32"),
+            "mention_ord": [0, 1, 0, 0],
+            "kind_code": pd.array([0, 0, 0, 0], dtype="int8"),
+            "val": ["E000", "E001", "E000", "E002"],
+            "tool": [None, None, "bash", None],
+        }
+    )
+    ref = _assemble_conv_local_arrow(df.copy(), [], []).to_pandas()
+    fast = assemble_conv_local_fast(
+        pa.Table.from_pandas(df, preserve_index=False), [], []
+    ).to_pandas()
+    # null-tool turns DO produce uses_tool rows (obj null), per the
+    # pandas spec (tool != '')
+    ut = fast[fast["pred"] == "uses_tool"]
+    assert len(ut) == 4 and ut["obj"].isna().sum() == 3
+    pd.testing.assert_frame_equal(ref, fast)
+
+
+def test_import_as_rule_anchored_to_statement_start():
+    """'from x import y as z' must NOT emit y via the aliased-import
+    rule (round-3 ADVICE); a statement-start 'import mod as alias'
+    still extracts."""
+    from coco_search_ray.extractors import imports as imp
+
+    assert imp.extract("from pkg.sub import thing as t") == ["pkg.sub"]
+    assert imp.extract("import numpy as np") == ["numpy"]
+    assert imp.extract("setup code\nimport numpy as np") == ["numpy"]
+    assert imp.extract("x = 1; import numpy as np") == ["numpy"]
+    # mid-prose aliased import is NOT a statement
+    assert imp.extract("we then import numpy as np here") == []
+
+
+def test_entity_index_odd_dim_localizes():
+    """EntityIndex with dim % 32 != 0 must survive broadcast.localize
+    (round-3 ADVICE: the lambda embed fallback broke stdlib pickling,
+    crashing every link task under localize_arrays=True)."""
+    from coco_search_ray.functions.broadcast import localize
+    from coco_search_ray.functions.linker_core import EntityIndex
+
+    rows = [
+        {"entity_id": "E000", "canonical_name": "alpha", "description": "a"},
+        {"entity_id": "E001", "canonical_name": "beta", "description": "b"},
+    ]
+    idx = localize(EntityIndex(rows, dim=100))
+    res = idx.link("alpha")
+    assert res is not None and res.entity_id == "E000"
+
+
+def test_spill_stream_branch_identical_triples(ray_session, smoke_dir, tmp_path):
+    """The file-backed two-phase branch (spill_stream=True: extraction
+    streams to parquet once, unique + lookup passes re-read from disk,
+    NOTHING pins the mention stream in the object store) must produce
+    the exact triple set of the default pinned branch."""
+    import pandas as pd
+    from coco_search_ray.pipelines.kg import build_kg_from_dir
+
+    sdir = str(tmp_path / "stream")
+    pinned = build_kg_from_dir(smoke_dir, concurrency=2).to_pandas()
+    spilled = build_kg_from_dir(
+        smoke_dir, concurrency=2, spill_stream=True, stream_spill_dir=sdir
+    ).to_pandas()
+    import os
+
+    files = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+    assert files, "spill branch must write the stream to the spill dir"
+    pd.testing.assert_frame_equal(_sorted(pinned), _sorted(spilled))
