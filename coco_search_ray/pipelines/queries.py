@@ -1062,11 +1062,16 @@ _TRIPLES_CACHE: dict[str, object] = {}
 def kg_triples(sf_dir: str):
     """Flagship pipeline output; materialized once per tier per process —
     several kg_* queries consume the same triples, and the driver runs
-    them all in one session. Rows-only by necessity (mention detection +
-    hybrid linking + canonicalization are not SQL) — correctness is
-    pinned by the in-repo single-process oracle (P/R = 1.0 pytest,
-    oracle/kg_oracle.py) and every downstream stat/join over the triple
-    table IS value-checked via the export oracles."""
+    them all in one session. VALUE-CHECKED via export-backed oracle:
+    the non-SQL halves (mention detection, hybrid linking,
+    canonicalization) are exported as the per-turn mention stream + the
+    unique-surface linkmap (both computed through the PURE kernels, no
+    Ray execution), and KG_TRIPLES_SQL independently re-derives the
+    FULL triple set — entity dedup, mention pairs, uses_tool,
+    replies_to adjacency, literal attachment, qualified hierarchy,
+    exact dedup — in DuckDB over those exports. Any distribution bug in
+    the Ray path (sharding, shuffle, dictionary fast paths, assembly
+    kernels) therefore fails the hash compare."""
     from .kg import build_kg_from_dir
 
     tier = tier_for_sf_dir(sf_dir)
@@ -1078,9 +1083,122 @@ def kg_triples(sf_dir: str):
             # make the triple table visible to the export-based kg_*
             # oracles (downstream stats/joins re-derived in SQL)
             _export_table(sf_dir, "kg_triples", pa.Table.from_pandas(ds.to_pandas(), preserve_index=False))
+            _export_kg_stream_and_linkmap(sf_dir, data_dir)
         _TRIPLES_CACHE.clear()
         _TRIPLES_CACHE[tier] = ds
     return ds
+
+
+def _export_kg_stream_and_linkmap(sf_dir: str, data_dir: str) -> None:
+    """Export the two non-SQL intermediates the kg_triples oracle needs:
+    the per-turn mention stream and the unique-surface linkmap. Both are
+    produced by the PURE kernels directly (extract_mention_rows over the
+    files in-driver is Ray Data too, but single-pass; linking via
+    EntityIndex.link_many + canonical_mapping as in oracle/kg_oracle.py)
+    so the SQL's re-derivation exercises the DISTRIBUTED execution."""
+    from ..functions.linker_core import EntityIndex
+    from ..sources.synth import load_catalog, transcript_files
+    from ..stages.canonicalize import canonical_mapping
+    from .kg import extract_mentions_ds
+
+    stream = extract_mentions_ds(transcript_files(data_dir)).to_pandas()
+    kind = stream["kind_code"].to_numpy()
+    surf = stream["mention"].to_numpy()
+    keys = sorted(
+        set(surf[kind == 0])
+        | {s.split(".", 1)[0] for s in surf[kind <= -2]}
+    )
+    catalog = load_catalog(data_dir)
+    index = EntityIndex(catalog.to_pylist())
+    mapping = canonical_mapping(catalog.to_pylist())
+    ents = [
+        (mapping.get(r.entity_id, r.entity_id) if r else None)
+        for r in index.link_many(keys)
+    ]
+    _export_table(
+        sf_dir, "kg_mention_stream", pa.Table.from_pandas(stream, preserve_index=False)
+    )
+    _export_table(
+        sf_dir,
+        "kg_linkmap",
+        pa.table({"k": pa.array(keys, pa.string()), "ent": pa.array(ents, pa.string())}),
+    )
+
+
+def _kg_predmap_values() -> str:
+    """(kind_code, pred) VALUES list for the kg_triples oracle, from the
+    same registry plan the pipeline captures (literal family i -> code
+    i+1, qualified family i -> code -2-i; stages/extract.py:45)."""
+    from ..stages.extract import family_plan
+
+    _ents, lit_specs, qual_specs = family_plan()
+    pairs = [(i + 1, p) for i, (_n, p) in enumerate(lit_specs)]
+    pairs += [(-2 - i, p) for i, (_n, p) in enumerate(qual_specs)]
+    return ", ".join(f"({k}, '{p}')" for k, p in pairs)
+
+
+# Independent SQL re-derivation of the FULL triple set from the exported
+# mention stream + linkmap: keep-first entity dedup per turn, ordered
+# mention pairs, uses_tool on non-empty tool, replies_to on ADJACENT
+# turns, literal attachment to the turn's first entity, qualified
+# root.tail hierarchy, exact dedup on the whole row. Mirrors the rules in
+# pipelines/kg.py assembly kernels (and reference deps/extractor.py
+# dedup-key shape) without sharing any of their code.
+KG_TRIPLES_SQL = f"""
+WITH ms AS (
+  SELECT * FROM read_parquet('{_EXP}/kg_mention_stream.parquet')
+), lm AS (
+  SELECT k, ent FROM read_parquet('{_EXP}/kg_linkmap.parquet')
+), rl AS (
+  SELECT m.conv_id, m.turn_idx, m.mention_ord, m.kind_code, m.mention, m.tool,
+         CASE WHEN m.kind_code = 0 THEN l0.ent
+              WHEN m.kind_code <= -2 THEN lr.ent END AS ent,
+         CASE WHEN m.kind_code <= -2
+              THEN substr(m.mention, strpos(m.mention, '.') + 1) END AS tail
+  FROM ms m
+  LEFT JOIN lm l0 ON m.kind_code = 0 AND l0.k = m.mention
+  LEFT JOIN lm lr ON m.kind_code <= -2 AND lr.k = split_part(m.mention, '.', 1)
+), ded AS (
+  SELECT conv_id, turn_idx, ent, min(tool) AS tool, min(mention_ord) AS ord0
+  FROM rl WHERE ent IS NOT NULL AND (kind_code = 0 OR kind_code <= -2)
+  GROUP BY conv_id, turn_idx, ent
+), rk AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ord0) AS r
+  FROM ded
+), firsts AS (
+  SELECT conv_id, turn_idx, ent FROM rk WHERE r = 1
+), predmap AS (
+  SELECT * FROM (VALUES {{predmap}}) AS t(kind, pred)
+), pairs AS (
+  SELECT a.ent AS subj, 'mentions' AS pred, b.ent AS obj, a.conv_id, a.turn_idx
+  FROM rk a JOIN rk b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.r < b.r
+), uses AS (
+  SELECT ent AS subj, 'uses_tool' AS pred, tool AS obj, conv_id, turn_idx
+  FROM rk WHERE tool <> ''
+), rep AS (
+  SELECT f.ent AS subj, 'replies_to' AS pred, p.ent AS obj, f.conv_id, f.turn_idx
+  FROM firsts f JOIN firsts p
+    ON f.conv_id = p.conv_id AND p.turn_idx = f.turn_idx - 1
+), lits AS (
+  SELECT f.ent AS subj, pm.pred, rl.mention AS obj, rl.conv_id, rl.turn_idx
+  FROM rl
+  JOIN firsts f ON f.conv_id = rl.conv_id AND f.turn_idx = rl.turn_idx
+  JOIN predmap pm ON pm.kind = rl.kind_code
+  WHERE rl.kind_code > 0
+), quals AS (
+  SELECT rl.ent AS subj, pm.pred, rl.tail AS obj, rl.conv_id, rl.turn_idx
+  FROM rl JOIN predmap pm ON pm.kind = rl.kind_code
+  WHERE rl.kind_code <= -2 AND rl.ent IS NOT NULL
+)
+SELECT DISTINCT subj, pred, obj, conv_id, turn_idx FROM (
+  SELECT * FROM pairs
+  UNION ALL SELECT * FROM uses
+  UNION ALL SELECT * FROM rep
+  UNION ALL SELECT * FROM lits
+  UNION ALL SELECT * FROM quals
+)
+""".replace("{predmap}", _kg_predmap_values())
 
 
 def kg_triples_by_pred(sf_dir: str) -> pd.DataFrame:
@@ -1200,7 +1318,7 @@ REGISTRY: dict[str, tuple] = {
     "q_ann_ivf": (q_ann_ivf, None),
     "q_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
     "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
-    "kg_triples": (kg_triples, None),
+    "kg_triples": (kg_triples, KG_TRIPLES_SQL),
     "kg_triples_by_pred": (kg_triples_by_pred, KG_TRIPLES_BY_PRED_SQL),
     "kg_top_entities": (kg_top_entities, KG_TOP_ENTITIES_SQL),
     "kg_qa_summary": (kg_qa_summary, KG_QA_SUMMARY_SQL),

@@ -37,6 +37,11 @@ from ..functions.sketches import (
 )
 
 
+# fan-in width for sketch merges: the driver pulls at most this many
+# pre-folded sketch rows regardless of input block count
+_FANIN_BLOCKS = 16
+
+
 def hll_count_distinct(ds: ray.data.Dataset, col: str, p: int = 12) -> float:
     """Approximate distinct count of ``col`` (relative error ~1.04/sqrt(2^p),
     ~1.6% at p=12)."""
@@ -47,7 +52,23 @@ def hll_count_distinct(ds: ray.data.Dataset, col: str, p: int = 12) -> float:
         hll_add_hashes(regs, hashes_of_strings(vals), p)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
-    parts = ds.map_batches(block_registers, batch_format="pyarrow").take_all()
+    def fold_registers(b: pa.Table) -> pa.Table:
+        regs = hll_make_registers(p)
+        for buf in b["regs"].to_pylist():
+            regs = hll_merge(regs, np.frombuffer(buf, dtype=np.uint8))
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    # fan-in reduce (repartition-coalesce + per-block fold, the kg.py
+    # branch-decision trick): the driver pull is <= _FANIN_BLOCKS rows no
+    # matter how many input blocks there are — a take_all of per-block
+    # registers is O(blocks) driver state (~4 GB at 10^6 blocks at p=12).
+    # Max-merge is associative+commutative, so the estimate is identical.
+    parts = (
+        ds.map_batches(block_registers, batch_format="pyarrow")
+        .repartition(_FANIN_BLOCKS)
+        .map_batches(fold_registers, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
     merged = hll_make_registers(p)
     for row in parts:
         merged = hll_merge(merged, np.frombuffer(row["regs"], dtype=np.uint8))
@@ -94,7 +115,27 @@ def cms_heavy_hitters(
             }
         )
 
-    parts = ds.map_batches(block_sketch, batch_format="pyarrow").take_all()
+    def fold_sketches(b: pa.Table) -> pa.Table:
+        cms = cms_make(d, w)
+        n = 0
+        for buf, nr in zip(b["cms"].to_pylist(), b["n_rows"].to_pylist()):
+            cms = cms_merge(cms, np.frombuffer(buf, dtype=np.int64).reshape(d, w))
+            n += nr
+        return pa.table(
+            {
+                "cms": pa.array([cms.tobytes()], pa.binary()),
+                "n_rows": pa.array([n], pa.int64()),
+            }
+        )
+
+    # same fan-in reduce as hll_count_distinct — a (d x w) int64 CMS is
+    # ~128 KB per block, so an O(blocks) take_all is even worse here
+    parts = (
+        ds.map_batches(block_sketch, batch_format="pyarrow")
+        .repartition(_FANIN_BLOCKS)
+        .map_batches(fold_sketches, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
     merged = cms_make(d, w)
     n_total = 0
     for row in parts:
