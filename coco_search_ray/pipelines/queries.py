@@ -1255,6 +1255,70 @@ SELECT qa_status, count(*) AS n_turns FROM f GROUP BY qa_status
 """
 
 
+def kg_analyze(sf_dir: str) -> pd.DataFrame:
+    """Index-health report over the built KG (reference analog: the
+    index-analysis layer, search/analyze.py coverage/diagnostics). One
+    tall (section, key, n, share) table: per-pred triple counts, per-
+    family mention yield, linked/unlinked rate over linkable surfaces,
+    and turn coverage — every section re-derived independently in SQL
+    over the same exports the kg_triples oracle uses."""
+    from .analyze import kg_index_health
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    triples = kg_triples(sf_dir)  # cached; exports stream+linkmap at gate tier
+    return kg_index_health(data_dir, triples)
+
+
+def _kg_fammap_values() -> str:
+    from .analyze import _family_name_map
+
+    return ", ".join(f"({k}, '{n}')" for k, n in _family_name_map().items())
+
+
+KG_ANALYZE_SQL = f"""
+WITH tr AS (
+  SELECT * FROM read_parquet('{_EXP}/kg_triples.parquet')
+), ms AS (
+  SELECT * FROM read_parquet('{_EXP}/kg_mention_stream.parquet')
+), lm AS (
+  SELECT k, ent FROM read_parquet('{_EXP}/kg_linkmap.parquet')
+), fam AS (
+  SELECT * FROM (VALUES {{fammap}}) AS t(kind, name)
+), linkrows AS (
+  SELECT m.conv_id, m.turn_idx,
+         CASE WHEN l.ent IS NOT NULL THEN 1 ELSE 0 END AS is_linked
+  FROM ms m
+  LEFT JOIN lm l
+    ON l.k = CASE WHEN m.kind_code <= -2
+                  THEN split_part(m.mention, '.', 1) ELSE m.mention END
+  WHERE m.kind_code = 0 OR m.kind_code <= -2
+), base AS (
+  SELECT 'pred' AS section, pred AS "key", count(*)::BIGINT AS n
+  FROM tr GROUP BY pred
+  UNION ALL
+  SELECT 'family', f.name, count(*)::BIGINT
+  FROM ms m JOIN fam f ON f.kind = m.kind_code GROUP BY f.name
+  UNION ALL
+  SELECT 'link', 'linked', coalesce(sum(is_linked), 0)::BIGINT FROM linkrows
+  UNION ALL
+  SELECT 'link', 'unlinked', coalesce(sum(1 - is_linked), 0)::BIGINT FROM linkrows
+  UNION ALL
+  SELECT 'turns', 'with_entities', count(*)::BIGINT FROM (
+    SELECT DISTINCT conv_id, turn_idx FROM linkrows WHERE is_linked = 1
+  )
+  UNION ALL
+  SELECT 'turns', 'without_entities',
+         (SELECT count(*) FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet'))::BIGINT
+         - (SELECT count(*) FROM (
+              SELECT DISTINCT conv_id, turn_idx FROM linkrows WHERE is_linked = 1
+            ))::BIGINT
+)
+SELECT section, "key", n,
+       coalesce(round(n / nullif(sum(n) OVER (PARTITION BY section), 0), 6), 0.0) AS share
+FROM base
+""".replace("{fammap}", _kg_fammap_values())
+
+
 def kg_normalized_turns(sf_dir: str):
     """M0 slice over synthetic transcripts. The oracle replays the full
     normalization (role fold + whitelist, tool fold + none-collapse,
@@ -1319,6 +1383,7 @@ REGISTRY: dict[str, tuple] = {
     "q_embedding_neardup": (q_embedding_neardup, Q_EMBEDDING_NEARDUP_SQL),
     "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
     "kg_triples": (kg_triples, KG_TRIPLES_SQL),
+    "kg_analyze": (kg_analyze, KG_ANALYZE_SQL),
     "kg_triples_by_pred": (kg_triples_by_pred, KG_TRIPLES_BY_PRED_SQL),
     "kg_top_entities": (kg_top_entities, KG_TOP_ENTITIES_SQL),
     "kg_qa_summary": (kg_qa_summary, KG_QA_SUMMARY_SQL),

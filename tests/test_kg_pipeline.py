@@ -322,3 +322,22 @@ def test_spill_stream_branch_identical_triples(ray_session, smoke_dir, tmp_path)
     files = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
     assert files, "spill branch must write the stream to the spill dir"
     pd.testing.assert_frame_equal(_sorted(pinned), _sorted(spilled))
+
+
+def test_index_health_report_sections(ray_session, smoke_dir):
+    """kg_index_health: all four sections present, counts consistent
+    with the triple table, shares sum to ~1 per section."""
+    from coco_search_ray.pipelines.analyze import kg_index_health
+    from coco_search_ray.pipelines.kg import build_kg_from_dir
+
+    triples = build_kg_from_dir(smoke_dir).materialize()
+    rep = kg_index_health(smoke_dir, triples)
+    assert set(rep["section"]) == {"pred", "family", "link", "turns"}
+    pred = rep[rep["section"] == "pred"]
+    assert pred["n"].sum() == triples.count()
+    for _s, g in rep.groupby("section"):
+        assert abs(g["share"].sum() - 1.0) < 1e-4
+    link = rep[rep["section"] == "link"].set_index("key")["n"]
+    assert link["linked"] > 0
+    turns = rep[rep["section"] == "turns"].set_index("key")["n"]
+    assert turns["with_entities"] > 0 and turns.sum() > 0
