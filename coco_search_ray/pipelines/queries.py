@@ -1319,6 +1319,57 @@ FROM base
 """.replace("{fammap}", _kg_fammap_values())
 
 
+def q_turn_symbols(sf_dir: str) -> pd.DataFrame:
+    """Parser-grade symbol metadata over transcript turns (reference
+    extract_symbol_metadata surface, indexer/symbols.py:423-483 — first
+    symbol per chunk with type / qualified name / signature; scanner
+    pinned by the reference's ported goldens in tests/test_symbols.py).
+    Grouped by symbol_type with distinct-name counts; the per-turn
+    metadata is exported and the SQL re-derives the grouping (export
+    pattern: extraction is not SQL, the distributed grouping is)."""
+    from ..sources.synth import transcript_files
+    from ..stages.symbols import symbol_metadata_batch
+
+    tier = tier_for_sf_dir(sf_dir)
+    data_dir = ensure_tier(tier)
+    ds = ray.data.read_parquet(
+        transcript_files(data_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+    ds = ds.map_batches(
+        lambda b: symbol_metadata_batch(b, "text"), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b["symbol_type"])).select(
+            ["conv_id", "turn_idx", "symbol_type", "symbol_name"]
+        ),
+        batch_format="pyarrow",
+    )
+    if tier == "correctness":
+        _export_table(
+            sf_dir,
+            "turn_symbols",
+            pa.Table.from_pandas(ds.to_pandas(), preserve_index=False),
+        )
+    from ray.data.aggregate import Count as _Count
+
+    n = ds.groupby("symbol_type").aggregate(_Count(alias_name="n_rows")).to_pandas()
+    names = (
+        ds.groupby(["symbol_type", "symbol_name"]).aggregate(_Count(alias_name="_n"))
+        .groupby("symbol_type").aggregate(_Count(alias_name="n_names")).to_pandas()
+    )
+    out = n.merge(names, on="symbol_type")
+    out = out.astype({"n_rows": "int64", "n_names": "int64"})
+    return out.sort_values("symbol_type", kind="mergesort").reset_index(drop=True)
+
+
+Q_TURN_SYMBOLS_SQL = f"""
+SELECT symbol_type, count(*)::BIGINT AS n_rows,
+       count(DISTINCT symbol_name)::BIGINT AS n_names
+FROM read_parquet('{_EXP}/turn_symbols.parquet')
+GROUP BY symbol_type
+"""
+
+
 def kg_normalized_turns(sf_dir: str):
     """M0 slice over synthetic transcripts. The oracle replays the full
     normalization (role fold + whitelist, tool fold + none-collapse,
@@ -1384,6 +1435,7 @@ REGISTRY: dict[str, tuple] = {
     "q_embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
     "kg_triples": (kg_triples, KG_TRIPLES_SQL),
     "kg_analyze": (kg_analyze, KG_ANALYZE_SQL),
+    "q_turn_symbols": (q_turn_symbols, Q_TURN_SYMBOLS_SQL),
     "kg_triples_by_pred": (kg_triples_by_pred, KG_TRIPLES_BY_PRED_SQL),
     "kg_top_entities": (kg_top_entities, KG_TOP_ENTITIES_SQL),
     "kg_qa_summary": (kg_qa_summary, KG_QA_SUMMARY_SQL),

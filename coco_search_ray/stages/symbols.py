@@ -1,0 +1,492 @@
+"""Parser-grade symbol extraction for python / javascript+typescript /
+go / rust — the reference's tree-sitter symbol surface
+(indexer/symbols.py:355-483 + queries/{python,javascript,go,rust}.scm)
+re-implemented as comment/string-aware scanners (tree-sitter itself is
+not installable in this environment; the scanners reproduce the .scm
+capture semantics and are pinned by the reference's own golden tests,
+ported in tests/test_symbols.py).
+
+Capture semantics mirrored from the .scm files:
+  python     — every class_definition ('class') and function_definition
+               ('function') at ANY depth; methods keep type 'function'
+               but get a Class.name qualified name (container chain =
+               enclosing classes only, intervening functions ignored —
+               reference _build_qualified_name walks class ancestors).
+  javascript — function declarations (incl. async), class declarations,
+               method definitions inside class bodies ('method',
+               qualified Class.name), and const/let arrow functions
+               ('function').
+  go         — func declarations ('function'), receiver methods
+               ('method', qualified Type.Name), type X struct ('class'),
+               type X interface ('interface').
+  rust       — top-level fn ('function'), fn inside impl blocks
+               ('method', qualified by the first type identifier after
+               ``impl`` — the reference's container-name scan picks the
+               same token), struct/enum ('class'), trait ('interface').
+
+Signatures follow reference _build_signature: python = text through the
+def/class colon (multiline signatures included); brace languages = text
+up to the opening '{' (first line when there is no body); 200-char cap.
+
+extract_symbol_metadata(text, language) returns the FIRST symbol in
+source order (or None fields) — the reference returns symbols[0] per
+chunk. extract_symbols returns the full ordered list.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_SIG_CAP = 200  # reference truncates signatures at 200 chars
+
+# reference LANGUAGE_MAP subset for the supported scanners; typescript
+# shares the javascript scanner (same .scm shapes for these captures)
+LANGUAGE_MAP = {
+    "py": "python",
+    "python": "python",
+    "js": "javascript",
+    "jsx": "javascript",
+    "javascript": "javascript",
+    "ts": "javascript",
+    "tsx": "javascript",
+    "typescript": "javascript",
+    "go": "go",
+    "golang": "go",
+    "rs": "rust",
+    "rust": "rust",
+}
+
+
+@dataclass
+class SymbolMetadata:
+    symbol_type: str | None
+    symbol_name: str | None
+    symbol_signature: str | None
+
+
+def _cap(sig: str) -> str:
+    sig = sig.strip()
+    return sig[: _SIG_CAP - 3] + "..." if len(sig) > _SIG_CAP else sig
+
+
+# ---------------------------------------------------------------------------
+# code mask: True where text[i] is code (not string literal / comment)
+# ---------------------------------------------------------------------------
+
+
+def _scan_mask(text: str, line_comment: str, hash_comment: bool = False) -> list[bool]:
+    n = len(text)
+    mask = [True] * n
+    i = 0
+    while i < n:
+        c = text[i]
+        if c in "'\"`":
+            q = c
+            mask[i] = False
+            j = i + 1
+            while j < n and text[j] != q:
+                mask[j] = False
+                if text[j] == "\\":
+                    if j + 1 < n:
+                        mask[j + 1] = False
+                    j += 1
+                j += 1
+            if j < n:
+                mask[j] = False
+            i = j + 1
+            continue
+        if hash_comment and c == "#":
+            while i < n and text[i] != "\n":
+                mask[i] = False
+                i += 1
+            continue
+        if line_comment and text.startswith(line_comment, i):
+            while i < n and text[i] != "\n":
+                mask[i] = False
+                i += 1
+            continue
+        if line_comment and text.startswith("/*", i):
+            end = text.find("*/", i + 2)
+            end = n if end == -1 else end + 2
+            for j in range(i, end):
+                mask[j] = False
+            i = end
+            continue
+        i += 1
+    return mask
+
+
+def _brace_depth(text: str, mask: list[bool]) -> list[int]:
+    """depth[i] = number of unclosed masked '{' strictly before i's
+    enclosing context (the '{' itself reads at its outer depth)."""
+    depth = [0] * (len(text) + 1)
+    d = 0
+    for i, c in enumerate(text):
+        depth[i] = d
+        if mask[i]:
+            if c == "{":
+                d += 1
+            elif c == "}":
+                d = max(0, d - 1)
+    depth[len(text)] = d
+    return depth
+
+
+def _sig_to_brace(text: str, mask: list[bool], start: int) -> str:
+    """Brace-language signature: text from start up to the first masked
+    '{' (first line when no body follows)."""
+    for i in range(start, len(text)):
+        if mask[i] and text[i] == "{":
+            return _cap(text[start:i])
+    nl = text.find("\n", start)
+    return _cap(text[start:] if nl == -1 else text[start:nl])
+
+
+_ID = r"[A-Za-z_][A-Za-z0-9_]*"
+
+
+# ---------------------------------------------------------------------------
+# python
+# ---------------------------------------------------------------------------
+
+_PY_DEF = re.compile(r"^([ \t]*)(async[ \t]+)?def[ \t]+(" + _ID + r")[ \t]*\(", re.M)
+_PY_CLASS = re.compile(r"^([ \t]*)class[ \t]+(" + _ID + r")[ \t]*[:(\n]", re.M)
+
+
+def _py_sig_end(text: str, start: int) -> int:
+    """Index just past the ':' ending a def/class header starting at
+    ``start`` (parens balanced across lines, ':' at paren depth 0)."""
+    d = 0
+    i = start
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if c in "([{":
+            d += 1
+        elif c in ")]}":
+            d -= 1
+        elif c == ":" and d <= 0:
+            return i + 1
+        elif c in "'\"":
+            q = c
+            i += 1
+            while i < n and text[i] != q:
+                i += 2 if text[i] == "\\" else 1
+        elif c == "#":
+            while i < n and text[i] != "\n":
+                i += 1
+            continue
+        i += 1
+    return n
+
+
+def _extract_python(text: str) -> list[dict]:
+    hits: list[tuple[int, int, str, str, str]] = []  # (pos, indent, kind, name, sig)
+    for m in _PY_CLASS.finditer(text):
+        start = m.start() + len(m.group(1))
+        sig = text[start : _py_sig_end(text, start)]
+        hits.append((start, len(m.group(1).expandtabs()), "class", m.group(2), sig))
+    for m in _PY_DEF.finditer(text):
+        start = m.start() + len(m.group(1))
+        sig = text[start : _py_sig_end(text, start)]
+        hits.append((start, len(m.group(1).expandtabs()), "function", m.group(3), sig))
+    hits.sort()
+    out: list[dict] = []
+    stack: list[tuple[int, str, str]] = []  # (indent, kind, name)
+    for pos, indent, kind, name, sig in hits:
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        classes = [n for _i, k, n in stack if k == "class"]
+        qual = ".".join(classes + [name]) if classes else name
+        out.append(
+            {
+                "symbol_type": kind,
+                "symbol_name": qual,
+                "symbol_signature": _cap(sig),
+                "_pos": pos,
+            }
+        )
+        stack.append((indent, kind, name))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# javascript / typescript
+# ---------------------------------------------------------------------------
+
+_JS_FUNC = re.compile(r"\b((?:async[ \t]+)?function[ \t*]+(" + _ID + r")[ \t]*\()")
+_JS_CLASS = re.compile(r"\bclass[ \t]+(" + _ID + r")")
+_JS_ARROW = re.compile(
+    r"\b((?:const|let)[ \t]+(" + _ID + r")[ \t]*=[ \t]*"
+    r"(?:async[ \t]*)?(?:\([^()]*\)|" + _ID + r")[ \t]*=>)"
+)
+_JS_METHOD = re.compile(
+    r"(?:^|[{};\n])[ \t]*((?:static[ \t]+)?(?:async[ \t]+)?(?:get[ \t]+|set[ \t]+)?"
+    r"(" + _ID + r")[ \t]*\()"
+)
+_JS_KEYWORDS = {"if", "for", "while", "switch", "catch", "return", "function", "new", "typeof", "await", "constructor"}
+
+
+def _extract_javascript(text: str) -> list[dict]:
+    mask = _scan_mask(text, "//")
+    depth = _brace_depth(text, mask)
+    out: list[dict] = []
+    classes: list[tuple[int, int, str]] = []  # (body_start, body_depth, name)
+    for m in _JS_CLASS.finditer(text):
+        if not mask[m.start()]:
+            continue
+        name = m.group(1)
+        out.append(
+            {
+                "symbol_type": "class",
+                "symbol_name": name,
+                "symbol_signature": _sig_to_brace(text, mask, m.start()),
+                "_pos": m.start(),
+            }
+        )
+        for i in range(m.end(), len(text)):
+            if mask[i] and text[i] == "{":
+                classes.append((i, depth[i] + 1, name))
+                break
+    for m in _JS_FUNC.finditer(text):
+        if not mask[m.start(1)]:
+            continue
+        out.append(
+            {
+                "symbol_type": "function",
+                "symbol_name": m.group(2),
+                "symbol_signature": _sig_to_brace(text, mask, m.start(1)),
+                "_pos": m.start(1),
+            }
+        )
+    for m in _JS_ARROW.finditer(text):
+        if not mask[m.start(1)]:
+            continue
+        out.append(
+            {
+                "symbol_type": "function",
+                "symbol_name": m.group(2),
+                "symbol_signature": _sig_to_brace(text, mask, m.start(1)),
+                "_pos": m.start(1),
+            }
+        )
+    for m in _JS_METHOD.finditer(text):
+        p = m.start(1)
+        name = m.group(2)
+        if not mask[p] or name in _JS_KEYWORDS:
+            continue
+        owner = None
+        for body_start, body_depth, cname in classes:
+            if p > body_start and depth[p] == body_depth:
+                owner = cname
+        if owner is None:
+            continue
+        out.append(
+            {
+                "symbol_type": "method",
+                "symbol_name": f"{owner}.{name}",
+                "symbol_signature": _sig_to_brace(text, mask, p),
+                "_pos": p,
+            }
+        )
+    out.sort(key=lambda s: s["_pos"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# go
+# ---------------------------------------------------------------------------
+
+_GO_METHOD = re.compile(
+    r"\bfunc[ \t]+\([ \t]*" + _ID + r"[ \t]+\*?[ \t]*(" + _ID + r")[ \t]*\)"
+    r"[ \t]+(" + _ID + r")[ \t]*\("
+)
+_GO_FUNC = re.compile(r"\bfunc[ \t]+(" + _ID + r")[ \t]*\(")
+_GO_TYPE = re.compile(r"\btype[ \t]+(" + _ID + r")[ \t]+(struct|interface)\b")
+
+
+def _extract_go(text: str) -> list[dict]:
+    mask = _scan_mask(text, "//")
+    out: list[dict] = []
+    for m in _GO_METHOD.finditer(text):
+        if mask[m.start()]:
+            out.append(
+                {
+                    "symbol_type": "method",
+                    "symbol_name": f"{m.group(1)}.{m.group(2)}",
+                    "symbol_signature": _sig_to_brace(text, mask, m.start()),
+                    "_pos": m.start(),
+                }
+            )
+    for m in _GO_FUNC.finditer(text):
+        if mask[m.start()]:
+            out.append(
+                {
+                    "symbol_type": "function",
+                    "symbol_name": m.group(1),
+                    "symbol_signature": _sig_to_brace(text, mask, m.start()),
+                    "_pos": m.start(),
+                }
+            )
+    for m in _GO_TYPE.finditer(text):
+        if mask[m.start()]:
+            out.append(
+                {
+                    "symbol_type": "class" if m.group(2) == "struct" else "interface",
+                    "symbol_name": m.group(1),
+                    "symbol_signature": _sig_to_brace(text, mask, m.start()),
+                    "_pos": m.start(),
+                }
+            )
+    out.sort(key=lambda s: s["_pos"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# rust
+# ---------------------------------------------------------------------------
+
+_RS_VIS = r"(?:pub(?:\([a-z ]*\))?[ \t]+)?"
+_RS_FN = re.compile(
+    r"\b(" + _RS_VIS + r"(?:async[ \t]+)?(?:unsafe[ \t]+)?(?:const[ \t]+)?"
+    r"fn[ \t]+(" + _ID + r"))[ \t]*[(<]"
+)
+_RS_IMPL = re.compile(r"\bimpl\b(?:[ \t]*<[^>]*>)?[ \t]+(" + _ID + r")")
+_RS_STRUCT = re.compile(r"\b(" + _RS_VIS + r"struct[ \t]+(" + _ID + r"))")
+_RS_ENUM = re.compile(r"\b(" + _RS_VIS + r"enum[ \t]+(" + _ID + r"))")
+_RS_TRAIT = re.compile(r"\b(" + _RS_VIS + r"trait[ \t]+(" + _ID + r"))")
+
+
+def _extract_rust(text: str) -> list[dict]:
+    mask = _scan_mask(text, "//")
+    depth = _brace_depth(text, mask)
+    out: list[dict] = []
+    impls: list[tuple[int, int, int, str]] = []  # (body_start, body_end, body_depth, name)
+    for m in _RS_IMPL.finditer(text):
+        if not mask[m.start()]:
+            continue
+        for i in range(m.end(), len(text)):
+            if mask[i] and text[i] == "{":
+                d = depth[i] + 1
+                end = len(text)
+                for j in range(i + 1, len(text)):
+                    if mask[j] and text[j] == "}" and depth[j] == d - 1:
+                        end = j
+                        break
+                impls.append((i, end, d, m.group(1)))
+                break
+    for m in _RS_FN.finditer(text):
+        p = m.start(1)
+        if not mask[p]:
+            continue
+        owner = None
+        for body_start, body_end, body_depth, iname in impls:
+            if body_start < p < body_end and depth[p] == body_depth:
+                owner = iname
+        if owner is not None:
+            out.append(
+                {
+                    "symbol_type": "method",
+                    "symbol_name": f"{owner}.{m.group(2)}",
+                    "symbol_signature": _sig_to_brace(text, mask, p),
+                    "_pos": p,
+                }
+            )
+        elif depth[p] == 0:
+            # top-level only (source_file children in the .scm); fn
+            # inside trait bodies / nested fns are not captured
+            out.append(
+                {
+                    "symbol_type": "function",
+                    "symbol_name": m.group(2),
+                    "symbol_signature": _sig_to_brace(text, mask, p),
+                    "_pos": p,
+                }
+            )
+    for rx, stype in ((_RS_STRUCT, "class"), (_RS_ENUM, "class"), (_RS_TRAIT, "interface")):
+        for m in rx.finditer(text):
+            if mask[m.start(1)]:
+                out.append(
+                    {
+                        "symbol_type": stype,
+                        "symbol_name": m.group(2),
+                        "symbol_signature": _sig_to_brace(text, mask, m.start(1)),
+                        "_pos": m.start(1),
+                    }
+                )
+    out.sort(key=lambda s: s["_pos"])
+    return out
+
+
+_SCANNERS = {
+    "python": _extract_python,
+    "javascript": _extract_javascript,
+    "go": _extract_go,
+    "rust": _extract_rust,
+}
+
+
+def extract_symbols(text: str, language: str) -> list[dict]:
+    """All symbols in source order: dicts with symbol_type, symbol_name,
+    symbol_signature (reference _extract_symbols_with_query shape)."""
+    lang = LANGUAGE_MAP.get(language)
+    if lang is None or not text:
+        return []
+    try:
+        syms = _SCANNERS[lang](text)
+    except Exception:
+        return []  # reference returns NULL fields on parse failure
+    return [{k: v for k, v in s.items() if k != "_pos"} for s in syms]
+
+
+def extract_symbol_metadata(text: str, language: str) -> SymbolMetadata:
+    """First symbol in the chunk (reference extract_symbol_metadata:
+    symbols[0]), or None fields for no symbols / unsupported language."""
+    syms = extract_symbols(text, language)
+    if syms:
+        return SymbolMetadata(**syms[0])
+    return SymbolMetadata(None, None, None)
+
+
+# deterministic language hint for free text (transcript turns have no
+# file extension): first matching keyword wins — our own addition, the
+# reference always knows the language from the indexed file
+_LANG_HINTS = (
+    (re.compile(r"(?:^|\n)[ \t]*(?:async[ \t]+)?def[ \t]|\bdef[ \t]+[A-Za-z_]\w*\("), "py"),
+    (re.compile(r"\bfunc[ \t]+\(|\bfunc[ \t]+[A-Za-z_]\w*\(|\btype[ \t]+\w+[ \t]+(?:struct|interface)\b"), "go"),
+    (re.compile(r"\bfn[ \t]+[A-Za-z_]\w*[(<]|\bimpl\b|\btrait[ \t]"), "rs"),
+    (re.compile(r"\bfunction[ \t]+[A-Za-z_]|\b(?:const|let)[ \t]+\w+[ \t]*=.*=>|\bclass[ \t]+\w+[ \t]*\{"), "js"),
+    (re.compile(r"\bclass[ \t]+\w+[ \t]*[:(]"), "py"),
+)
+
+
+def guess_language(text: str) -> str | None:
+    for rx, lang in _LANG_HINTS:
+        if rx.search(text):
+            return lang
+    return None
+
+
+def symbol_metadata_batch(batch, text_col: str = "text", lang_col: str | None = None):
+    """map_batches stage: append symbol_type / symbol_name /
+    symbol_signature columns (first symbol per row, reference
+    extract_symbol_metadata shape). Stateless, regexes module-compiled
+    once per process; language from ``lang_col`` when given else
+    guess_language."""
+    import pyarrow as pa
+
+    texts = batch[text_col].to_pylist()
+    langs = batch[lang_col].to_pylist() if lang_col else [None] * len(texts)
+    types: list[str | None] = []
+    names: list[str | None] = []
+    sigs: list[str | None] = []
+    for t, lg in zip(texts, langs):
+        t = t or ""
+        meta = extract_symbol_metadata(t, lg or guess_language(t) or "")
+        types.append(meta.symbol_type)
+        names.append(meta.symbol_name)
+        sigs.append(meta.symbol_signature)
+    return batch.append_column("symbol_type", pa.array(types, pa.string())) \
+        .append_column("symbol_name", pa.array(names, pa.string())) \
+        .append_column("symbol_signature", pa.array(sigs, pa.string()))

@@ -1,0 +1,253 @@
+"""Reference symbol-extraction goldens, ported (reference
+tests/unit/indexer/symbols/test_{python,javascript,go,rust}.py) against
+the scanner in stages/symbols.py. No Ray needed — pure kernels."""
+
+from coco_search_ray.stages.symbols import (
+    extract_symbol_metadata,
+    extract_symbols,
+    guess_language,
+)
+
+
+# --- python (reference test_python.py) ---------------------------------
+
+
+def test_py_simple_function():
+    r = extract_symbol_metadata("def foo(): pass", "py")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == (
+        "function", "foo", "def foo():",
+    )
+
+
+def test_py_function_with_parameters():
+    r = extract_symbol_metadata("def bar(x, y=10): pass", "py")
+    assert r.symbol_name == "bar"
+    assert r.symbol_signature == "def bar(x, y=10):"
+
+
+def test_py_type_hints():
+    r = extract_symbol_metadata("def baz(x: int, y: str = 'default') -> dict:\n    pass", "py")
+    assert r.symbol_signature == "def baz(x: int, y: str = 'default') -> dict:"
+
+
+def test_py_async_function():
+    r = extract_symbol_metadata("async def fetch(url: str) -> str:\n    pass", "py")
+    assert (r.symbol_type, r.symbol_name) == ("function", "fetch")
+    assert r.symbol_signature == "async def fetch(url: str) -> str:"
+
+
+def test_py_decorated_function():
+    r = extract_symbol_metadata("@property\ndef name(self):\n    pass", "py")
+    assert (r.symbol_type, r.symbol_name) == ("function", "name")
+    assert r.symbol_signature == "def name(self):"
+
+
+def test_py_multiple_decorators():
+    code = "@staticmethod\n@lru_cache(maxsize=128)\ndef compute(x: int) -> int:\n    pass"
+    r = extract_symbol_metadata(code, "py")
+    assert r.symbol_name == "compute"
+    assert "def compute(x: int) -> int:" in r.symbol_signature
+
+
+def test_py_multiline_signature():
+    code = "def configure(\n    host: str,\n    port: int = 8080,\n) -> None:\n    pass"
+    r = extract_symbol_metadata(code, "py")
+    assert r.symbol_name == "configure"
+    assert r.symbol_signature.endswith(") -> None:")
+
+
+def test_py_classes():
+    assert extract_symbol_metadata("class Foo:\n    pass", "py").symbol_signature == "class Foo:"
+    r = extract_symbol_metadata("class Bar(Foo):\n    pass", "py")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("class", "Bar", "class Bar(Foo):")
+    r = extract_symbol_metadata("class Container(Generic[T], Iterable[T]):\n    pass", "py")
+    assert r.symbol_name == "Container" and "Generic[T]" in r.symbol_signature
+
+
+def test_py_class_first_before_method():
+    code = "class Calculator:\n    def add(self, x: int, y: int) -> int:\n        return x + y\n"
+    r = extract_symbol_metadata(code, "python")
+    assert (r.symbol_type, r.symbol_name) == ("class", "Calculator")
+    # the method appears later in the list, class-qualified
+    syms = extract_symbols(code, "python")
+    assert syms[1]["symbol_name"] == "Calculator.add"
+    assert syms[1]["symbol_type"] == "function"
+
+
+def test_py_decorated_method_keeps_class_first():
+    code = "class MyClass:\n    @classmethod\n    def from_dict(cls, data: dict):\n        pass\n"
+    r = extract_symbol_metadata(code, "py")
+    assert (r.symbol_type, r.symbol_name) == ("class", "MyClass")
+
+
+def test_py_nested_function_outer_first():
+    code = "def outer():\n    def inner():\n        pass\n    return inner\n"
+    r = extract_symbol_metadata(code, "py")
+    assert (r.symbol_type, r.symbol_name) == ("function", "outer")
+
+
+def test_py_empty_and_prose():
+    assert extract_symbol_metadata("", "py").symbol_type is None
+    assert extract_symbol_metadata("x = 1\nprint(x)", "py").symbol_type is None
+
+
+# --- javascript (reference test_javascript.py) --------------------------
+
+
+def test_js_simple_function():
+    r = extract_symbol_metadata("function fetchUser() { return null; }", "js")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == (
+        "function", "fetchUser", "function fetchUser()",
+    )
+
+
+def test_js_function_with_parameters():
+    r = extract_symbol_metadata("function add(a, b) { return a + b; }", "js")
+    assert r.symbol_signature == "function add(a, b)"
+
+
+def test_js_arrow_function():
+    r = extract_symbol_metadata("const fetchData = (url) => { return fetch(url); }", "js")
+    assert (r.symbol_type, r.symbol_name) == ("function", "fetchData")
+    assert r.symbol_signature == "const fetchData = (url) =>"
+    r = extract_symbol_metadata("const multiply = (x, y) => x * y;", "js")
+    assert r.symbol_name == "multiply"
+
+
+def test_js_class():
+    r = extract_symbol_metadata("class UserService { }", "js")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == (
+        "class", "UserService", "class UserService",
+    )
+
+
+def test_js_method_qualified():
+    code = "class UserService {\n    fetchUser(id) {\n        return this.users[id];\n    }\n}"
+    r = extract_symbol_metadata(code, "js")
+    assert (r.symbol_type, r.symbol_name) == ("class", "UserService")
+    syms = extract_symbols(code, "javascript")
+    assert len(syms) == 2
+    assert syms[1]["symbol_type"] == "method"
+    assert syms[1]["symbol_name"] == "UserService.fetchUser"
+    assert "fetchUser(id)" in syms[1]["symbol_signature"]
+
+
+def test_js_jsx_and_ts():
+    assert extract_symbol_metadata("function Button() { return 1; }", "jsx").symbol_name == "Button"
+    assert extract_symbol_metadata("function f(x: number): number { return x; }", "ts").symbol_name == "f"
+
+
+def test_js_no_symbols():
+    assert extract_symbol_metadata("const x = 42; console.log(x);", "js").symbol_type is None
+    assert extract_symbol_metadata("", "js").symbol_type is None
+
+
+def test_js_ignores_strings_and_comments():
+    code = "// function fake() {}\nconst s = 'function fake2() {'\nfunction real() {}"
+    syms = extract_symbols(code, "js")
+    assert [s["symbol_name"] for s in syms] == ["real"]
+
+
+# --- go (reference test_go.py) ------------------------------------------
+
+
+def test_go_function():
+    r = extract_symbol_metadata("func Process() error { return nil }", "go")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == (
+        "function", "Process", "func Process() error",
+    )
+
+
+def test_go_pointer_receiver_method():
+    r = extract_symbol_metadata("func (s *Server) Start() error { return nil }", "go")
+    assert (r.symbol_type, r.symbol_name) == ("method", "Server.Start")
+    assert r.symbol_signature == "func (s *Server) Start() error"
+
+
+def test_go_value_receiver_method():
+    r = extract_symbol_metadata("func (c Config) GetPort() int { return c.Port }", "go")
+    assert (r.symbol_type, r.symbol_name) == ("method", "Config.GetPort")
+
+
+def test_go_struct_and_interface():
+    r = extract_symbol_metadata("type Server struct { port int; host string }", "go")
+    assert (r.symbol_type, r.symbol_name) == ("class", "Server")
+    r = extract_symbol_metadata("type Handler interface { Handle() error }", "go")
+    assert (r.symbol_type, r.symbol_name) == ("interface", "Handler")
+
+
+def test_go_no_symbols():
+    assert extract_symbol_metadata("package main\nvar x = 1", "go").symbol_type is None
+
+
+# --- rust (reference test_rust.py) ---------------------------------------
+
+
+def test_rs_function():
+    r = extract_symbol_metadata("fn process() -> Result<(), Error> { Ok(()) }", "rs")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == (
+        "function", "process", "fn process() -> Result<(), Error>",
+    )
+
+
+def test_rs_public_function():
+    r = extract_symbol_metadata("pub fn new() -> Self { Self {} }", "rs")
+    assert (r.symbol_type, r.symbol_name) == ("function", "new")
+
+
+def test_rs_method_in_impl():
+    code = "impl Server {\n    fn start(&self) -> Result<(), Error> {\n        Ok(())\n    }\n}"
+    r = extract_symbol_metadata(code, "rs")
+    assert (r.symbol_type, r.symbol_name) == ("method", "Server.start")
+    assert r.symbol_signature == "fn start(&self) -> Result<(), Error>"
+
+
+def test_rs_multiple_methods_in_impl():
+    code = "impl Server {\n    fn start(&self) {}\n    fn stop(&mut self) {}\n}"
+    syms = extract_symbols(code, "rust")
+    assert [s["symbol_name"] for s in syms] == ["Server.start", "Server.stop"]
+
+
+def test_rs_struct_trait_enum():
+    r = extract_symbol_metadata("struct Server { port: u16, host: String }", "rs")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("class", "Server", "struct Server")
+    assert extract_symbol_metadata("struct Point(i32, i32);", "rs").symbol_name == "Point"
+    r = extract_symbol_metadata("trait Handler { fn handle(&self) -> Result<(), Error>; }", "rs")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("interface", "Handler", "trait Handler")
+    r = extract_symbol_metadata("enum Status { Active, Inactive, Pending }", "rs")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("class", "Status", "enum Status")
+    assert extract_symbol_metadata("enum Message { Quit, Move { x: i32, y: i32 }, Write(String) }", "rs").symbol_name == "Message"
+
+
+def test_rs_trait_fn_not_captured_as_function():
+    # .scm captures top-level fns and impl fns only; trait-body fns are
+    # neither — the first symbol is the trait itself
+    code = "trait Handler {\n    fn handle(&self) -> u8;\n}"
+    syms = extract_symbols(code, "rust")
+    assert [s["symbol_type"] for s in syms] == ["interface"]
+
+
+def test_rs_no_symbols():
+    assert extract_symbol_metadata("use std::io::Result;\nmod tests;", "rs").symbol_type is None
+
+
+# --- shared edges ---------------------------------------------------------
+
+
+def test_unsupported_language_null_fields():
+    r = extract_symbol_metadata("def foo(): pass", "cobol")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == (None, None, None)
+
+
+def test_signature_truncated_at_200():
+    code = "def f(" + ", ".join(f"arg_{i}: int = {i}" for i in range(40)) + "):\n    pass"
+    r = extract_symbol_metadata(code, "py")
+    assert len(r.symbol_signature) == 200 and r.symbol_signature.endswith("...")
+
+
+def test_guess_language():
+    assert guess_language("def foo(x):") == "py"
+    assert guess_language("func (s *S) Run() {") == "go"
+    assert guess_language("fn main() {") == "rs"
+    assert guess_language("function go() {") == "js"
+    assert guess_language("plain prose here") is None
