@@ -1701,6 +1701,24 @@ WITH t AS (
     regexp_extract_all(text, '\\buses:[ \t]*[''"]?([A-Za-z0-9_][A-Za-z0-9_.-]*(?:/[A-Za-z0-9_.-]+)+@[A-Za-z0-9._/-]+)', 1)
     || regexp_extract_all(text, '\\buses:[ \t]*[''"]?(\\./[A-Za-z0-9._/-]+)', 1)
   )) AS n FROM t
+), gl AS (
+  -- gitlab_ci family: include / local / template config refs
+  SELECT len(list_distinct(
+    regexp_extract_all(text, '\\binclude:[ \t]*[''"]?([A-Za-z0-9_][A-Za-z0-9_./-]*\\.ya?ml)', 1)
+    || regexp_extract_all(text, '\\blocal:[ \t]*[''"]?(/?[A-Za-z0-9_][A-Za-z0-9_./-]*\\.ya?ml)', 1)
+    || regexp_extract_all(text, '\\btemplate:[ \t]*[''"]?([A-Za-z0-9_][A-Za-z0-9_./-]*\\.ya?ml)', 1)
+  )) AS n FROM t
+), ex AS (
+  -- ci_extends family: extends: .hidden-template inheritance refs
+  SELECT len(list_distinct(
+    regexp_extract_all(text, '\\bextends:[ \t]*[''"]?(\\.[A-Za-z0-9_-]+)', 1)
+  )) AS n FROM t
+), hm AS (
+  -- helm_tpl family: {{{{ include/template "name" }}}} refs
+  SELECT len(list_distinct(
+    regexp_extract_all(text, '\\{{\\{{-?[ \t]*include[ \t]+"([^"\n]+)"', 1)
+    || regexp_extract_all(text, '\\{{\\{{-?[ \t]*template[ \t]+"([^"\n]+)"', 1)
+  )) AS n FROM t
 ), sym AS (
   -- symbols family: 7 per-language definition rules; the Go-receiver
   -- rule composes Type.Name via regexp_replace with backrefs (same
@@ -1719,6 +1737,9 @@ WITH t AS (
   )) AS n FROM t
 )
 SELECT 'defines_symbol' AS kind, sum(n)::BIGINT AS n_mentions FROM sym
+UNION ALL SELECT 'extends_template', sum(n)::BIGINT FROM ex
+UNION ALL SELECT 'includes_config', sum(n)::BIGINT FROM gl
+UNION ALL SELECT 'uses_helm_template', sum(n)::BIGINT FROM hm
 UNION ALL SELECT 'imports_module', sum(n)::BIGINT FROM i
 UNION ALL SELECT 'links_to', sum(n)::BIGINT FROM u
 UNION ALL SELECT 'mentions_email', sum(n)::BIGINT FROM e
@@ -3017,3 +3038,143 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 REGISTRY.update({"q_events_props_stats": (q_events_props_stats, Q_EVENTS_PROPS_STATS_SQL)})
+
+
+# ---------------------------------------------------------------------------
+# GitLab CI / Helm extraction families (reference deps/extractors/
+# gitlab_ci.py include/local/template + extends chains, helm.py named
+# templates) — parsed + aggregated, full SQL mirror (no export needed)
+# ---------------------------------------------------------------------------
+
+
+def q_gitlab_includes(sf_dir: str) -> pd.DataFrame:
+    """GitLab CI include-resolution parse (reference gitlab_ci.py:67-176
+    include/local/template forms): extract includes_config surfaces from
+    the synth transcripts, split into (dir, file), and count refs +
+    distinct files per directory."""
+    from ..stages.extract import extract_mention_rows
+    from .kg import normalized_turns_ds
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    ds = normalized_turns_ds(data_dir).map_batches(
+        lambda b: extract_mention_rows(
+            b, entity_names=(), literal_specs=(("gitlab_ci", "includes_config"),)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def parse(b: pa.Table) -> pa.Table:
+        parts = pc.extract_regex(b["mention"], r"^(?P<dir>(?:[^/]*/)*)(?P<file>[^/]+)$")
+        parts = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+        parts = parts.filter(pc.is_valid(parts))
+        return pa.table(
+            {
+                "dir": pc.struct_field(parts, "dir"),
+                "file": pc.struct_field(parts, "file"),
+            }
+        )
+
+    parsed = ds.map_batches(parse, batch_format="pyarrow")
+    n = parsed.groupby("dir").aggregate(Count(alias_name="n_refs")).to_pandas()
+    files = (
+        parsed.groupby(["dir", "file"]).aggregate(Count(alias_name="_n")).to_pandas()
+    )
+    nf = files.groupby("dir").size().reset_index(name="n_files")
+    out = n.merge(nf, on="dir")
+    out = out.sort_values(
+        ["n_refs", "dir"], ascending=[False, True], kind="mergesort"
+    ).head(30).reset_index(drop=True)
+    return out[["dir", "n_refs", "n_files"]].astype({"n_refs": "int64", "n_files": "int64"})
+
+
+Q_GITLAB_INCLUDES_SQL = f"""
+WITH t AS (
+  SELECT coalesce(text, '') AS text FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
+), refs AS (
+  -- same three rules + per-turn keep-first dedupe as the pipeline
+  SELECT unnest(list_distinct(
+    regexp_extract_all(text, '\\binclude:[ \t]*[''"]?([A-Za-z0-9_][A-Za-z0-9_./-]*\\.ya?ml)', 1)
+    || regexp_extract_all(text, '\\blocal:[ \t]*[''"]?(/?[A-Za-z0-9_][A-Za-z0-9_./-]*\\.ya?ml)', 1)
+    || regexp_extract_all(text, '\\btemplate:[ \t]*[''"]?([A-Za-z0-9_][A-Za-z0-9_./-]*\\.ya?ml)', 1)
+  )) AS ref FROM t
+), p AS (
+  SELECT regexp_extract(ref, '^((?:[^/]*/)*)([^/]+)$', 1) AS dir,
+         regexp_extract(ref, '^((?:[^/]*/)*)([^/]+)$', 2) AS file
+  FROM refs
+)
+SELECT dir, count(*)::BIGINT AS n_refs, count(DISTINCT file)::BIGINT AS n_files
+FROM p GROUP BY dir
+ORDER BY n_refs DESC, dir LIMIT 30
+"""
+
+
+def q_helm_templates(sf_dir: str) -> pd.DataFrame:
+    """Helm named-template reference parse (reference helm.py:24-25
+    _INCLUDE_RE/_TEMPLATE_RE over {{ include/template "name" }}):
+    extract uses_helm_template surfaces, split chart prefix from the
+    template path on the FIRST '.', count refs + distinct templates
+    per chart."""
+    from ..stages.extract import extract_mention_rows
+    from .kg import normalized_turns_ds
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    ds = normalized_turns_ds(data_dir).map_batches(
+        lambda b: extract_mention_rows(
+            b, entity_names=(), literal_specs=(("helm_tpl", "uses_helm_template"),)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def parse(b: pa.Table) -> pa.Table:
+        parts = pc.extract_regex(b["mention"], r"^(?P<chart>[^.]+)\.(?P<tpl>.+)$")
+        parts = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+        parts = parts.filter(pc.is_valid(parts))
+        return pa.table(
+            {
+                "chart": pc.struct_field(parts, "chart"),
+                "tpl": pc.struct_field(parts, "tpl"),
+            }
+        )
+
+    parsed = ds.map_batches(parse, batch_format="pyarrow")
+    n = parsed.groupby("chart").aggregate(Count(alias_name="n_refs")).to_pandas()
+    tpls = (
+        parsed.groupby(["chart", "tpl"]).aggregate(Count(alias_name="_n")).to_pandas()
+    )
+    nt = tpls.groupby("chart").size().reset_index(name="n_templates")
+    out = n.merge(nt, on="chart")
+    out = out.sort_values(
+        ["n_refs", "chart"], ascending=[False, True], kind="mergesort"
+    ).head(30).reset_index(drop=True)
+    return out[["chart", "n_refs", "n_templates"]].astype(
+        {"n_refs": "int64", "n_templates": "int64"}
+    )
+
+
+Q_HELM_TEMPLATES_SQL = f"""
+WITH t AS (
+  SELECT coalesce(text, '') AS text FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
+), refs AS (
+  -- include rule then template rule, per-turn keep-first dedupe
+  SELECT unnest(list_distinct(
+    regexp_extract_all(text, '\\{{\\{{-?[ \t]*include[ \t]+"([^"\n]+)"', 1)
+    || regexp_extract_all(text, '\\{{\\{{-?[ \t]*template[ \t]+"([^"\n]+)"', 1)
+  )) AS ref FROM t
+), p AS (
+  SELECT regexp_extract(ref, '^([^.]+)\\.(.+)$', 1) AS chart,
+         regexp_extract(ref, '^([^.]+)\\.(.+)$', 2) AS tpl
+  FROM refs
+  WHERE regexp_matches(ref, '^([^.]+)\\.(.+)$')
+)
+SELECT chart, count(*)::BIGINT AS n_refs, count(DISTINCT tpl)::BIGINT AS n_templates
+FROM p GROUP BY chart
+ORDER BY n_refs DESC, chart LIMIT 30
+"""
+
+
+REGISTRY.update(
+    {
+        "q_gitlab_includes": (q_gitlab_includes, Q_GITLAB_INCLUDES_SQL),
+        "q_helm_templates": (q_helm_templates, Q_HELM_TEMPLATES_SQL),
+    }
+)

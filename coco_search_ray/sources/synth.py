@@ -290,6 +290,28 @@ def _generate_shard(
                 else:
                     rtype = qpool[rng.randint(0, n_qpool)]
                     words.append(f'{kw} "{rtype}" "{w}-{rng.randint(0, 9)}" {{')
+            # GitLab CI config material (drives extractors/gitlab_ci.py
+            # include/local/template + extractors/ci_extends.py)
+            if rng.rand() < 0.04:
+                w = _VOCAB[rng.randint(0, len(_VOCAB))]
+                style = rng.randint(0, 4)
+                if style == 0:
+                    words.append(f"include: ci/{w}.yml")
+                elif style == 1:
+                    words.append(f"local: /templates/{w}.yaml")
+                elif style == 2:
+                    words.append(f"template: {w.capitalize()}.gitlab-ci.yml")
+                else:
+                    words.append(f"extends: .{w}-base")
+            # Helm named-template refs (drives extractors/helm_tpl.py);
+            # include vs template forms, with and without the '-' trim
+            if rng.rand() < 0.03:
+                w = _VOCAB[rng.randint(0, len(_VOCAB))]
+                w2 = _VOCAB[rng.randint(0, len(_VOCAB))]
+                if rng.rand() < 0.5:
+                    words.append(f'{{{{ include "{w}.{w2}" . }}}}')
+                else:
+                    words.append(f'{{{{- template "{w}.{w2}" }}}}')
             shard["conv_id"].append(conv_id)
             shard["turn_idx"].append(ti)
             shard["role"].append(role)
@@ -328,7 +350,7 @@ def generate_transcripts(
     ``catalog.parquet``. Idempotent: returns immediately if a
     ``_SYNTH_OK`` marker with matching params exists."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v15"
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v16"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:
