@@ -128,3 +128,110 @@ def load_config(path: str, env: dict[str, str] | None = None) -> PipelineConfig:
     with open(path) as f:
         raw = yaml.safe_load(f) or {}
     return PipelineConfig.model_validate(substitute_env(raw, env))
+
+
+# ---------------------------------------------------------------------------
+# Config generator / onboarding (reference config/generator.py:85-97
+# generate_config writes a documented template and refuses to overwrite;
+# this batch-engine analog also INSPECTS the data directory — shard
+# count / size, catalog breadth, conversation-disjointness — and bakes
+# the findings into the generated values and comments)
+# ---------------------------------------------------------------------------
+
+
+def _inspect_data_dir(data_dir: str, sample_files: int = 4) -> dict:
+    """Cheap deterministic inspection: shard count + bytes, catalog
+    rows, and a conv-disjointness probe over the first few shards (the
+    property the zero-shuffle assembly fast path and the resumable
+    runner rely on)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from .sources.synth import transcript_files
+
+    files = transcript_files(data_dir)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    catalog_rows = None
+    cat = os.path.join(data_dir, "catalog.parquet")
+    if os.path.exists(cat):
+        catalog_rows = pq.read_metadata(cat).num_rows
+    conv_disjoint = None
+    if len(files) >= 2:
+        seen: set = set()
+        conv_disjoint = True
+        for f in files[:sample_files]:
+            convs = set(pq.read_table(f, columns=["conv_id"])["conv_id"].to_pylist())
+            if seen & convs:
+                conv_disjoint = False
+                break
+            seen |= convs
+    return {
+        "n_files": len(files),
+        "total_bytes": total_bytes,
+        "catalog_rows": catalog_rows,
+        "conv_disjoint": conv_disjoint,
+    }
+
+
+def generate_config(data_dir: str, out_path: str) -> str:
+    """Write a documented, VALIDATED pipeline config for ``data_dir``.
+
+    Refuses to overwrite (reference generator raises ConfigError on an
+    existing file); the generated file round-trips through load_config
+    before being reported, so a bad template can never be emitted."""
+    import os
+
+    if os.path.exists(out_path):
+        raise FileExistsError(f"configuration file already exists: {out_path}")
+    info = _inspect_data_dir(data_dir)
+    conv_local = info["conv_disjoint"] is not False  # unknown -> keep fast path
+    gib = info["total_bytes"] / (1 << 30)
+    cat = info["catalog_rows"]
+    text = f"""\
+# coco_search_ray pipeline configuration (generated)
+# data inspected: {info['n_files']} transcript shards, {gib:.2f} GiB,
+# catalog rows: {cat if cat is not None else 'NO catalog.parquet found'},
+# conversation-disjoint shards: {info['conv_disjoint']}
+
+data_dir: {data_dir}
+out_dir: {os.path.normpath(data_dir)}_kg
+
+kg:
+  # zero-shuffle per-file assembly; valid ONLY while a conversation
+  # never spans input files (probe above said {info['conv_disjoint']})
+  conv_local_shards: {str(conv_local).lower()}
+  # link each DISTINCT mention once, broadcast the map (two_phase);
+  # above ~2M distinct surfaces the build escalates to a distributed
+  # linkmap join automatically — or force it here
+  two_phase: true
+  distributed_linkmap: null
+  # per-stage parallelism; null = size to the cluster automatically
+  concurrency: null
+  # directories of drop-in extractor family modules (see examples/)
+  extractor_dirs: []
+
+linking:
+  # reference retrieval constants (hybrid fusion); changing these
+  # changes which surface forms link, hence triple precision/recall
+  rrf_k: 60
+  definition_boost: 2.0
+  prefetch_cap: 100
+  min_score: 0.0
+
+canonicalization:
+  jaccard_threshold: 0.3
+  max_bucket: 64
+
+chunking:
+  chunk_size: 1000
+  chunk_overlap: 300
+
+encoder:
+  name: hash-sha256
+  dim: 768
+"""
+    with open(out_path, "w") as f:
+        f.write(text)
+    load_config(out_path)  # fail loudly if the template ever drifts
+    return out_path

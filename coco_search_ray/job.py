@@ -67,7 +67,19 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("list-queries")
 
+    i = sub.add_parser(
+        "init", help="inspect a data dir and write a documented pipeline config"
+    )
+    i.add_argument("--data", required=True)
+    i.add_argument("--out", default="coco_search_ray.yaml")
+
     args = p.parse_args(argv)
+
+    if args.cmd == "init":
+        from .config import generate_config
+
+        print(generate_config(args.data, args.out))
+        return 0
 
     if args.cmd == "synth":
         from .sources.synth import ensure_tier

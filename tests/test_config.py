@@ -88,3 +88,49 @@ def test_config_params_are_applied(ray_session, smoke_dir, tmp_path):
 
     chunks = split_text("x" * 200, **cfg.chunk_kwargs())
     assert all(c.end - c.start <= 50 for c in chunks)
+
+
+def test_generate_config_inspects_and_roundtrips(tmp_path, smoke_dir):
+    """generate_config (reference config/generator.py analog): writes a
+    documented config reflecting a real inspection of the data dir,
+    refuses to overwrite, and the output loads + validates."""
+    import pytest
+
+    from coco_search_ray.config import generate_config, load_config
+
+    out = str(tmp_path / "coco.yaml")
+    assert generate_config(smoke_dir, out) == out
+    cfg = load_config(out)
+    assert cfg.data_dir == smoke_dir
+    assert cfg.kg.conv_local_shards is True  # synth shards ARE conv-disjoint
+    assert cfg.linking.rrf_k == 60
+    with pytest.raises(FileExistsError):
+        generate_config(smoke_dir, out)
+
+
+def test_generate_config_detects_conv_overlap(tmp_path):
+    """A data dir whose shards SHARE conversations must generate
+    conv_local_shards: false (the zero-shuffle fast path would emit
+    partial-conversation triples there)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coco_search_ray.config import generate_config, load_config
+
+    d = tmp_path / "overlap"
+    d.mkdir()
+    t = pa.table(
+        {
+            "conv_id": ["c1", "c2"],
+            "turn_idx": pa.array([0, 0], pa.int32()),
+            "role": ["user", "user"],
+            "text": ["a", "b"],
+            "tool": ["", ""],
+            "ts": pa.array([0, 0], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(t, str(d / "transcripts-000.parquet"))
+    pq.write_table(t, str(d / "transcripts-001.parquet"))  # same convs
+    out = str(tmp_path / "o.yaml")
+    generate_config(str(d), out)
+    assert load_config(out).kg.conv_local_shards is False
