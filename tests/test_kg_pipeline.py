@@ -341,3 +341,35 @@ def test_index_health_report_sections(ray_session, smoke_dir):
     assert link["linked"] > 0
     turns = rep[rep["section"] == "turns"].set_index("key")["n"]
     assert turns["with_entities"] > 0 and turns.sum() > 0
+
+
+def test_stream_pin_threshold_env_autoselects_spill(ray_session, smoke_dir, tmp_path, monkeypatch):
+    """KG_STREAM_PIN_MAX_INPUT_BYTES=0 makes the AUTO branch spill (any
+    local input is 'too big to pin') and the replay path skip its pin;
+    triples identical to the default build either way."""
+    import pandas as pd
+    from coco_search_ray.pipelines import kg as kgmod
+    from coco_search_ray.pipelines.kg import (
+        build_kg_from_dir,
+        build_kg_from_mention_stream,
+        extract_mentions_ds,
+    )
+    from coco_search_ray.sources.synth import load_catalog, transcript_files
+
+    base = build_kg_from_dir(smoke_dir, concurrency=2).to_pandas()
+    monkeypatch.setenv("KG_STREAM_PIN_MAX_INPUT_BYTES", "0")
+    assert kgmod._stream_pin_max_input_bytes() == 0
+    auto = build_kg_from_dir(smoke_dir, concurrency=2).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(base), _sorted(auto))
+    # replay path: persist the stream, rebuild without pinning
+    mdir = str(tmp_path / "mentions")
+    extract_mentions_ds(transcript_files(smoke_dir)).write_parquet(mdir)
+    import os
+
+    files = sorted(
+        os.path.join(mdir, f) for f in os.listdir(mdir) if f.endswith(".parquet")
+    )
+    replay = build_kg_from_mention_stream(
+        files, load_catalog(smoke_dir), concurrency=2
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(base), _sorted(replay))
