@@ -1,6 +1,6 @@
 """Parser-grade symbol extraction for python / javascript+typescript /
-go / rust — the reference's tree-sitter symbol surface
-(indexer/symbols.py:355-483 + queries/{python,javascript,go,rust}.scm)
+go / rust / java / c / ruby / bash — the reference's tree-sitter symbol
+surface (indexer/symbols.py:355-483 + queries/*.scm for each language)
 re-implemented as comment/string-aware scanners (tree-sitter itself is
 not installable in this environment; the scanners reproduce the .scm
 capture semantics and are pinned by the reference's own golden tests,
@@ -55,6 +55,14 @@ LANGUAGE_MAP = {
     "golang": "go",
     "rs": "rust",
     "rust": "rust",
+    "java": "java",
+    "c": "c",
+    "h": "c",
+    "rb": "ruby",
+    "ruby": "ruby",
+    "sh": "bash",
+    "bash": "bash",
+    "zsh": "bash",
 }
 
 
@@ -419,11 +427,277 @@ def _extract_rust(text: str) -> list[dict]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# java
+# ---------------------------------------------------------------------------
+
+_JAVA_TYPE = re.compile(r"\b(class|interface|enum)[ \t]+(" + _ID + r")")
+_JAVA_MEMBER = re.compile(r"\b(" + _ID + r")[ \t]*\(")
+_JAVA_KEYWORDS = {"if", "for", "while", "switch", "catch", "return", "new", "super", "this", "throw", "synchronized"}
+
+
+def _extract_java(text: str) -> list[dict]:
+    mask = _scan_mask(text, "//")
+    depth = _brace_depth(text, mask)
+    out: list[dict] = []
+    bodies: list[tuple[int, int, str]] = []  # (body_start, body_depth, name)
+    for m in _JAVA_TYPE.finditer(text):
+        if not mask[m.start()]:
+            continue
+        kw, name = m.group(1), m.group(2)
+        stype = {"class": "class", "interface": "interface", "enum": "class"}[kw]
+        out.append(
+            {
+                "symbol_type": stype,
+                "symbol_name": name,
+                "symbol_signature": _sig_to_brace(text, mask, m.start()),
+                "_pos": m.start(),
+            }
+        )
+        for i in range(m.end(), len(text)):
+            if mask[i] and text[i] == "{":
+                bodies.append((i, depth[i] + 1, name))
+                break
+    for m in _JAVA_MEMBER.finditer(text):
+        p = m.start(1)
+        name = m.group(1)
+        if not mask[p] or name in _JAVA_KEYWORDS:
+            continue
+        owner = None
+        for body_start, body_depth, cname in bodies:
+            if p > body_start and depth[p] == body_depth:
+                owner = cname
+        if owner is None:
+            continue
+        # a METHOD's parameter list is followed by a body '{' (abstract
+        # declarations end in ';'); find the matching close paren first
+        d = 0
+        j = p
+        while j < len(text):
+            if mask[j]:
+                if text[j] == "(":
+                    d += 1
+                elif text[j] == ")":
+                    d -= 1
+                    if d == 0:
+                        break
+            j += 1
+        k = j + 1
+        is_method = False
+        while k < len(text):
+            if mask[k] and text[k] == "{":
+                is_method = True
+                break
+            if mask[k] and text[k] == ";":
+                break
+            k += 1
+        if not is_method:
+            continue
+        # require a preceding token (modifier / return type) or the
+        # constructor form (name == enclosing type) so calls don't match
+        before = text[:p].rstrip()
+        if not (before.endswith(tuple("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_>]")) or name == owner):
+            continue
+        # signature from the line start of the declaration
+        ls = text.rfind("\n", 0, p) + 1
+        out.append(
+            {
+                "symbol_type": "method",
+                "symbol_name": f"{owner}.{name}",
+                "symbol_signature": _sig_to_brace(text, mask, ls),
+                "_pos": p,
+            }
+        )
+    out.sort(key=lambda s: s["_pos"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# c
+# ---------------------------------------------------------------------------
+
+_C_FUNC = re.compile(r"\b(" + _ID + r")[ \t]*\(")
+_C_STRUCT = re.compile(r"\bstruct[ \t]+(" + _ID + r")[ \t\r\n]*\{")
+_C_ENUM = re.compile(r"\benum[ \t]+(" + _ID + r")")
+_C_TYPEDEF = re.compile(r"\btypedef\b[^;{}]*?(" + _ID + r")[ \t]*;")
+_C_KEYWORDS = {"if", "for", "while", "switch", "return", "sizeof", "defined"}
+
+
+def _extract_c(text: str) -> list[dict]:
+    mask = _scan_mask(text, "//")
+    depth = _brace_depth(text, mask)
+    out: list[dict] = []
+    for m in _C_FUNC.finditer(text):
+        p = m.start(1)
+        name = m.group(1)
+        if not mask[p] or name in _C_KEYWORDS or depth[p] != 0:
+            continue
+        before = text[:p].rstrip()
+        # function DEFINITION: a return type token (word or '*') precedes
+        # and a body '{' follows the parameter list (declarations end ';')
+        if not before or not (before[-1].isalnum() or before[-1] in "_*"):
+            continue
+        if before.endswith(("struct", "enum", "union", "typedef", "return")):
+            continue
+        d = 0
+        j = p
+        while j < len(text):
+            if mask[j]:
+                if text[j] == "(":
+                    d += 1
+                elif text[j] == ")":
+                    d -= 1
+                    if d == 0:
+                        break
+            j += 1
+        k = j + 1
+        has_body = False
+        while k < len(text):
+            if mask[k] and text[k] == "{":
+                has_body = True
+                break
+            if mask[k] and text[k] == ";":
+                break
+            k += 1
+        if not has_body:
+            continue
+        ls = text.rfind("\n", 0, p) + 1
+        out.append(
+            {
+                "symbol_type": "function",
+                "symbol_name": name,
+                "symbol_signature": _sig_to_brace(text, mask, ls),
+                "_pos": p,
+            }
+        )
+    for m in _C_STRUCT.finditer(text):
+        if mask[m.start()]:
+            out.append(
+                {
+                    "symbol_type": "class",  # struct -> class (reference map)
+                    "symbol_name": m.group(1),
+                    "symbol_signature": _sig_to_brace(text, mask, m.start()),
+                    "_pos": m.start(),
+                }
+            )
+    for m in _C_ENUM.finditer(text):
+        if mask[m.start()] and not text[: m.start()].rstrip().endswith("typedef"):
+            out.append(
+                {
+                    "symbol_type": "class",  # enum -> class
+                    "symbol_name": m.group(1),
+                    "symbol_signature": _sig_to_brace(text, mask, m.start()),
+                    "_pos": m.start(),
+                }
+            )
+    for m in _C_TYPEDEF.finditer(text):
+        if mask[m.start()]:
+            out.append(
+                {
+                    "symbol_type": "interface",  # type -> interface
+                    "symbol_name": m.group(1),
+                    # reference: type_definition node text INCLUDES the ';'
+                    "symbol_signature": _cap(text[m.start() : m.end()]),
+                    "_pos": m.start(),
+                }
+            )
+    out.sort(key=lambda s: s["_pos"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ruby (indentation-scoped like python; end-delimited bodies)
+# ---------------------------------------------------------------------------
+
+_RB_CLASS = re.compile(r"^([ \t]*)(class|module)[ \t]+([A-Z][A-Za-z0-9_]*)", re.M)
+_RB_DEF = re.compile(r"^([ \t]*)def[ \t]+(self\.)?(" + _ID + r"[?!=]?)", re.M)
+
+
+def _extract_ruby(text: str) -> list[dict]:
+    hits: list[tuple[int, int, str, str]] = []  # (pos, indent, kind, name)
+    for m in _RB_CLASS.finditer(text):
+        hits.append((m.start() + len(m.group(1)), len(m.group(1).expandtabs()), m.group(2), m.group(3)))
+    for m in _RB_DEF.finditer(text):
+        hits.append((m.start() + len(m.group(1)), len(m.group(1).expandtabs()), "def", m.group(3)))
+    hits.sort()
+    out: list[dict] = []
+    stack: list[tuple[int, str, str]] = []
+    for pos, indent, kind, name in hits:
+        while stack and stack[-1][0] >= indent:
+            stack.pop()
+        nl = text.find("\n", pos)
+        sig = _cap(text[pos:] if nl == -1 else text[pos:nl])
+        if kind in ("class", "module"):
+            out.append(
+                {
+                    # module -> class per the reference type map
+                    "symbol_type": "class",
+                    "symbol_name": name,
+                    "symbol_signature": sig,
+                    "_pos": pos,
+                }
+            )
+        else:
+            owners = [n for _i, k, n in stack if k in ("class", "module")]
+            qual = ".".join(owners + [name]) if owners else name
+            out.append(
+                {
+                    "symbol_type": "method",
+                    "symbol_name": qual,
+                    "symbol_signature": sig,
+                    "_pos": pos,
+                }
+            )
+        stack.append((indent, kind, name))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# bash (POSIX name(), ksh function name, hybrid function name())
+# ---------------------------------------------------------------------------
+
+_SH_NAME = r"[A-Za-z_][A-Za-z0-9_-]*"
+_SH_POSIX = re.compile(
+    r"(?:^|[\r\n;])[ \t]*(" + _SH_NAME + r")[ \t]*\(\)[ \t\r\n]*\{"
+)
+_SH_KSH = re.compile(
+    r"\bfunction[ \t]+(" + _SH_NAME + r")[ \t]*(?:\(\))?[ \t\r\n]*\{"
+)
+
+
+def _extract_bash(text: str) -> list[dict]:
+    mask = _scan_mask(text, None, hash_comment=True)
+    out: list[dict] = []
+    seen_pos: set[int] = set()
+    for rx in (_SH_KSH, _SH_POSIX):
+        for m in rx.finditer(text):
+            p = m.start(1)
+            if not mask[p] or p in seen_pos:
+                continue
+            seen_pos.add(p)
+            start = m.start() if rx is _SH_KSH else p
+            brace = text.index("{", p)
+            out.append(
+                {
+                    "symbol_type": "function",
+                    "symbol_name": m.group(1),
+                    "symbol_signature": _cap(text[start:brace]),
+                    "_pos": p,
+                }
+            )
+    out.sort(key=lambda s: s["_pos"])
+    return out
+
+
 _SCANNERS = {
     "python": _extract_python,
     "javascript": _extract_javascript,
     "go": _extract_go,
     "rust": _extract_rust,
+    "java": _extract_java,
+    "c": _extract_c,
+    "ruby": _extract_ruby,
+    "bash": _extract_bash,
 }
 
 

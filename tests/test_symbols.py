@@ -251,3 +251,120 @@ def test_guess_language():
     assert guess_language("fn main() {") == "rs"
     assert guess_language("function go() {") == "js"
     assert guess_language("plain prose here") is None
+
+
+# --- java (reference test_java.py) ---------------------------------------
+
+
+def test_java_class_interface_enum():
+    r = extract_symbol_metadata("class User { }", "java")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("class", "User", "class User")
+    r = extract_symbol_metadata("interface Repository { void save(); }", "java")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("interface", "Repository", "interface Repository")
+    r = extract_symbol_metadata("enum Status { ACTIVE, INACTIVE, PENDING }", "java")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("class", "Status", "enum Status")
+
+
+def test_java_method_and_constructor():
+    code = "class UserService {\n    public User findById(int id) {\n        return null;\n    }\n}"
+    r = extract_symbol_metadata(code, "java")
+    assert (r.symbol_type, r.symbol_name) == ("class", "UserService")
+    syms = extract_symbols(code, "java")
+    assert syms[1]["symbol_type"] == "method"
+    assert syms[1]["symbol_name"] == "UserService.findById"
+    code = "class User {\n    public User(String name) {\n        this.name = name;\n    }\n}"
+    syms = extract_symbols(code, "java")
+    assert syms[0]["symbol_name"] == "User"
+    assert syms[1]["symbol_name"] == "User.User"  # constructor -> method
+    assert syms[1]["symbol_type"] == "method"
+
+
+def test_java_abstract_declaration_not_method():
+    # interface body: save() ends in ';' (no body) -> not captured as a
+    # method_declaration body-bearing node
+    syms = extract_symbols("interface R { void save(); }", "java")
+    assert [s["symbol_type"] for s in syms] == ["interface"]
+
+
+def test_java_empty():
+    assert extract_symbol_metadata("", "java").symbol_type is None
+
+
+# --- c (reference test_c.py) ----------------------------------------------
+
+
+def test_c_functions():
+    r = extract_symbol_metadata("int process() { return 0; }", "c")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("function", "process", "int process()")
+    r = extract_symbol_metadata("int add(int a, int b) { return a + b; }", "c")
+    assert r.symbol_name == "add" and "int add(" in r.symbol_signature
+    r = extract_symbol_metadata("void *allocate(size_t size) { return malloc(size); }", "c")
+    assert (r.symbol_type, r.symbol_name) == ("function", "allocate")
+
+
+def test_c_declarations_ignored():
+    assert extract_symbol_metadata("int process();", "c").symbol_type is None
+    assert extract_symbol_metadata("struct User;", "c").symbol_type is None
+
+
+def test_c_struct_enum_typedef():
+    r = extract_symbol_metadata("struct User { char *name; int age; };", "c")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("class", "User", "struct User")
+    r = extract_symbol_metadata("enum Status { ACTIVE, INACTIVE, PENDING };", "c")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("class", "Status", "enum Status")
+    r = extract_symbol_metadata("typedef struct User User;", "c")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("interface", "User", "typedef struct User User;")
+
+
+def test_c_header_extension():
+    assert extract_symbol_metadata("int process() { return 0; }", "h").symbol_name == "process"
+
+
+# --- ruby (reference test_ruby.py) -----------------------------------------
+
+
+def test_rb_class_module():
+    r = extract_symbol_metadata("class User\nend", "rb")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("class", "User", "class User")
+    r = extract_symbol_metadata("module Authentication\nend", "rb")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("class", "Authentication", "module Authentication")
+
+
+def test_rb_methods_qualified():
+    code = 'class User\n  def save\n    puts "saving"\n  end\nend'
+    r = extract_symbol_metadata(code, "rb")
+    assert (r.symbol_type, r.symbol_name) == ("class", "User")
+    syms = extract_symbols(code, "ruby")
+    assert syms[1]["symbol_type"] == "method"
+    assert syms[1]["symbol_name"] == "User.save"
+    code = "class User\n  def self.find(id)\n    puts id\n  end\nend"
+    syms = extract_symbols(code, "rb")
+    assert syms[1]["symbol_name"] == "User.find"
+
+
+def test_rb_empty():
+    assert extract_symbol_metadata("", "rb").symbol_type is None
+
+
+# --- bash (reference test_bash.py) ------------------------------------------
+
+
+def test_sh_posix_function():
+    r = extract_symbol_metadata("my_function() {\n    echo hello\n}", "sh")
+    assert (r.symbol_type, r.symbol_name) == ("function", "my_function")
+
+
+def test_sh_ksh_and_hybrid():
+    r = extract_symbol_metadata("function deploy {\n    echo deploying\n}", "bash")
+    assert (r.symbol_type, r.symbol_name) == ("function", "deploy")
+    r = extract_symbol_metadata("function setup() {\n    echo setup\n}", "zsh")
+    assert (r.symbol_type, r.symbol_name) == ("function", "setup")
+
+
+def test_sh_non_function():
+    assert extract_symbol_metadata("echo hello world\nls -la", "sh").symbol_type is None
+
+
+def test_sh_multiline_body():
+    r = extract_symbol_metadata("cleanup() {\n    rm -rf /tmp/build\n    echo done\n}", "sh")
+    assert r.symbol_name == "cleanup"
