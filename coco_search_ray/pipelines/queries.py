@@ -3178,3 +3178,167 @@ REGISTRY.update(
         "q_helm_templates": (q_helm_templates, Q_HELM_TEMPLATES_SQL),
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Training-data quality ops, round 4: intra-document repetition metrics
+# (Gopher/RefinedWeb-style repetition filters) + PII scrubbing transform
+# ---------------------------------------------------------------------------
+
+# flag thresholds (strict >): duplicate-word fraction and top-bigram
+# mass; shared constants so pipeline and oracle move together
+_REP_DUP_FRAC = 0.55
+_REP_BIGRAM_FRAC = 0.20
+
+
+def q_doc_repetition(sf_dir: str) -> pd.DataFrame:
+    """Per-language repetition report over documents: duplicate-word
+    fraction (1 - distinct/total) and top-bigram mass (2 * occurrences
+    of the most frequent bigram / words) per doc, flag counts above the
+    thresholds, and INTEGER-EXACT corpus sums (sum_words / sum_uniq /
+    sum_top_bigram) so the value hash never depends on float summation
+    order. The repetition-filter shape large-scale corpus cleaning uses
+    (Gopher-style); each doc is one row, so per-batch pandas computes
+    complete docs and only the tiny per-lang partials shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def metrics(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.findall(r"[A-Za-z0-9_]+")
+        ex = df[["doc_id", "lang"]].copy()
+        ex["n_words"] = words.str.len().astype("int64")
+        flat = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].repeat(words.str.len()),
+                "w": np.concatenate(words.to_numpy()) if len(df) else [],
+            }
+        )
+        uniq = flat.groupby("doc_id")["w"].nunique()
+        ex["n_uniq"] = ex["doc_id"].map(uniq).fillna(0).astype("int64")
+        # top bigram count per doc: consecutive pairs within the doc
+        nb = (words.str.len() - 1).clip(lower=0)
+        bi = pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].repeat(nb),
+                "bg": [
+                    f"{ws[i]} {ws[i + 1]}"
+                    for ws in words
+                    for i in range(max(len(ws) - 1, 0))
+                ],
+            }
+        )
+        if len(bi):
+            top = bi.groupby(["doc_id", "bg"]).size().groupby("doc_id").max()
+        else:
+            top = pd.Series(dtype="int64")
+        ex["top_bigram"] = ex["doc_id"].map(top).fillna(0).astype("int64")
+        dup_frac = np.where(
+            ex["n_words"] > 0, 1.0 - ex["n_uniq"] / ex["n_words"], 0.0
+        )
+        bg_frac = np.where(
+            ex["n_words"] >= 2, ex["top_bigram"] * 2.0 / ex["n_words"], 0.0
+        )
+        ex["flagged"] = (
+            (dup_frac > _REP_DUP_FRAC) | (bg_frac > _REP_BIGRAM_FRAC)
+        ).astype("int64")
+        g = ex.groupby("lang", sort=True).agg(
+            n_docs=("doc_id", "size"),
+            n_flagged=("flagged", "sum"),
+            sum_words=("n_words", "sum"),
+            sum_uniq=("n_uniq", "sum"),
+            sum_top_bigram=("top_bigram", "sum"),
+        )
+        return g.reset_index()
+
+    parts = ds.map_batches(metrics, batch_format="pandas").to_pandas()
+    out = parts.groupby("lang", sort=True).sum().reset_index()
+    return out.astype(
+        {
+            c: "int64"
+            for c in ("n_docs", "n_flagged", "sum_words", "sum_uniq", "sum_top_bigram")
+        }
+    )
+
+
+Q_DOC_REPETITION_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9_]+') AS words
+  FROM documents
+), w AS (
+  SELECT doc_id, lang, len(words)::BIGINT AS n_words,
+         len(list_distinct(words))::BIGINT AS n_uniq, words
+  FROM d
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(words), 1)),
+                               i -> words[i] || ' ' || words[i + 1])) AS bigram
+  FROM d WHERE len(words) >= 2
+), bgc AS (
+  SELECT doc_id, max(c)::BIGINT AS top_bigram FROM (
+    SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram
+  ) GROUP BY doc_id
+), m AS (
+  SELECT w.doc_id, w.lang, n_words, n_uniq,
+         coalesce(bgc.top_bigram, 0) AS top_bigram,
+         CASE WHEN n_words > 0 THEN 1.0 - n_uniq * 1.0 / n_words ELSE 0.0 END AS dup_frac,
+         CASE WHEN n_words >= 2 THEN coalesce(bgc.top_bigram, 0) * 2.0 / n_words ELSE 0.0 END AS bg_frac
+  FROM w LEFT JOIN bgc ON w.doc_id = bgc.doc_id
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN dup_frac > {_REP_DUP_FRAC} OR bg_frac > {_REP_BIGRAM_FRAC}
+                THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+       sum(n_words)::BIGINT AS sum_words,
+       sum(n_uniq)::BIGINT AS sum_uniq,
+       sum(top_bigram)::BIGINT AS sum_top_bigram
+FROM m GROUP BY lang ORDER BY lang
+"""
+
+
+# PII scrubbing: the redaction regexes are the urls/emails families'
+# own patterns (extractors/urls.py, extractors/emails.py shapes) —
+# URL first, then EMAIL, both sides in the same order
+_PII_URL = r"https?://[^\s\"'<>\)\]]+"
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII-scrubbing transform over transcript turns: URLs then emails
+    replaced with [URL] / [EMAIL] placeholders (RE2 kernels both sides:
+    Arrow replace_substring_regex == DuckDB regexp_replace 'g'). Returns
+    the FULL scrubbed table so the value hash checks the transform
+    byte-for-byte, not just counts — the shape of corpus PII removal at
+    scale (stateless map, no shuffle)."""
+    from ..sources.synth import transcript_files
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    ds = ray.data.read_parquet(
+        transcript_files(data_dir), columns=["conv_id", "turn_idx", "text"]
+    )
+
+    def scrub(b: pa.Table) -> pa.Table:
+        t = pc.replace_substring_regex(
+            b["text"], pattern=_PII_URL, replacement="[URL]"
+        )
+        t = pc.replace_substring_regex(t, pattern=_PII_EMAIL, replacement="[EMAIL]")
+        return pa.table(
+            {"conv_id": b["conv_id"], "turn_idx": b["turn_idx"], "text": t}
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+Q_PII_SCRUB_SQL = f"""
+SELECT conv_id, turn_idx,
+       regexp_replace(
+         regexp_replace(text, '{_PII_URL.replace("'", "''")}', '[URL]', 'g'),
+         '{_PII_EMAIL}', '[EMAIL]', 'g') AS text
+FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
+"""
+
+
+REGISTRY.update(
+    {
+        "q_doc_repetition": (q_doc_repetition, Q_DOC_REPETITION_SQL),
+        "q_pii_scrub": (q_pii_scrub, Q_PII_SCRUB_SQL),
+    }
+)
