@@ -3342,3 +3342,62 @@ REGISTRY.update(
         "q_pii_scrub": (q_pii_scrub, Q_PII_SCRUB_SQL),
     }
 )
+
+
+# domain-mixing rates for q_doc_quota_sample (shared pipeline/oracle)
+_QUOTA_RATES = {"en": 0.5, "de": 0.25, "fr": 0.75}
+_QUOTA_DEFAULT = 1.0
+
+
+def q_doc_quota_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic per-language quota sampling (domain mixing for
+    training corpora): keep doc iff md5-bucket(doc_id) < rate(lang) *
+    16^12 (stages/split.quota_sample — the assign_splits hash rule, so
+    the oracle RECOMPUTES membership in SQL instead of trusting an
+    export). Per-language in/out counts + sampled char mass, all
+    integer-exact."""
+    from ..stages.split import quota_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    sampled = quota_sample(ds, "doc_id", "lang", _QUOTA_RATES, _QUOTA_DEFAULT)
+
+    def _agg(d: ray.data.Dataset, n_col: str, chars_col: str) -> pd.DataFrame:
+        from ray.data.aggregate import Count as _C, Sum as _S
+
+        out = (
+            d.groupby("lang")
+            .aggregate(_C(alias_name=n_col), _S("n_chars", alias_name=chars_col))
+            .to_pandas()
+        )
+        return out
+
+    full = _agg(ds, "n_docs", "_chars_all").drop(columns=["_chars_all"])
+    samp = _agg(sampled, "n_sampled", "sum_chars_sampled")
+    out = full.merge(samp, on="lang", how="left")
+    out["n_sampled"] = out["n_sampled"].fillna(0).astype("int64")
+    out["sum_chars_sampled"] = out["sum_chars_sampled"].fillna(0).astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values("lang", kind="mergesort").reset_index(drop=True)
+
+
+_QUOTA_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {rate}" for lang, rate in _QUOTA_RATES.items()
+)
+
+Q_DOC_QUOTA_SAMPLE_SQL = f"""
+WITH b AS (
+  SELECT doc_id, lang, n_chars,
+         ('0x' || substr(md5(doc_id::VARCHAR), 1, 12))::UBIGINT AS bucket,
+         CASE {_QUOTA_CASE} ELSE {_QUOTA_DEFAULT} END AS rate
+  FROM documents
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN bucket < rate * power(16, 12) THEN 1 ELSE 0 END)::BIGINT AS n_sampled,
+       coalesce(sum(CASE WHEN bucket < rate * power(16, 12) THEN n_chars END), 0)::BIGINT AS sum_chars_sampled
+FROM b GROUP BY lang ORDER BY lang
+"""
+
+
+REGISTRY.update(
+    {"q_doc_quota_sample": (q_doc_quota_sample, Q_DOC_QUOTA_SAMPLE_SQL)}
+)

@@ -50,3 +50,31 @@ def assign_splits(
         return b.append_column(out_col, pa.array([labels[i] for i in idx], pa.string()))
 
     return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def quota_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    group_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+) -> ray.data.Dataset:
+    """Deterministic per-group downsampling (domain mixing): keep a row
+    iff its md5 bucket falls below the group's rate threshold — the same
+    id-hash rule as assign_splits, so membership is a pure function of
+    (id, group rate): stable across runs/engines, independently
+    reproducible in SQL, and composable with splits (a sampled doc keeps
+    its split). The rate table is tiny and ships inside the closure; no
+    shuffle — a stateless streaming filter."""
+
+    def keep(b: pa.Table) -> pa.Table:
+        buckets = np.array(
+            [split_bucket(v) for v in b[id_col].to_pylist()], dtype=np.float64
+        )
+        rts = np.array(
+            [rates.get(g, default_rate) for g in b[group_col].to_pylist()],
+            dtype=np.float64,
+        )
+        return b.filter(pa.array(buckets < rts * _SPACE))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -272,3 +272,37 @@ def test_embedding_neardup_autoswitch_branches_consistent(ray_session):
     assert (5, 10) in bp and (20, 40) in bp
     assert lp <= bp
     assert (5, 10) in lp and (20, 40) in lp
+
+
+def test_quota_sample_deterministic_and_composable(ray_session):
+    """quota_sample: membership is a pure function of (id, rate) —
+    rerun-identical, monotone in rate (raising a rate only ADDS docs),
+    and composable with assign_splits (sampled docs keep their split)."""
+    import pyarrow as pa
+    import ray.data
+
+    from coco_search_ray.stages.split import assign_splits, quota_sample
+
+    t = pa.table(
+        {
+            "doc_id": list(range(400)),
+            "lang": (["en", "de", "fr", "es"] * 100),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    a = quota_sample(ds, "doc_id", "lang", {"en": 0.5, "de": 0.25}).to_pandas()
+    b = quota_sample(ds, "doc_id", "lang", {"en": 0.5, "de": 0.25}).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # deterministic
+    assert set(a[a["lang"] == "es"]["doc_id"]) == set(range(3, 400, 4))  # rate 1.0 keeps all
+    wider = quota_sample(ds, "doc_id", "lang", {"en": 0.8, "de": 0.25}).to_pandas()
+    assert set(a[a["lang"] == "en"]["doc_id"]) <= set(wider[wider["lang"] == "en"]["doc_id"])
+    # composable: the sampled subset's split labels equal the full
+    # assignment's labels for the same ids
+    full = assign_splits(ds, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}).to_pandas()
+    samp = assign_splits(
+        quota_sample(ds, "doc_id", "lang", {"en": 0.5, "de": 0.25}),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    ).to_pandas()
+    merged = samp.merge(full, on="doc_id", suffixes=("_s", "_f"))
+    assert (merged["split_s"] == merged["split_f"]).all()
