@@ -6,10 +6,10 @@ here (or in the library) calls ray.init()/ray.shutdown().
 - entry(): flagship KG pipeline (transcripts -> triples) on the smoke
   tier derived from /root/testdata/sf0.001 sizing.
 - queries(): one entry per implemented operator family (SURVEY.md §2 +
-  the training-data operations suite); each takes sf_dir. 77 entries,
+  the training-data operations suite); each takes sf_dir. 78 entries,
   ordered so the driver's 50-query snapshot covers the widest
   value-checked surface (see _SNAPSHOT_PRIORITY).
-- oracle_sql(): DuckDB oracles for the 73 checkable queries — pure SQL
+- oracle_sql(): DuckDB oracles for the 74 checkable queries — pure SQL
   re-derivations where expressible, parquet-export-backed re-derivations
   (simhash, fingerprints, triples, embeddings, symbols) where the
   intermediate is not SQL-derivable; the 4 rows-only queries each
@@ -40,7 +40,7 @@ def entry() -> Any:
 _SNAPSHOT_PRIORITY = [
     "kg_triples", "kg_analyze", "q_turn_symbols", "q_gitlab_includes",
     "q_helm_templates", "q_doc_repetition", "q_pii_scrub",
-    "q_doc_quota_sample",
+    "q_doc_quota_sample", "q_embedding_semdedup",
     # never in a driver snapshot before round 4 (r03 verdict list)
     "kg_qualified_mentions", "kg_pagerank", "kg_pmi_pairs", "kg_top_objects",
     "kg_pred_detailed", "kg_context_window", "kg_reach_impact",
@@ -56,7 +56,7 @@ _SNAPSHOT_PRIORITY = [
     "q1_pricing_summary", "q_orders_by_priority", "q_events_tumbling",
     "q_doc_minhash_neardup", "q_ann_topk", "q_embedding_neardup",
     "q_doc_exact_dedup", "q_doc_simhash_pairs", "q_doc_fingerprint_overlap",
-    "q_doc_ngram_jaccard", "q_doc_langid", "q_doc_quality", "q_doc_stats",
+    "q_doc_ngram_jaccard", "q_doc_langid", "q_doc_quality",
 ]
 
 

@@ -3401,3 +3401,87 @@ FROM b GROUP BY lang ORDER BY lang
 REGISTRY.update(
     {"q_doc_quota_sample": (q_doc_quota_sample, Q_DOC_QUOTA_SAMPLE_SQL)}
 )
+
+
+def q_embedding_semdedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style semantic dedup over the embeddings table: k-means
+    clusters (driver sample, seeded) -> broadcast-centroid assignment ->
+    within-cluster cosine keep-first dedup (stages/dedup.semantic_dedup).
+    Exports the centroids; the oracle INDEPENDENTLY re-derives both the
+    assignment (argmax of 6-decimal-rounded cosine, lower-cluster
+    tiebreak) and the drops (lower-id neighbor with rounded cosine >=
+    threshold) in SQL from raw embeddings + exported centroids. Output:
+    per-cluster vec/drop counts + integer-exact dropped-id sum."""
+    from ..stages.dedup import semantic_dedup
+
+    t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
+    order = pc.sort_indices(t["vec_id"])
+    sample = np.array(
+        pc.take(t["embedding"], order).slice(0, 2000).to_pylist(), dtype=np.float64
+    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    flags, cents = semantic_dedup(ds, sample, threshold=0.9, n_clusters=8)
+    if tier_for_sf_dir(sf_dir) == "correctness":
+        _export_table(
+            sf_dir,
+            "semdedup_centroids",
+            pa.table(
+                {
+                    "cluster": pa.array(range(len(cents)), pa.int32()),
+                    "centroid": pa.array(
+                        [list(map(float, c)) for c in cents],
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+        )
+    df = flags.to_pandas()
+    g = df.groupby("cluster", sort=True).agg(
+        n_vecs=("vec_id", "size"),
+        n_dropped=("dropped", "sum"),
+        sum_dropped_ids=("vec_id", lambda s: int(s[df.loc[s.index, "dropped"]].sum())),
+    )
+    out = g.reset_index()
+    return out.astype(
+        {
+            "cluster": "int32",
+            "n_vecs": "int64",
+            "n_dropped": "int64",
+            "sum_dropped_ids": "int64",
+        }
+    )
+
+
+Q_EMBEDDING_SEMDEDUP_SQL = f"""
+WITH c AS (
+  SELECT cluster, centroid FROM read_parquet('{_EXP}/semdedup_centroids.parquet')
+), a AS (
+  -- assignment: argmax of ROUNDED cosine, ties to the LOWER cluster id
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cluster,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_cosine_similarity(e.embedding::DOUBLE[], c.centroid), 6) DESC,
+                      c.cluster ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN c
+  ) WHERE rn = 1
+), d AS (
+  SELECT a.cluster, a.vec_id,
+         EXISTS (
+           SELECT 1 FROM a b
+           WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+             AND round(list_cosine_similarity(b.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) >= 0.9
+         ) AS dropped
+  FROM a
+)
+SELECT cluster, count(*)::BIGINT AS n_vecs,
+       sum(CASE WHEN dropped THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+       coalesce(sum(CASE WHEN dropped THEN vec_id END), 0)::BIGINT AS sum_dropped_ids
+FROM d GROUP BY cluster ORDER BY cluster
+"""
+
+
+REGISTRY.update(
+    {"q_embedding_semdedup": (q_embedding_semdedup, Q_EMBEDDING_SEMDEDUP_SQL)}
+)

@@ -635,3 +635,71 @@ def embedding_neardup(
     return embedding_neardup_pairs_lsh(
         ds, dim, threshold, num_planes, num_tables, id_col, vec_col, seed
     )
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    sample_vecs: np.ndarray,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 5,
+) -> tuple[ray.data.Dataset, np.ndarray]:
+    """SemDeDup-shaped semantic deduplication: k-means clusters on a
+    bounded driver-side sample, centroids broadcast ONCE, per-batch
+    vectorized argmax assignment, then WITHIN-cluster cosine dedup —
+    a row is dropped iff a LOWER-id row in the same cluster has
+    cosine >= threshold (keep-first, deterministic). All-pairs work is
+    confined to single clusters (~n/k rows each), never the corpus;
+    one groupby(cluster) is the only shuffle — the structure that
+    holds at 10^9 vectors with n_clusters ~ sqrt(n).
+
+    Cross-engine float discipline: cosines are ROUNDED to 6 decimals
+    before every argmax / threshold compare (ties then break toward
+    the LOWER cluster id), so an independent re-derivation from the
+    returned centroids (e.g. DuckDB list_cosine_similarity) lands on
+    identical assignments and drops.
+
+    Returns (Dataset[cluster, vec_id, dropped], centroids)."""
+    from .ann import kmeans_centroids
+
+    cents = kmeans_centroids(sample_vecs, n_clusters, seed=seed)
+    cents_ref = ray.put(cents)
+
+    def assign(b: pa.Table) -> pa.Table:
+        c = deref_cached(cents_ref, localize_arrays=True)
+        x = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        cos = np.round((x / n) @ c.T, 6)
+        return pa.table(
+            {
+                "cluster": pa.array(np.argmax(cos, axis=1).astype(np.int32)),
+                id_col: b[id_col],
+                vec_col: b[vec_col],
+            }
+        )
+
+    def dedup_cluster(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        x = np.array(df[vec_col].to_list(), dtype=np.float64)
+        n = np.linalg.norm(x, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        cos = np.round((x / n) @ (x / n).T, 6)
+        dup = np.triu(cos >= threshold, k=1)  # [i, j]: i < j and near-dup
+        dropped = dup.any(axis=0)
+        return pd.DataFrame(
+            {
+                "cluster": df["cluster"].astype("int32"),
+                id_col: df[id_col],
+                "dropped": dropped,
+            }
+        )
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(dedup_cluster, batch_format="pandas")
+    )
+    return out, cents

@@ -306,3 +306,36 @@ def test_quota_sample_deterministic_and_composable(ray_session):
     ).to_pandas()
     merged = samp.merge(full, on="doc_id", suffixes=("_s", "_f"))
     assert (merged["split_s"] == merged["split_f"]).all()
+
+
+def test_semantic_dedup_invariants(ray_session):
+    """semantic_dedup: every vec assigned exactly once, a dropped vec
+    always has a lower-id same-cluster neighbor above threshold, and
+    exact duplicates are always deduped (keep-lowest-id)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from coco_search_ray.stages.dedup import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16).astype(np.float64)
+    vecs = list(base) + [base[3] * 2.0, base[11] * 0.5]  # exact dups (scaled)
+    ids = list(range(40)) + [100, 101]
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    flags, cents = semantic_dedup(
+        ray.data.from_arrow(t), base, threshold=0.95, n_clusters=4
+    )
+    df = flags.to_pandas()
+    assert sorted(df["vec_id"]) == sorted(ids)  # each vec exactly once
+    # scaled copies are cosine-1.0 with their originals -> same cluster,
+    # higher id dropped
+    d = df.set_index("vec_id")
+    assert bool(d.loc[100, "dropped"]) and bool(d.loc[101, "dropped"])
+    assert not bool(d.loc[3, "dropped"]) and not bool(d.loc[11, "dropped"])
+    assert len(cents) == 4
