@@ -63,6 +63,12 @@ LANGUAGE_MAP = {
     "sh": "bash",
     "bash": "bash",
     "zsh": "bash",
+    "cpp": "cpp",
+    "cxx": "cpp",
+    "cc": "cpp",
+    "hpp": "cpp",
+    "php": "php",
+    "dockerfile": "dockerfile",
 }
 
 
@@ -689,6 +695,164 @@ def _extract_bash(text: str) -> list[dict]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# c++ (reuses the C function machinery; adds classes, namespaces,
+# Class::method qualified definitions, template declarations)
+# ---------------------------------------------------------------------------
+
+_CPP_CLASS = re.compile(r"\bclass[ \t]+(" + _ID + r")")
+# a namespace DEFINITION has a braced body ('using namespace std;' and
+# other references never do)
+_CPP_NS = re.compile(r"\bnamespace[ \t]+(" + _ID + r")[ \t\r\n]*\{")
+_CPP_METHOD = re.compile(r"\b(" + _ID + r")::(" + _ID + r")[ \t]*\(")
+
+
+def _extract_cpp(text: str) -> list[dict]:
+    out = _extract_c(text)  # functions / structs / enums / typedefs
+    mask = _scan_mask(text, "//")
+    for m in _CPP_CLASS.finditer(text):
+        if mask[m.start()]:
+            out.append(
+                {
+                    "symbol_type": "class",
+                    "symbol_name": m.group(1),
+                    "symbol_signature": _sig_to_brace(text, mask, m.start()),
+                    "_pos": m.start(),
+                }
+            )
+    for m in _CPP_NS.finditer(text):
+        if mask[m.start()]:
+            out.append(
+                {
+                    "symbol_type": "class",  # namespace -> class (type map)
+                    "symbol_name": m.group(1),
+                    "symbol_signature": _sig_to_brace(text, mask, m.start()),
+                    "_pos": m.start(),
+                }
+            )
+    for m in _CPP_METHOD.finditer(text):
+        p = m.start()
+        if not mask[p]:
+            continue
+        # out-of-class definition Type::name(...) { ... } — the captured
+        # NAME is the bare method name (reference: the name identifier of
+        # the qualified_identifier; no class container at file scope)
+        k = text.find("{", m.end())
+        semi = text.find(";", m.end())
+        if k == -1 or (semi != -1 and semi < k):
+            continue
+        ls = text.rfind("\n", 0, p) + 1
+        out.append(
+            {
+                "symbol_type": "method",
+                "symbol_name": m.group(2),
+                "symbol_signature": _sig_to_brace(text, mask, ls),
+                "_pos": p,
+            }
+        )
+    out.sort(key=lambda s: s["_pos"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# php
+# ---------------------------------------------------------------------------
+
+_PHP_TYPE = re.compile(r"\b(class|interface|trait)[ \t]+(" + _ID + r")")
+_PHP_FUNC = re.compile(r"\bfunction[ \t]+(" + _ID + r")[ \t]*\(")
+
+
+def _extract_php(text: str) -> list[dict]:
+    mask = _scan_mask(text, "//")
+    depth = _brace_depth(text, mask)
+    out: list[dict] = []
+    bodies: list[tuple[int, int, str]] = []
+    for m in _PHP_TYPE.finditer(text):
+        if not mask[m.start()]:
+            continue
+        kw, name = m.group(1), m.group(2)
+        stype = {"class": "class", "interface": "interface", "trait": "interface"}[kw]
+        out.append(
+            {
+                "symbol_type": stype,
+                "symbol_name": name,
+                "symbol_signature": _sig_to_brace(text, mask, m.start()),
+                "_pos": m.start(),
+            }
+        )
+        for i in range(m.end(), len(text)):
+            if mask[i] and text[i] == "{":
+                bodies.append((i, depth[i] + 1, name))
+                break
+    for m in _PHP_FUNC.finditer(text):
+        p = m.start()
+        if not mask[p]:
+            continue
+        owner = None
+        for body_start, body_depth, cname in bodies:
+            if p > body_start and depth[p] == body_depth:
+                owner = cname
+        if owner is not None:
+            # strip visibility modifiers out of the signature start
+            ls = text.rfind("\n", 0, p) + 1
+            out.append(
+                {
+                    "symbol_type": "method",
+                    "symbol_name": f"{owner}.{m.group(1)}",
+                    "symbol_signature": _sig_to_brace(text, mask, ls),
+                    "_pos": p,
+                }
+            )
+        else:
+            out.append(
+                {
+                    "symbol_type": "function",
+                    "symbol_name": m.group(1),
+                    "symbol_signature": _sig_to_brace(text, mask, p),
+                    "_pos": p,
+                }
+            )
+    out.sort(key=lambda s: s["_pos"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dockerfile (build stages FROM ... AS, build args)
+# ---------------------------------------------------------------------------
+
+_DOCKER_FROM = re.compile(
+    r"^[ \t]*from[ \t]+\S+(?:[ \t]+\S+)*?[ \t]+as[ \t]+(" + _ID + r")",
+    re.M | re.I,
+)
+_DOCKER_ARG = re.compile(r"^[ \t]*arg[ \t]+([A-Za-z_][A-Za-z0-9_]*)", re.M | re.I)
+
+
+def _extract_dockerfile(text: str) -> list[dict]:
+    out: list[dict] = []
+    for m in _DOCKER_FROM.finditer(text):
+        nl = text.find("\n", m.start())
+        out.append(
+            {
+                "symbol_type": "class",  # build stage -> class
+                "symbol_name": m.group(1),
+                "symbol_signature": _cap(text[m.start() : nl if nl != -1 else len(text)]),
+                "_pos": m.start(1),
+            }
+        )
+    for m in _DOCKER_ARG.finditer(text):
+        nl = text.find("\n", m.start())
+        out.append(
+            {
+                "symbol_type": "function",  # 'variable' -> default map
+                "symbol_name": m.group(1),
+                "symbol_signature": _cap(text[m.start() : nl if nl != -1 else len(text)]),
+                "_pos": m.start(1),
+            }
+        )
+    out.sort(key=lambda s: s["_pos"])
+    return out
+
+
 _SCANNERS = {
     "python": _extract_python,
     "javascript": _extract_javascript,
@@ -698,6 +862,9 @@ _SCANNERS = {
     "c": _extract_c,
     "ruby": _extract_ruby,
     "bash": _extract_bash,
+    "cpp": _extract_cpp,
+    "php": _extract_php,
+    "dockerfile": _extract_dockerfile,
 }
 
 

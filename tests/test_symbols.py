@@ -368,3 +368,74 @@ def test_sh_non_function():
 def test_sh_multiline_body():
     r = extract_symbol_metadata("cleanup() {\n    rm -rf /tmp/build\n    echo done\n}", "sh")
     assert r.symbol_name == "cleanup"
+
+
+# --- cpp (reference test_cpp.py) --------------------------------------------
+
+
+def test_cpp_function_and_class():
+    r = extract_symbol_metadata("int process() { return 0; }", "cpp")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("function", "process", "int process()")
+    r = extract_symbol_metadata("class Server { int port; };", "cpp")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("class", "Server", "class Server")
+    r = extract_symbol_metadata("struct Point { int x; int y; };", "cpp")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("class", "Point", "struct Point")
+
+
+def test_cpp_namespace_and_qualified_method():
+    r = extract_symbol_metadata("namespace MyLib { }", "cpp")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("class", "MyLib", "namespace MyLib")
+    r = extract_symbol_metadata("void MyClass::myMethod() { }", "cpp")
+    assert (r.symbol_type, r.symbol_name) == ("method", "myMethod")
+    assert "MyClass::myMethod" in r.symbol_signature
+
+
+def test_cpp_pointer_and_templates():
+    assert extract_symbol_metadata("void *allocate(size_t size) { return new char[size]; }", "cpp").symbol_name == "allocate"
+    r = extract_symbol_metadata("template<typename T> class Container { };", "cpp")
+    assert (r.symbol_type, r.symbol_name) == ("class", "Container")
+    r = extract_symbol_metadata("template<typename T> T max(T a, T b) { return a > b ? a : b; }", "cpp")
+    assert (r.symbol_type, r.symbol_name) == ("function", "max")
+
+
+def test_cpp_extensions_and_empty():
+    for ext in ("cpp", "cxx", "cc", "hpp"):
+        assert extract_symbol_metadata("class Foo {};", ext).symbol_type == "class"
+    assert extract_symbol_metadata("", "cpp").symbol_type is None
+    assert extract_symbol_metadata("#include <iostream>\nusing namespace std;", "cpp").symbol_type is None
+
+
+# --- php (reference test_php.py) ---------------------------------------------
+
+
+def test_php_symbols():
+    r = extract_symbol_metadata("<?php function process() { return true; }", "php")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("function", "process", "function process()")
+    r = extract_symbol_metadata("<?php class User {}", "php")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("class", "User", "class User")
+    r = extract_symbol_metadata("<?php interface Repository { public function save(); }", "php")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("interface", "Repository", "interface Repository")
+    r = extract_symbol_metadata("<?php trait Timestamps { }", "php")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("interface", "Timestamps", "trait Timestamps")
+
+
+def test_php_method_in_class():
+    code = "<?php\nclass UserService {\n    public function findById($id) {\n        return null;\n    }\n}"
+    r = extract_symbol_metadata(code, "php")
+    assert (r.symbol_type, r.symbol_name) == ("class", "UserService")
+    syms = extract_symbols(code, "php")
+    assert syms[1]["symbol_type"] == "method"
+    assert syms[1]["symbol_name"] == "UserService.findById"
+
+
+# --- dockerfile (reference test_dockerfile.py) --------------------------------
+
+
+def test_dockerfile_stage_and_args():
+    r = extract_symbol_metadata("FROM golang:1.21 AS builder\nRUN go build -o app .\n", "dockerfile")
+    assert (r.symbol_type, r.symbol_name) == ("class", "builder")
+    assert "FROM" in r.symbol_signature
+    assert extract_symbol_metadata("ARG VERSION=dev\n", "dockerfile").symbol_name == "VERSION"
+    assert extract_symbol_metadata("ARG VERSION=dev\n", "dockerfile").symbol_type == "function"
+    assert extract_symbol_metadata("ARG COMMIT_SHA\n", "dockerfile").symbol_name == "COMMIT_SHA"
+    assert extract_symbol_metadata("FROM ubuntu:22.04\nRUN apt-get update\n", "dockerfile").symbol_type is None
