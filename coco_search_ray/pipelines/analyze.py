@@ -69,7 +69,12 @@ def kg_index_health(data_dir: str, triples: ray.data.Dataset) -> pd.DataFrame:
         rows.append(("pred", p, int(n)))
 
     # --- family section: per-block value_counts -> small Sum groupby
-    stream = extract_mentions_ds(transcript_files(data_dir))
+    # ONE extraction pass: the stream feeds three consumers below
+    # (family counts, linkmap uniques, link classification) — without
+    # the pin each would re-run extraction. At extreme scale run the
+    # report over the PERSISTED mention-stream files instead
+    # (run_resumable keeps them; same schema).
+    stream = extract_mentions_ds(transcript_files(data_dir)).materialize()
 
     def _fam_counts(b: pa.Table) -> pa.Table:
         vc = b["kind_code"].value_counts()

@@ -1,5 +1,6 @@
 """Parser-grade symbol extraction for python / javascript+typescript /
-go / rust / java / c / ruby / bash — the reference's tree-sitter symbol
+go / rust / java / c / ruby / bash / c++ / php / dockerfile / hcl /
+scala — the reference's tree-sitter symbol
 surface (indexer/symbols.py:355-483 + queries/*.scm for each language)
 re-implemented as comment/string-aware scanners (tree-sitter itself is
 not installable in this environment; the scanners reproduce the .scm
@@ -69,6 +70,11 @@ LANGUAGE_MAP = {
     "hpp": "cpp",
     "php": "php",
     "dockerfile": "dockerfile",
+    "hcl": "hcl",
+    "tf": "hcl",
+    "terraform": "hcl",
+    "scala": "scala",
+    "sc": "scala",
 }
 
 
@@ -853,6 +859,114 @@ def _extract_dockerfile(text: str) -> list[dict]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# hcl / terraform (top-level blocks; name = labels joined '.', falling
+# back to the block identifier — reference _build_qualified_name labels)
+# ---------------------------------------------------------------------------
+
+_HCL_BLOCK = re.compile(
+    r"(?:^|[\r\n])[ \t]*(" + _ID + r")"
+    r"(?:[ \t]+\"([^\"\n]*)\")?(?:[ \t]+\"([^\"\n]*)\")?[ \t]*\{"
+)
+
+
+def _extract_hcl(text: str) -> list[dict]:
+    mask = _scan_mask(text, None, hash_comment=True)
+    out: list[dict] = []
+    for m in _HCL_BLOCK.finditer(text):
+        p = m.start(1)
+        if not mask[p]:
+            continue
+        labels = [g for g in (m.group(2), m.group(3)) if g is not None]
+        out.append(
+            {
+                "symbol_type": "class",  # block -> class (type map)
+                "symbol_name": ".".join(labels) if labels else m.group(1),
+                "symbol_signature": _sig_to_brace(text, mask, p),
+                "_pos": p,
+            }
+        )
+    out.sort(key=lambda s: s["_pos"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# scala
+# ---------------------------------------------------------------------------
+
+_SCALA_MODS = r"(?:(?:case|abstract|sealed|final|implicit|private|protected)[ \t]+)*"
+_SCALA_TYPE = re.compile(r"\b" + _SCALA_MODS + r"(class|trait|object)[ \t]+(" + _ID + r")")
+_SCALA_DEF = re.compile(r"\bdef[ \t]+(" + _ID + r")")
+_SCALA_ALIAS = re.compile(r"\btype[ \t]+(" + _ID + r")[ \t]*=")
+
+
+def _extract_scala(text: str) -> list[dict]:
+    mask = _scan_mask(text, "//")
+    depth = _brace_depth(text, mask)
+    out: list[dict] = []
+    bodies: list[tuple[int, int, str]] = []
+    for m in _SCALA_TYPE.finditer(text):
+        if not mask[m.start()]:
+            continue
+        kw, name = m.group(1), m.group(2)
+        out.append(
+            {
+                "symbol_type": "interface" if kw == "trait" else "class",
+                "symbol_name": name,
+                "symbol_signature": _sig_to_brace(text, mask, m.start()),
+                "_pos": m.start(),
+            }
+        )
+        for i in range(m.end(), len(text)):
+            if not mask[i]:
+                continue
+            if text[i] == "{":
+                bodies.append((i, depth[i] + 1, name))
+                break
+            if text[i] == "\n" and ("{" not in text[m.end() : i]):
+                break  # braceless definition (case object / case class)
+    for m in _SCALA_DEF.finditer(text):
+        p = m.start()
+        if not mask[p]:
+            continue
+        owner = None
+        for body_start, body_depth, cname in bodies:
+            if p > body_start and depth[p] == body_depth:
+                owner = cname
+        if owner is not None:
+            out.append(
+                {
+                    "symbol_type": "method",
+                    "symbol_name": f"{owner}.{m.group(1)}",
+                    "symbol_signature": _sig_to_brace(text, mask, p),
+                    "_pos": p,
+                }
+            )
+        elif depth[p] == 0:
+            # top-level function (compilation_unit child in the .scm);
+            # defs nested inside method bodies are not captured
+            out.append(
+                {
+                    "symbol_type": "function",
+                    "symbol_name": m.group(1),
+                    "symbol_signature": _sig_to_brace(text, mask, p),
+                    "_pos": p,
+                }
+            )
+    for m in _SCALA_ALIAS.finditer(text):
+        if mask[m.start()]:
+            out.append(
+                {
+                    "symbol_type": "interface",  # type -> interface
+                    "symbol_name": m.group(1),
+                    "symbol_signature": _sig_to_brace(text, mask, m.start()),
+                    "_pos": m.start(),
+                }
+            )
+    out.sort(key=lambda s: s["_pos"])
+    return out
+
+
 _SCANNERS = {
     "python": _extract_python,
     "javascript": _extract_javascript,
@@ -865,6 +979,8 @@ _SCANNERS = {
     "cpp": _extract_cpp,
     "php": _extract_php,
     "dockerfile": _extract_dockerfile,
+    "hcl": _extract_hcl,
+    "scala": _extract_scala,
 }
 
 

@@ -439,3 +439,55 @@ def test_dockerfile_stage_and_args():
     assert extract_symbol_metadata("ARG VERSION=dev\n", "dockerfile").symbol_type == "function"
     assert extract_symbol_metadata("ARG COMMIT_SHA\n", "dockerfile").symbol_name == "COMMIT_SHA"
     assert extract_symbol_metadata("FROM ubuntu:22.04\nRUN apt-get update\n", "dockerfile").symbol_type is None
+
+
+# --- hcl (reference test_hcl.py) ----------------------------------------------
+
+
+def test_hcl_blocks():
+    r = extract_symbol_metadata('resource "aws_s3_bucket" "data" {\n  bucket = "my-bucket"\n}', "hcl")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == (
+        "class", "aws_s3_bucket.data", 'resource "aws_s3_bucket" "data"',
+    )
+    r = extract_symbol_metadata('variable "region" {\n  default = "us-east-1"\n}', "hcl")
+    assert (r.symbol_name, r.symbol_signature) == ("region", 'variable "region"')
+    r = extract_symbol_metadata('data "aws_ami" "ubuntu" {\n  most_recent = true\n}', "tf")
+    assert r.symbol_name == "aws_ami.ubuntu"
+    r = extract_symbol_metadata('module "vpc" {\n  source = "./modules/vpc"\n}', "hcl")
+    assert r.symbol_name == "vpc"
+    r = extract_symbol_metadata('locals {\n  name = "test"\n}', "hcl")
+    assert (r.symbol_type, r.symbol_name) == ("class", "locals")
+
+
+# --- scala (reference test_scala.py) --------------------------------------------
+
+
+def test_scala_types():
+    r = extract_symbol_metadata("class MyClass {\n  val x = 1\n}", "scala")
+    assert (r.symbol_type, r.symbol_name) == ("class", "MyClass")
+    assert "class MyClass" in r.symbol_signature
+    assert extract_symbol_metadata("case class Dog(name: String, age: Int)", "scala").symbol_name == "Dog"
+    assert extract_symbol_metadata("abstract class Animal {\n  def speak(): String\n}", "scala").symbol_name == "Animal"
+    r = extract_symbol_metadata("trait Serializable {\n  def serialize(): String\n}", "scala")
+    assert (r.symbol_type, r.symbol_name) == ("interface", "Serializable")
+    assert extract_symbol_metadata("sealed trait Color", "scala").symbol_type == "interface"
+    r = extract_symbol_metadata("object Utils {\n  def helper(): Unit = {}\n}", "scala")
+    assert (r.symbol_type, r.symbol_name) == ("class", "Utils")
+    assert extract_symbol_metadata("case object Red", "scala").symbol_name == "Red"
+
+
+def test_scala_methods_qualified():
+    for code, want in (
+        ("class Calculator {\n  def add(x: Int, y: Int): Int = x + y\n}", "Calculator.add"),
+        ("trait Handler {\n  def handle(input: String): Unit\n}", "Handler.handle"),
+        ("object Utils {\n  def helper(): Unit = {}\n}", "Utils.helper"),
+    ):
+        syms = [s for s in extract_symbols(code, "scala") if s["symbol_type"] == "method"]
+        assert syms and syms[0]["symbol_name"] == want
+
+
+def test_scala_toplevel_fn_and_alias():
+    r = extract_symbol_metadata("def process(x: Int): String = x.toString", "scala")
+    assert (r.symbol_type, r.symbol_name) == ("function", "process")
+    r = extract_symbol_metadata("type Callback = Int => Unit", "scala")
+    assert (r.symbol_type, r.symbol_name) == ("interface", "Callback")
