@@ -139,11 +139,14 @@ def load_config(path: str, env: dict[str, str] | None = None) -> PipelineConfig:
 # ---------------------------------------------------------------------------
 
 
-def _inspect_data_dir(data_dir: str, sample_files: int = 4) -> dict:
-    """Cheap deterministic inspection: shard count + bytes, catalog
-    rows, and a conv-disjointness probe over the first few shards (the
-    property the zero-shuffle assembly fast path and the resumable
-    runner rely on)."""
+def _inspect_data_dir(data_dir: str, max_probe_files: int = 64) -> dict:
+    """Deterministic inspection: shard count + bytes, catalog rows, and
+    a conv-disjointness probe (the property the zero-shuffle assembly
+    fast path and the resumable runner rely on). The probe reads the
+    conv_id column of up to ``max_probe_files`` shards; when the dir is
+    larger than that the result is UNVERIFIED (None) — the generator
+    must then emit the safe conv_local_shards: false, because a
+    wrongly-true value silently produces partial-conversation triples."""
     import os
 
     import pyarrow.parquet as pq
@@ -156,16 +159,18 @@ def _inspect_data_dir(data_dir: str, sample_files: int = 4) -> dict:
     cat = os.path.join(data_dir, "catalog.parquet")
     if os.path.exists(cat):
         catalog_rows = pq.read_metadata(cat).num_rows
-    conv_disjoint = None
+    conv_disjoint: bool | None = None
     if len(files) >= 2:
         seen: set = set()
         conv_disjoint = True
-        for f in files[:sample_files]:
+        for f in files[:max_probe_files]:
             convs = set(pq.read_table(f, columns=["conv_id"])["conv_id"].to_pylist())
             if seen & convs:
                 conv_disjoint = False
                 break
             seen |= convs
+        if conv_disjoint and len(files) > max_probe_files:
+            conv_disjoint = None  # probe window exhausted: unverified
     return {
         "n_files": len(files),
         "total_bytes": total_bytes,
@@ -185,7 +190,11 @@ def generate_config(data_dir: str, out_path: str) -> str:
     if os.path.exists(out_path):
         raise FileExistsError(f"configuration file already exists: {out_path}")
     info = _inspect_data_dir(data_dir)
-    conv_local = info["conv_disjoint"] is not False  # unknown -> keep fast path
+    # only a FULLY VERIFIED disjointness probe may enable the
+    # zero-shuffle fast path; unknown (single shard / probe window
+    # exhausted) gets the safe general path and a comment telling the
+    # user how to flip it after verifying
+    conv_local = info["conv_disjoint"] is True or info["n_files"] == 1
     gib = info["total_bytes"] / (1 << 30)
     cat = info["catalog_rows"]
     text = f"""\
@@ -193,6 +202,9 @@ def generate_config(data_dir: str, out_path: str) -> str:
 # data inspected: {info['n_files']} transcript shards, {gib:.2f} GiB,
 # catalog rows: {cat if cat is not None else 'NO catalog.parquet found'},
 # conversation-disjoint shards: {info['conv_disjoint']}
+#   (None = probe window exhausted or single shard — unverified; the
+#   generator then writes the SAFE conv_local_shards: false. Flip it
+#   to true only after verifying your ingest partitions by conv.)
 
 data_dir: {data_dir}
 out_dir: {os.path.normpath(data_dir)}_kg

@@ -57,7 +57,7 @@ def kg_index_health(data_dir: str, triples: ray.data.Dataset) -> pd.DataFrame:
     """
     from ..sources.synth import load_catalog, transcript_files
     from ..stages.canonicalize import canonical_mapping
-    from .kg import _block_unique, extract_mentions_ds, unique_mention_linkmap
+    from .kg import extract_mentions_ds, unique_mention_linkmap
 
     rows: list[tuple[str, str, int]] = []
 

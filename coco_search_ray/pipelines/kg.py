@@ -1088,6 +1088,16 @@ def build_kg(
 
             sdir = stream_spill_dir or tempfile.mkdtemp(prefix="kg_mention_stream_")
             os.makedirs(sdir, exist_ok=True)
+            stale = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+            if stale:
+                # silently mixing a previous run's shards into the
+                # stream would duplicate every conversation (and its
+                # triples); for REPLAY over persisted streams use
+                # build_kg_from_mention_stream instead
+                raise FileExistsError(
+                    f"stream_spill_dir {sdir!r} already holds "
+                    f"{len(stale)} parquet file(s); pass a fresh dir"
+                )
             # one file per block: blocks are conv-complete (file-aligned
             # on the conv-local path; irrelevant on the general path), so
             # the re-read below keeps conversations whole per block

@@ -1174,8 +1174,11 @@ WITH ms AS (
   FROM rk a JOIN rk b
     ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx AND a.r < b.r
 ), uses AS (
+  -- mirror of the assembly spec (tool != ''): a NULL tool KEEPS the
+  -- row with a null obj (unreachable post-normalize, but the kernels
+  -- are pinned to it — the oracle must not diverge on that edge)
   SELECT ent AS subj, 'uses_tool' AS pred, tool AS obj, conv_id, turn_idx
-  FROM rk WHERE tool <> ''
+  FROM rk WHERE tool IS NULL OR tool <> ''
 ), rep AS (
   SELECT f.ent AS subj, 'replies_to' AS pred, p.ent AS obj, f.conv_id, f.turn_idx
   FROM firsts f JOIN firsts p
@@ -1344,6 +1347,10 @@ def q_turn_symbols(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
+    # the filtered metadata is consumed three times (export + two
+    # groupbys); pin the small result instead of re-running the
+    # pure-Python scanner pass per consumption
+    ds = ds.materialize()
     if tier == "correctness":
         _export_table(
             sf_dir,
@@ -3074,7 +3081,8 @@ def q_gitlab_includes(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    parsed = ds.map_batches(parse, batch_format="pyarrow")
+    # consumed twice (refs + distinct groupby): pin the tiny parse result
+    parsed = ds.map_batches(parse, batch_format="pyarrow").materialize()
     n = parsed.groupby("dir").aggregate(Count(alias_name="n_refs")).to_pandas()
     files = (
         parsed.groupby(["dir", "file"]).aggregate(Count(alias_name="_n")).to_pandas()
@@ -3136,7 +3144,8 @@ def q_helm_templates(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    parsed = ds.map_batches(parse, batch_format="pyarrow")
+    # consumed twice (refs + distinct groupby): pin the tiny parse result
+    parsed = ds.map_batches(parse, batch_format="pyarrow").materialize()
     n = parsed.groupby("chart").aggregate(Count(alias_name="n_refs")).to_pandas()
     tpls = (
         parsed.groupby(["chart", "tpl"]).aggregate(Count(alias_name="_n")).to_pandas()

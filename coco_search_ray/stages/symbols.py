@@ -163,6 +163,18 @@ def _sig_to_brace(text: str, mask: list[bool], start: int) -> str:
     return _cap(text[start:] if nl == -1 else text[start:nl])
 
 
+def _body_end(text: str, mask: list[bool], depth: list[int], open_i: int) -> int:
+    """Index of the '}' closing the body whose '{' sits at open_i (end
+    of text when unterminated). A closing '}' reads at the INNER depth
+    (depth[] is the state before the char), so the match is at
+    depth[open_i] + 1."""
+    d = depth[open_i] + 1
+    for j in range(open_i + 1, len(text)):
+        if mask[j] and text[j] == "}" and depth[j] == d:
+            return j
+    return len(text)
+
+
 _ID = r"[A-Za-z_][A-Za-z0-9_]*"
 
 
@@ -252,7 +264,7 @@ def _extract_javascript(text: str) -> list[dict]:
     mask = _scan_mask(text, "//")
     depth = _brace_depth(text, mask)
     out: list[dict] = []
-    classes: list[tuple[int, int, str]] = []  # (body_start, body_depth, name)
+    classes: list[tuple[int, int, int, str]] = []  # (body_start, body_end, body_depth, name)
     for m in _JS_CLASS.finditer(text):
         if not mask[m.start()]:
             continue
@@ -267,7 +279,7 @@ def _extract_javascript(text: str) -> list[dict]:
         )
         for i in range(m.end(), len(text)):
             if mask[i] and text[i] == "{":
-                classes.append((i, depth[i] + 1, name))
+                classes.append((i, _body_end(text, mask, depth, i), depth[i] + 1, name))
                 break
     for m in _JS_FUNC.finditer(text):
         if not mask[m.start(1)]:
@@ -297,8 +309,11 @@ def _extract_javascript(text: str) -> list[dict]:
         if not mask[p] or name in _JS_KEYWORDS:
             continue
         owner = None
-        for body_start, body_depth, cname in classes:
-            if p > body_start and depth[p] == body_depth:
+        for body_start, body_end, body_depth, cname in classes:
+            # the match must sit INSIDE the class body — a later brace
+            # block at the same depth (object literal, if-block) is not
+            # a method of an already-closed class
+            if body_start < p < body_end and depth[p] == body_depth:
                 owner = cname
         if owner is None:
             continue
@@ -388,13 +403,7 @@ def _extract_rust(text: str) -> list[dict]:
             continue
         for i in range(m.end(), len(text)):
             if mask[i] and text[i] == "{":
-                d = depth[i] + 1
-                end = len(text)
-                for j in range(i + 1, len(text)):
-                    if mask[j] and text[j] == "}" and depth[j] == d - 1:
-                        end = j
-                        break
-                impls.append((i, end, d, m.group(1)))
+                impls.append((i, _body_end(text, mask, depth, i), depth[i] + 1, m.group(1)))
                 break
     for m in _RS_FN.finditer(text):
         p = m.start(1)
@@ -468,7 +477,7 @@ def _extract_java(text: str) -> list[dict]:
         )
         for i in range(m.end(), len(text)):
             if mask[i] and text[i] == "{":
-                bodies.append((i, depth[i] + 1, name))
+                bodies.append((i, _body_end(text, mask, depth, i), depth[i] + 1, name))
                 break
     for m in _JAVA_MEMBER.finditer(text):
         p = m.start(1)
@@ -476,8 +485,8 @@ def _extract_java(text: str) -> list[dict]:
         if not mask[p] or name in _JAVA_KEYWORDS:
             continue
         owner = None
-        for body_start, body_depth, cname in bodies:
-            if p > body_start and depth[p] == body_depth:
+        for body_start, body_end, body_depth, cname in bodies:
+            if body_start < p < body_end and depth[p] == body_depth:
                 owner = cname
         if owner is None:
             continue
@@ -788,15 +797,15 @@ def _extract_php(text: str) -> list[dict]:
         )
         for i in range(m.end(), len(text)):
             if mask[i] and text[i] == "{":
-                bodies.append((i, depth[i] + 1, name))
+                bodies.append((i, _body_end(text, mask, depth, i), depth[i] + 1, name))
                 break
     for m in _PHP_FUNC.finditer(text):
         p = m.start()
         if not mask[p]:
             continue
         owner = None
-        for body_start, body_depth, cname in bodies:
-            if p > body_start and depth[p] == body_depth:
+        for body_start, body_end, body_depth, cname in bodies:
+            if body_start < p < body_end and depth[p] == body_depth:
                 owner = cname
         if owner is not None:
             # strip visibility modifiers out of the signature start
@@ -921,7 +930,7 @@ def _extract_scala(text: str) -> list[dict]:
             if not mask[i]:
                 continue
             if text[i] == "{":
-                bodies.append((i, depth[i] + 1, name))
+                bodies.append((i, _body_end(text, mask, depth, i), depth[i] + 1, name))
                 break
             if text[i] == "\n" and ("{" not in text[m.end() : i]):
                 break  # braceless definition (case object / case class)
@@ -930,8 +939,8 @@ def _extract_scala(text: str) -> list[dict]:
         if not mask[p]:
             continue
         owner = None
-        for body_start, body_depth, cname in bodies:
-            if p > body_start and depth[p] == body_depth:
+        for body_start, body_end, body_depth, cname in bodies:
+            if body_start < p < body_end and depth[p] == body_depth:
                 owner = cname
         if owner is not None:
             out.append(

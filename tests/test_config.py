@@ -134,3 +134,39 @@ def test_generate_config_detects_conv_overlap(tmp_path):
     out = str(tmp_path / "o.yaml")
     generate_config(str(d), out)
     assert load_config(out).kg.conv_local_shards is False
+
+
+def test_generate_config_unverified_probe_is_safe(tmp_path):
+    """When the disjointness probe window is exhausted (more shards than
+    it reads), the generated config must fall back to the SAFE
+    conv_local_shards: false rather than claiming verification."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from coco_search_ray import config as cfgmod
+    from coco_search_ray.config import generate_config, load_config
+
+    d = tmp_path / "many"
+    d.mkdir()
+    for i in range(6):  # disjoint, but beyond a 4-file probe window
+        t = pa.table(
+            {
+                "conv_id": [f"c{i}"],
+                "turn_idx": pa.array([0], pa.int32()),
+                "role": ["user"],
+                "text": ["x"],
+                "tool": [""],
+                "ts": pa.array([0], pa.timestamp("us")),
+            }
+        )
+        pq.write_table(t, str(d / f"transcripts-{i:03d}.parquet"))
+    info = cfgmod._inspect_data_dir(str(d), max_probe_files=4)
+    assert info["conv_disjoint"] is None  # unverified, not True
+    out = str(tmp_path / "m.yaml")
+    orig = cfgmod._inspect_data_dir
+    cfgmod._inspect_data_dir = lambda dd, max_probe_files=4: orig(dd, 4)
+    try:
+        generate_config(str(d), out)
+    finally:
+        cfgmod._inspect_data_dir = orig
+    assert load_config(out).kg.conv_local_shards is False

@@ -373,3 +373,17 @@ def test_stream_pin_threshold_env_autoselects_spill(ray_session, smoke_dir, tmp_
         files, load_catalog(smoke_dir), concurrency=2
     ).to_pandas()
     pd.testing.assert_frame_equal(_sorted(base), _sorted(replay))
+
+
+def test_spill_dir_refuses_stale_stream_files(ray_session, smoke_dir, tmp_path):
+    """Reusing a spill dir that already holds a previous run's stream
+    shards must fail loudly — mixing them in would duplicate every
+    conversation's triples (round-4 self-review finding)."""
+    import pytest
+
+    from coco_search_ray.pipelines.kg import build_kg_from_dir
+
+    sdir = str(tmp_path / "stream")
+    build_kg_from_dir(smoke_dir, spill_stream=True, stream_spill_dir=sdir).count()
+    with pytest.raises(FileExistsError):
+        build_kg_from_dir(smoke_dir, spill_stream=True, stream_spill_dir=sdir)

@@ -491,3 +491,32 @@ def test_scala_toplevel_fn_and_alias():
     assert (r.symbol_type, r.symbol_name) == ("function", "process")
     r = extract_symbol_metadata("type Callback = Int => Unit", "scala")
     assert (r.symbol_type, r.symbol_name) == ("interface", "Callback")
+
+
+def test_method_attribution_stops_at_class_body_end():
+    """A function in a LATER brace block at the same depth as a closed
+    class body must not be attributed as a method of that class
+    (round-4 self-review finding, confirmed by execution pre-fix)."""
+    syms = extract_symbols(
+        "class A { m() {} }\nconst obj = { foo() { return 1; } };", "js"
+    )
+    names = {s["symbol_name"] for s in syms}
+    assert "A.m" in names and "A.foo" not in names
+    syms = extract_symbols(
+        "<?php class A { public function m() {} }\nif (true) { function g() {} }",
+        "php",
+    )
+    names = {s["symbol_name"]: s["symbol_type"] for s in syms}
+    assert names.get("A.m") == "method" and "A.g" not in names
+    assert names.get("g") == "function"
+    syms = extract_symbols(
+        "class A {\n  def m(): Unit = {}\n}\nobject B {\n  def helper(): Unit = {}\n}",
+        "scala",
+    )
+    names = {s["symbol_name"] for s in syms}
+    assert "A.m" in names and "B.helper" in names and "A.helper" not in names
+    syms = extract_symbols(
+        "class A { void m() {} }\nclass B { void n() {} }", "java"
+    )
+    names = {s["symbol_name"] for s in syms}
+    assert "A.m" in names and "B.n" in names and "A.n" not in names
