@@ -1,6 +1,7 @@
-"""Parser-grade symbol extraction for python / javascript+typescript /
-go / rust / java / c / ruby / bash / c++ / php / dockerfile / hcl /
-scala — the reference's tree-sitter symbol
+"""Parser-grade symbol extraction for ALL FIFTEEN of the reference's
+query languages — python, javascript, typescript, go, rust, java, c,
+c++, ruby, php, bash, dockerfile, hcl/terraform, scala, css — the
+reference's tree-sitter symbol
 surface (indexer/symbols.py:355-483 + queries/*.scm for each language)
 re-implemented as comment/string-aware scanners (tree-sitter itself is
 not installable in this environment; the scanners reproduce the .scm
@@ -42,16 +43,16 @@ from dataclasses import dataclass
 _SIG_CAP = 200  # reference truncates signatures at 200 chars
 
 # reference LANGUAGE_MAP subset for the supported scanners; typescript
-# shares the javascript scanner (same .scm shapes for these captures)
+# extends the javascript scanner with interfaces + type aliases
 LANGUAGE_MAP = {
     "py": "python",
     "python": "python",
     "js": "javascript",
     "jsx": "javascript",
     "javascript": "javascript",
-    "ts": "javascript",
-    "tsx": "javascript",
-    "typescript": "javascript",
+    "ts": "typescript",
+    "tsx": "typescript",
+    "typescript": "typescript",
     "go": "go",
     "golang": "go",
     "rs": "rust",
@@ -75,6 +76,8 @@ LANGUAGE_MAP = {
     "terraform": "hcl",
     "scala": "scala",
     "sc": "scala",
+    "css": "css",
+    "scss": "css",
 }
 
 
@@ -976,6 +979,84 @@ def _extract_scala(text: str) -> list[dict]:
     return out
 
 
+# ---------------------------------------------------------------------------
+# typescript = javascript + interface declarations + type aliases
+# ---------------------------------------------------------------------------
+
+_TS_IFACE = re.compile(r"\binterface[ \t]+(" + _ID + r")")
+_TS_ALIAS = re.compile(r"\btype[ \t]+(" + _ID + r")[ \t]*=")
+
+
+def _extract_typescript(text: str) -> list[dict]:
+    out = _extract_javascript(text)
+    mask = _scan_mask(text, "//")
+    for m in _TS_IFACE.finditer(text):
+        if mask[m.start()]:
+            out.append(
+                {
+                    "symbol_type": "interface",
+                    "symbol_name": m.group(1),
+                    "symbol_signature": _sig_to_brace(text, mask, m.start()),
+                    "_pos": m.start(),
+                }
+            )
+    for m in _TS_ALIAS.finditer(text):
+        if mask[m.start()]:
+            # object aliases cut at '{'; simple aliases keep the whole
+            # statement (node text incl. the ';' — reference golden)
+            out.append(
+                {
+                    "symbol_type": "interface",  # type -> interface
+                    "symbol_name": m.group(1),
+                    "symbol_signature": _sig_to_brace(text, mask, m.start()),
+                    "_pos": m.start(),
+                }
+            )
+    out.sort(key=lambda s: s["_pos"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# css (rule-set selectors, @keyframes, @media)
+# ---------------------------------------------------------------------------
+
+_CSS_NAME = r"[A-Za-z_-][A-Za-z0-9_-]*"
+_CSS_CLASS = re.compile(r"(?:^|[\s,{}/])\.(" + _CSS_NAME + r")[^{;]*\{")
+_CSS_ID = re.compile(r"(?:^|[\s,{}/])#(" + _CSS_NAME + r")[^{;]*\{")
+_CSS_TAG = re.compile(r"(?:^|[\n,}])[ \t]*(" + _CSS_NAME + r")[ \t]*\{")
+_CSS_KEYFRAMES = re.compile(r"@keyframes[ \t]+(" + _CSS_NAME + r")")
+_CSS_MEDIA = re.compile(r"@media[ \t]*(\([^)\n]*\))")
+
+
+def _extract_css(text: str) -> list[dict]:
+    mask = _scan_mask(text, None)
+    out: list[dict] = []
+    seen: set[int] = set()
+    for rx, stype, pos_grp in (
+        (_CSS_KEYFRAMES, "function", 0),
+        (_CSS_MEDIA, "class", 0),
+        (_CSS_CLASS, "class", 1),
+        (_CSS_ID, "class", 1),
+        (_CSS_TAG, "class", 1),
+    ):
+        for m in rx.finditer(text):
+            p = m.start(pos_grp) if pos_grp else m.start()
+            if not mask[min(p, len(text) - 1)] or p in seen:
+                continue
+            seen.add(p)
+            ls = text.rfind("\n", 0, p) + 1
+            out.append(
+                {
+                    "symbol_type": stype,
+                    "symbol_name": m.group(1),
+                    "symbol_signature": _sig_to_brace(text, mask, ls if pos_grp else p),
+                    "_pos": p,
+                }
+            )
+    out.sort(key=lambda s: s["_pos"])
+    return out
+
+
 _SCANNERS = {
     "python": _extract_python,
     "javascript": _extract_javascript,
@@ -988,6 +1069,8 @@ _SCANNERS = {
     "cpp": _extract_cpp,
     "php": _extract_php,
     "dockerfile": _extract_dockerfile,
+    "typescript": _extract_typescript,
+    "css": _extract_css,
     "hcl": _extract_hcl,
     "scala": _extract_scala,
 }

@@ -520,3 +520,47 @@ def test_method_attribution_stops_at_class_body_end():
     )
     names = {s["symbol_name"] for s in syms}
     assert "A.m" in names and "B.n" in names and "A.n" not in names
+
+
+# --- typescript extras (reference test_typescript.py) --------------------------
+
+
+def test_ts_interface_and_alias():
+    r = extract_symbol_metadata("interface User {\n  id: number;\n}", "ts")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("interface", "User", "interface User")
+    assert extract_symbol_metadata("interface Admin extends User {\n  role: string;\n}", "ts").symbol_name == "Admin"
+    r = extract_symbol_metadata("type UserID = string;", "ts")
+    assert (r.symbol_type, r.symbol_name, r.symbol_signature) == ("interface", "UserID", "type UserID = string;")
+    assert extract_symbol_metadata("type Status = 'on' | 'off';", "ts").symbol_name == "Status"
+    r = extract_symbol_metadata("type UserConfig = {\n  name: string;\n};", "ts")
+    assert (r.symbol_name, r.symbol_signature) == ("UserConfig", "type UserConfig =")
+    assert extract_symbol_metadata("interface Props { title: string; }", "tsx").symbol_name == "Props"
+    # js surface still intact through the ts scanner
+    assert extract_symbol_metadata("function fetchUser(id: number): User { return x; }", "ts").symbol_name == "fetchUser"
+    assert extract_symbol_metadata("const fetchData = async (url: string) => { return 1; }", "ts").symbol_name == "fetchData"
+
+
+# --- css (reference test_css.py) --------------------------------------------
+
+
+def test_css_selectors():
+    r = extract_symbol_metadata(".header {\n    color: red;\n}", "css")
+    assert (r.symbol_type, r.symbol_name) == ("class", "header")
+    assert ".header" in r.symbol_signature
+    r = extract_symbol_metadata("#main {\n    display: flex;\n}", "css")
+    assert (r.symbol_type, r.symbol_name) == ("class", "main")
+    assert "#main" in r.symbol_signature
+    r = extract_symbol_metadata("body {\n    margin: 0;\n}", "css")
+    assert (r.symbol_type, r.symbol_name) == ("class", "body")
+    assert extract_symbol_metadata(".container {\n    padding: 10px;\n}", "scss").symbol_name == "container"
+    assert extract_symbol_metadata("color: red;\nfont-size: 14px;", "css").symbol_type is None
+
+
+def test_css_keyframes_and_media():
+    code = "@keyframes fadeIn {\n  from { opacity: 0; }\n  to { opacity: 1; }\n}"
+    r = extract_symbol_metadata(code, "css")
+    assert (r.symbol_type, r.symbol_name) == ("function", "fadeIn")
+    assert "@keyframes fadeIn" in r.symbol_signature
+    r = extract_symbol_metadata("@media (max-width: 768px) {\n    .mobile { display: block; }\n}", "css")
+    assert r.symbol_type == "class" and "max-width" in r.symbol_name
+    assert "@media" in r.symbol_signature
