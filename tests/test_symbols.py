@@ -564,3 +564,37 @@ def test_css_keyframes_and_media():
     r = extract_symbol_metadata("@media (max-width: 768px) {\n    .mobile { display: block; }\n}", "css")
     assert r.symbol_type == "class" and "max-width" in r.symbol_name
     assert "@media" in r.symbol_signature
+
+
+def test_scanners_never_raise_on_adversarial_text():
+    """The scanners run inside map_batches over arbitrary transcript
+    text: drive the INTERNAL per-language functions (extract_symbols
+    swallows exceptions by design, which would hide a systematic crash)
+    over adversarial shapes — unbalanced braces/parens, lone quotes,
+    null-ish bytes, comment openers at EOF."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from coco_search_ray.stages.symbols import _SCANNERS
+
+    adversarial = [
+        "", "{", "}", "{{{", "}}}", "(", ")", "'", '"', "`", "/*", "//",
+        "#", "\\", "def ", "class ", "fn main() {", "impl {", "@",
+        "class A {", "def f(:", "type =", "impl for {", "func (",
+        "resource \"a\" {", "{{ include \"", "interface {",
+        "\x00def f():", "a{b}c{d}e", "'unterminated", '"unterminated',
+        "def f(\n\n\n", "template<", "namespace {", "FROM x AS ",
+    ]
+    for text in adversarial:
+        for lang, scan in _SCANNERS.items():
+            for sym in scan(text):
+                assert sym["symbol_name"]
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.text(alphabet=st.characters(codec="ascii"), max_size=120))
+    def fuzz(text):
+        for scan in _SCANNERS.values():
+            for sym in scan(text):
+                assert sym["symbol_name"] is not None
+
+    fuzz()
