@@ -202,9 +202,10 @@ def generate_config(data_dir: str, out_path: str) -> str:
 # data inspected: {info['n_files']} transcript shards, {gib:.2f} GiB,
 # catalog rows: {cat if cat is not None else 'NO catalog.parquet found'},
 # conversation-disjoint shards: {info['conv_disjoint']}
-#   (None = probe window exhausted or single shard — unverified; the
-#   generator then writes the SAFE conv_local_shards: false. Flip it
-#   to true only after verifying your ingest partitions by conv.)
+#   (None = unverified: probe window exhausted -> the generator writes
+#   the SAFE conv_local_shards: false; a SINGLE shard is trivially
+#   conv-local and keeps true. Flip false to true only after verifying
+#   your ingest partitions by conv.)
 
 data_dir: {data_dir}
 out_dir: {os.path.normpath(data_dir)}_kg

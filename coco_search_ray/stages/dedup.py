@@ -672,7 +672,9 @@ def semantic_dedup(
         x = np.array(b[vec_col].to_pylist(), dtype=np.float64)
         n = np.linalg.norm(x, axis=1, keepdims=True)
         n[n == 0] = 1.0
-        cos = np.round((x / n) @ c.T, 6)
+        # half-AWAY rounding to mirror DuckDB's round() (np.round is
+        # banker's half-to-even; CLAUDE.md rounding rule)
+        cos = round_half_away((x / n) @ c.T, 6)
         return pa.table(
             {
                 "cluster": pa.array(np.argmax(cos, axis=1).astype(np.int32)),
@@ -686,7 +688,7 @@ def semantic_dedup(
         x = np.array(df[vec_col].to_list(), dtype=np.float64)
         n = np.linalg.norm(x, axis=1, keepdims=True)
         n[n == 0] = 1.0
-        cos = np.round((x / n) @ (x / n).T, 6)
+        cos = round_half_away((x / n) @ (x / n).T, 6)
         dup = np.triu(cos >= threshold, k=1)  # [i, j]: i < j and near-dup
         dropped = dup.any(axis=0)
         return pd.DataFrame(

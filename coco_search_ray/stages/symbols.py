@@ -98,7 +98,14 @@ def _cap(sig: str) -> str:
 # ---------------------------------------------------------------------------
 
 
-def _scan_mask(text: str, line_comment: str, hash_comment: bool = False) -> list[bool]:
+def _scan_mask(
+    text: str,
+    line_comment: str | None,
+    hash_comment: bool = False,
+    block_comment: bool | None = None,
+) -> list[bool]:
+    if block_comment is None:
+        block_comment = bool(line_comment)
     n = len(text)
     mask = [True] * n
     i = 0
@@ -129,7 +136,7 @@ def _scan_mask(text: str, line_comment: str, hash_comment: bool = False) -> list
                 mask[i] = False
                 i += 1
             continue
-        if line_comment and text.startswith("/*", i):
+        if block_comment and text.startswith("/*", i):
             end = text.find("*/", i + 2)
             end = n if end == -1 else end + 2
             for j in range(i, end):
@@ -263,9 +270,11 @@ _JS_METHOD = re.compile(
 _JS_KEYWORDS = {"if", "for", "while", "switch", "catch", "return", "function", "new", "typeof", "await", "constructor"}
 
 
-def _extract_javascript(text: str) -> list[dict]:
-    mask = _scan_mask(text, "//")
-    depth = _brace_depth(text, mask)
+def _extract_javascript(
+    text: str, mask: list[bool] | None = None, depth: list[int] | None = None
+) -> list[dict]:
+    mask = _scan_mask(text, "//") if mask is None else mask
+    depth = _brace_depth(text, mask) if depth is None else depth
     out: list[dict] = []
     classes: list[tuple[int, int, int, str]] = []  # (body_start, body_end, body_depth, name)
     for m in _JS_CLASS.finditer(text):
@@ -542,14 +551,14 @@ def _extract_java(text: str) -> list[dict]:
 
 _C_FUNC = re.compile(r"\b(" + _ID + r")[ \t]*\(")
 _C_STRUCT = re.compile(r"\bstruct[ \t]+(" + _ID + r")[ \t\r\n]*\{")
-_C_ENUM = re.compile(r"\benum[ \t]+(" + _ID + r")")
+_C_ENUM = re.compile(r"\benum[ \t]+(?:(?:class|struct)[ \t]+)?(" + _ID + r")")
 _C_TYPEDEF = re.compile(r"\btypedef\b[^;{}]*?(" + _ID + r")[ \t]*;")
 _C_KEYWORDS = {"if", "for", "while", "switch", "return", "sizeof", "defined"}
 
 
-def _extract_c(text: str) -> list[dict]:
-    mask = _scan_mask(text, "//")
-    depth = _brace_depth(text, mask)
+def _extract_c(text: str, mask: list[bool] | None = None, depth: list[int] | None = None) -> list[dict]:
+    mask = _scan_mask(text, "//") if mask is None else mask
+    depth = _brace_depth(text, mask) if depth is None else depth
     out: list[dict] = []
     for m in _C_FUNC.finditer(text):
         p = m.start(1)
@@ -726,8 +735,11 @@ _CPP_METHOD = re.compile(r"\b(" + _ID + r")::(" + _ID + r")[ \t]*\(")
 
 
 def _extract_cpp(text: str) -> list[dict]:
-    out = _extract_c(text)  # functions / structs / enums / typedefs
+    # ONE mask/depth pass shared with the delegated C scanner (these
+    # run per transcript turn inside map_batches)
     mask = _scan_mask(text, "//")
+    depth = _brace_depth(text, mask)
+    out = _extract_c(text, mask, depth)  # functions / structs / enums / typedefs
     for m in _CPP_CLASS.finditer(text):
         if mask[m.start()]:
             out.append(
@@ -751,6 +763,12 @@ def _extract_cpp(text: str) -> list[dict]:
     for m in _CPP_METHOD.finditer(text):
         p = m.start()
         if not mask[p]:
+            continue
+        # definitions start a statement: a '(' or '=' earlier on the
+        # line means this is a CALL position (if (std::isnan(x)) {,
+        # auto t = std::thread([]{...})), not a method definition
+        ls_ = text.rfind("\n", 0, p) + 1
+        if "(" in text[ls_:p] or "=" in text[ls_:p]:
             continue
         # out-of-class definition Type::name(...) { ... } — the captured
         # NAME is the bare method name (reference: the name identifier of
@@ -781,7 +799,7 @@ _PHP_FUNC = re.compile(r"\bfunction[ \t]+(" + _ID + r")[ \t]*\(")
 
 
 def _extract_php(text: str) -> list[dict]:
-    mask = _scan_mask(text, "//")
+    mask = _scan_mask(text, "//", hash_comment=True)
     depth = _brace_depth(text, mask)
     out: list[dict] = []
     bodies: list[tuple[int, int, str]] = []
@@ -884,10 +902,13 @@ _HCL_BLOCK = re.compile(
 
 def _extract_hcl(text: str) -> list[dict]:
     mask = _scan_mask(text, None, hash_comment=True)
+    depth = _brace_depth(text, mask)
     out: list[dict] = []
     for m in _HCL_BLOCK.finditer(text):
         p = m.start(1)
-        if not mask[p]:
+        # TOP-LEVEL blocks only (the .scm shape): ingress/lifecycle/...
+        # blocks nested inside a resource are attributes, not symbols
+        if not mask[p] or depth[p] != 0:
             continue
         labels = [g for g in (m.group(2), m.group(3)) if g is not None]
         out.append(
@@ -935,8 +956,15 @@ def _extract_scala(text: str) -> list[dict]:
             if text[i] == "{":
                 bodies.append((i, _body_end(text, mask, depth, i), depth[i] + 1, name))
                 break
-            if text[i] == "\n" and ("{" not in text[m.end() : i]):
-                break  # braceless definition (case object / case class)
+            if text[i] == "\n":
+                # header continuation: a following line starting with
+                # extends / with / '{' / ')' is still the same
+                # definition (multiline extends clause); anything else
+                # ends a braceless definition (case object / case class)
+                rest = text[i + 1 :].lstrip(" \t")
+                if rest.startswith(("extends", "with", "{", ")")):
+                    continue
+                break
     for m in _SCALA_DEF.finditer(text):
         p = m.start()
         if not mask[p]:
@@ -988,8 +1016,8 @@ _TS_ALIAS = re.compile(r"\btype[ \t]+(" + _ID + r")[ \t]*=")
 
 
 def _extract_typescript(text: str) -> list[dict]:
-    out = _extract_javascript(text)
     mask = _scan_mask(text, "//")
+    out = _extract_javascript(text, mask, _brace_depth(text, mask))
     for m in _TS_IFACE.finditer(text):
         if mask[m.start()]:
             out.append(
@@ -1029,7 +1057,7 @@ _CSS_MEDIA = re.compile(r"@media[ \t]*(\([^)\n]*\))")
 
 
 def _extract_css(text: str) -> list[dict]:
-    mask = _scan_mask(text, None)
+    mask = _scan_mask(text, None, block_comment=True)
     out: list[dict] = []
     seen: set[int] = set()
     for rx, stype, pos_grp in (

@@ -598,3 +598,30 @@ def test_scanners_never_raise_on_adversarial_text():
                 assert sym["symbol_name"] is not None
 
     fuzz()
+
+
+def test_second_review_regressions():
+    """Round-4 second-review findings, pinned (all confirmed by
+    execution pre-fix)."""
+    # cpp: qualified CALLS are not methods; scoped enums name correctly
+    assert extract_symbols("if (std::isnan(x)) { return 1; }", "cpp") == []
+    assert extract_symbols("auto t = std::thread([]{ run(); });", "cpp") == []
+    r = extract_symbol_metadata("enum class Color { Red, Green };", "cpp")
+    assert (r.symbol_type, r.symbol_name) == ("class", "Color")
+    assert extract_symbol_metadata("void MyClass::myMethod() { }", "cpp").symbol_name == "myMethod"
+    # css: block comments are masked
+    syms = extract_symbols("/* .legacy { color: red } */\n.new { }", "css")
+    assert [s["symbol_name"] for s in syms] == ["new"]
+    # php: '#' line comments are masked
+    syms = extract_symbols("<?php\n# function hidden() {}\nclass Real {}", "php")
+    assert [s["symbol_name"] for s in syms] == ["Real"]
+    # scala: multiline extends clause keeps the body (methods qualified)
+    syms = extract_symbols(
+        "class Foo(x: Int)\n  extends Bar {\n  def m(): Unit = {}\n}", "scala"
+    )
+    assert {s["symbol_name"] for s in syms} >= {"Foo", "Foo.m"}
+    # hcl: nested blocks are attributes, not symbols
+    syms = extract_symbols(
+        'resource "aws_sg" "x" {\n  ingress {\n    from_port = 80\n  }\n}', "hcl"
+    )
+    assert [s["symbol_name"] for s in syms] == ["aws_sg.x"]
