@@ -637,6 +637,15 @@ def embedding_neardup(
     )
 
 
+# Within-cluster cosine dedup is row-BLOCKED: the working similarity
+# matrix is at most (block x chunk) float64 = 512*2048*8 = 8 MB, the
+# same cache-sized-chunk discipline as linker_core.link_many (CLAUDE.md).
+# A 31k-row cluster (10^9 vectors at n_clusters ~ sqrt(n)) would
+# otherwise build an ~8 GB n x n matrix inside one map_groups worker.
+_SEMDEDUP_BLOCK_ROWS = 512
+_SEMDEDUP_CHUNK_ROWS = 2048
+
+
 def semantic_dedup(
     ds: ray.data.Dataset,
     sample_vecs: np.ndarray,
@@ -645,6 +654,8 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 5,
+    block_rows: int = _SEMDEDUP_BLOCK_ROWS,
+    chunk_rows: int = _SEMDEDUP_CHUNK_ROWS,
 ) -> tuple[ray.data.Dataset, np.ndarray]:
     """SemDeDup-shaped semantic deduplication: k-means clusters on a
     bounded driver-side sample, centroids broadcast ONCE, per-batch
@@ -659,7 +670,13 @@ def semantic_dedup(
     before every argmax / threshold compare (ties then break toward
     the LOWER cluster id), so an independent re-derivation from the
     returned centroids (e.g. DuckDB list_cosine_similarity) lands on
-    identical assignments and drops.
+    identical assignments and drops. Boundary caveat: we compute
+    normalize-then-dot while DuckDB computes dot/(|a||b|); the two op
+    orders can differ in the last ulp, so a cosine landing EXACTLY on
+    a 1e-6 rounding boundary could in principle flip across engines.
+    No synth/test vector sits on a boundary (the gate hash would
+    catch it); for adversarial data, export the per-row rounded
+    similarities instead of re-deriving.
 
     Returns (Dataset[cluster, vec_id, dropped], centroids)."""
     from .ann import kmeans_centroids
@@ -688,9 +705,25 @@ def semantic_dedup(
         x = np.array(df[vec_col].to_list(), dtype=np.float64)
         n = np.linalg.norm(x, axis=1, keepdims=True)
         n[n == 0] = 1.0
-        cos = round_half_away((x / n) @ (x / n).T, 6)
-        dup = np.triu(cos >= threshold, k=1)  # [i, j]: i < j and near-dup
-        dropped = dup.any(axis=0)
+        xn = x / n
+        m = len(xn)
+        # row-blocked keep-first: dropped[j] iff ANY i<j has cos>=thr
+        # (earlier rows count whether or not they were themselves
+        # dropped — identical to the full triu(any) formulation).
+        # Drops only look BACKWARD, so blocking preserves semantics
+        # exactly while bounding the working matrix to block x chunk.
+        dropped = np.zeros(m, dtype=bool)
+        for b0 in range(0, m, block_rows):
+            b1 = min(b0 + block_rows, m)
+            blk = xn[b0:b1]
+            hit = np.zeros(b1 - b0, dtype=bool)
+            for c0 in range(0, b0, chunk_rows):  # vs all earlier rows
+                c1 = min(c0 + chunk_rows, b0)
+                cos = round_half_away(xn[c0:c1] @ blk.T, 6)
+                hit |= (cos >= threshold).any(axis=0)
+            cos = round_half_away(blk @ blk.T, 6)  # within-block i<j
+            hit |= np.triu(cos >= threshold, k=1).any(axis=0)
+            dropped[b0:b1] = hit
         return pd.DataFrame(
             {
                 "cluster": df["cluster"].astype("int32"),

@@ -339,3 +339,45 @@ def test_semantic_dedup_invariants(ray_session):
     assert bool(d.loc[100, "dropped"]) and bool(d.loc[101, "dropped"])
     assert not bool(d.loc[3, "dropped"]) and not bool(d.loc[11, "dropped"])
     assert len(cents) == 4
+
+
+def test_semantic_dedup_blocked_matches_unchunked(ray_session):
+    """One cluster >> block size: the row-blocked keep-first mask must be
+    row-identical to the naive full n x n triu(any) computation (the
+    pre-round-5 unchunked formulation)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from coco_search_ray.functions.numeric import round_half_away
+    from coco_search_ray.stages.dedup import semantic_dedup
+
+    rng = np.random.RandomState(17)
+    n, dim = 600, 8  # low dim -> plenty of cosine>=0.9 pairs by chance
+    x = rng.randn(n, dim)
+    # salt in some exact scaled dups across block boundaries
+    x[250] = x[3] * 1.7
+    x[555] = x[40] * 0.2
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in x], pa.list_(pa.float64())),
+        }
+    )
+    thr = 0.9
+    flags, _ = semantic_dedup(
+        ray.data.from_arrow(t),
+        x[:50],
+        threshold=thr,
+        n_clusters=1,  # force ONE cluster of 600 rows
+        block_rows=64,  # << cluster size: exercises both chunk loops
+        chunk_rows=100,
+    )
+    got = flags.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert (got["cluster"] == 0).all()
+    # reference: unchunked full-matrix keep-first
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cos = round_half_away(xn @ xn.T, 6)
+    want = np.triu(cos >= thr, k=1).any(axis=0)
+    assert want.any() and not want.all()  # non-trivial case
+    assert (got["dropped"].to_numpy() == want).all()
