@@ -386,22 +386,46 @@ def _stream_pin_max_input_bytes() -> int:
     )
 
 
-def _local_paths_bytes(paths: list[str]) -> int | None:
-    """Total size of local input files; None when any path is remote /
-    unstattable (auto-spill then stays off — explicit opt-in only)."""
+def _paths_bytes(paths: list[str]) -> int | None:
+    """Total size of the input files, resolved through ``pyarrow.fs`` so
+    the spill auto-trigger is STORAGE-AGNOSTIC: a real 100 TB job reads
+    from object storage (s3:// / gs:// / hdfs://), and an ``os.stat``
+    sizer would silently return None there and leave auto-spill OFF —
+    reverting to pinning tens of TB in plasma exactly where spilling
+    matters most. Returns None only when a path's filesystem cannot be
+    resolved or listed at all (auto-spill then stays off — explicit
+    opt-in via ``spill_stream=True`` still works)."""
     import os
+
+    from pyarrow import fs as pafs
 
     total = 0
     for p in paths:
         try:
-            if os.path.isdir(p):
-                for root, _dirs, files in os.walk(p):
-                    total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
-            else:
-                total += os.path.getsize(p)
-        except OSError:
+            filesystem, rel = pafs.FileSystem.from_uri(p)
+        except Exception:  # noqa: BLE001 — bare/relative local path
+            filesystem, rel = pafs.LocalFileSystem(), os.path.abspath(str(p))
+        try:
+            info = filesystem.get_file_info(rel)
+            if info.type == pafs.FileType.Directory:
+                infos = filesystem.get_file_info(pafs.FileSelector(rel, recursive=True))
+                total += sum(i.size or 0 for i in infos if i.is_file)
+            elif info.type == pafs.FileType.File:
+                total += info.size or 0
+            else:  # NotFound / Unknown
+                return None
+        except Exception:  # noqa: BLE001 — unreachable store: stay off
             return None
     return total
+
+
+def _strip_file_scheme(paths: list[str]) -> list[str]:
+    """ray.data.read_parquet resolves the filesystem from the FIRST
+    element of a path list but does not strip the scheme from the rest,
+    so a LIST of file:// URIs fails normalize_path (a single string
+    works). file:// is the local filesystem by definition — strip it up
+    front; real remote schemes (s3:// etc.) pass through untouched."""
+    return [p[len("file://"):] if isinstance(p, str) and p.startswith("file://") else p for p in paths]
 
 
 def linkmap_dataset(
@@ -1008,6 +1032,7 @@ def build_kg(
         mapping = canonical_mapping(catalog.to_pylist())
     if isinstance(paths, str):
         paths = [paths]
+    paths = _strip_file_scheme(paths)
     # prune at the read: the KG build consumes conv_id/turn_idx/text/tool
     # only — role and ts never reach a triple, so they never leave storage
     _KG_COLS = ["conv_id", "turn_idx", "text", "tool"]
@@ -1077,7 +1102,7 @@ def build_kg(
         #                   the whole stream (TBs at 10^12 turns) in
         #                   plasma/spill for the length of the job
         if spill_stream is None:
-            in_bytes = _local_paths_bytes(paths)
+            in_bytes = _paths_bytes(paths)
             spill_stream = (
                 in_bytes is not None and in_bytes > _stream_pin_max_input_bytes()
             )
@@ -1267,6 +1292,7 @@ def extract_mentions_ds(
             qualified_specs=qual_specs,
         )
 
+    paths = _strip_file_scheme(list(paths))
     ds = ray.data.read_parquet(paths, override_num_blocks=len(paths))
     ds = ds.map_batches(
         lambda b: normalize_turns(b, with_uid=False), batch_format="pyarrow", batch_size=None
@@ -1300,6 +1326,7 @@ def build_kg_from_mention_stream(
             b, literal_preds=lit_preds, qualified_preds=qual_preds
         )
 
+    mention_paths = _strip_file_scheme(list(mention_paths))
     ds = ray.data.read_parquet(mention_paths, override_num_blocks=len(mention_paths))
     # same dictionary compression as the cold path (fused with the read)
     # so replay gets the per-unique lookup + int-code assembly too
@@ -1308,7 +1335,7 @@ def build_kg_from_mention_stream(
     # only while the stream is small; above the threshold each pass just
     # re-reads the files it already lives in (same size-trigger
     # discipline as build_kg's spill branch)
-    stream_bytes = _local_paths_bytes(list(mention_paths))
+    stream_bytes = _paths_bytes(list(mention_paths))
     if stream_bytes is None or stream_bytes <= _stream_pin_max_input_bytes():
         ds = ds.materialize()
     uniq_blocks = ds.map_batches(_block_unique, batch_format="pyarrow").to_pandas()

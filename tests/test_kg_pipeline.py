@@ -387,3 +387,49 @@ def test_spill_dir_refuses_stale_stream_files(ray_session, smoke_dir, tmp_path):
     build_kg_from_dir(smoke_dir, spill_stream=True, stream_spill_dir=sdir).count()
     with pytest.raises(FileExistsError):
         build_kg_from_dir(smoke_dir, spill_stream=True, stream_spill_dir=sdir)
+
+
+def test_paths_bytes_storage_agnostic(smoke_dir):
+    """_paths_bytes must size inputs through pyarrow.fs, not os.stat:
+    a file:// URI (the simplest non-os.stat-able scheme) is sized
+    exactly like the bare path, directories recurse, and an
+    unresolvable scheme returns None (auto-spill stays off)."""
+    import os
+
+    from coco_search_ray.pipelines.kg import _paths_bytes
+    from coco_search_ray.sources.synth import transcript_files
+
+    files = transcript_files(smoke_dir)
+    want = sum(os.path.getsize(f) for f in files)
+    assert _paths_bytes(files) == want
+    assert _paths_bytes([f"file://{f}" for f in files]) == want  # os.stat would fail
+    assert _paths_bytes([f"file://{smoke_dir}"]) >= want  # dir recursion
+    assert _paths_bytes(["definitely-not-a-scheme://bucket/key"]) is None
+    assert _paths_bytes([str(smoke_dir) + "/no_such_file.parquet"]) is None
+
+
+def test_auto_spill_triggers_on_non_stat_scheme(ray_session, smoke_dir, tmp_path, monkeypatch):
+    """The AUTO spill trigger must escalate for inputs os.stat cannot
+    see (remote object storage in production; file:// URIs here):
+    with the pin threshold at 0 and file://-scheme inputs, the
+    spill_stream=None build must take the file-backed branch and still
+    produce the exact default triple set."""
+    import os
+
+    import pandas as pd
+
+    from coco_search_ray.pipelines.kg import build_kg, build_kg_from_dir
+    from coco_search_ray.sources.synth import load_catalog, transcript_files
+
+    base = build_kg_from_dir(smoke_dir, concurrency=2).to_pandas()
+    monkeypatch.setenv("KG_STREAM_PIN_MAX_INPUT_BYTES", "0")
+    sdir = str(tmp_path / "stream")
+    got = build_kg(
+        [f"file://{f}" for f in transcript_files(smoke_dir)],
+        load_catalog(smoke_dir),
+        concurrency=2,
+        stream_spill_dir=sdir,  # spill_stream stays None: AUTO decides
+    ).to_pandas()
+    files = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
+    assert files, "auto trigger must spill for a non-os.stat-able scheme"
+    pd.testing.assert_frame_equal(_sorted(base), _sorted(got))
