@@ -98,12 +98,27 @@ def _cap(sig: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+# rust/scala char literal (also go runes, c/java chars): 'x', '\n',
+# '\u{1F600}', 'A' — anything longer is a lifetime / prose
+# apostrophe, never a string
+_CHAR_LIT = re.compile(r"'(?:\\(?:u\{[0-9a-fA-F]{1,6}\}|u[0-9a-fA-F]{4}|.)|[^\\'\n])'")
+
+
 def _scan_mask(
     text: str,
     line_comment: str | None,
     hash_comment: bool = False,
     block_comment: bool | None = None,
+    squote: str = "string",
 ) -> list[bool]:
+    """``squote`` picks how a single quote is read: "string" (a real
+    delimiter — js/ts/php/bash/css), "char" (char/rune literal only —
+    rust/scala/go/java/c/cpp, where ' is otherwise a lifetime marker or
+    prose apostrophe), "none" (never a delimiter — hcl). An unterminated
+    '-string is bounded at the NEWLINE and rewound to plain text: one
+    apostrophe in prose ("Here's my function:") must not mask the rest
+    of a mixed prose+code turn (string literals don't span lines in
+    these languages)."""
     if block_comment is None:
         block_comment = bool(line_comment)
     n = len(text)
@@ -111,20 +126,37 @@ def _scan_mask(
     i = 0
     while i < n:
         c = text[i]
+        if c == "'" and squote != "string":
+            if squote == "char":
+                m = _CHAR_LIT.match(text, i)
+                if m:
+                    for k in range(i, m.end()):
+                        mask[k] = False
+                    i = m.end()
+                    continue
+            i += 1
+            continue
         if c in "'\"`":
             q = c
-            mask[i] = False
             j = i + 1
-            while j < n and text[j] != q:
-                mask[j] = False
+            closed = False
+            while j < n:
                 if text[j] == "\\":
-                    if j + 1 < n:
-                        mask[j + 1] = False
-                    j += 1
+                    j += 2
+                    continue
+                if text[j] == q:
+                    closed = True
+                    break
+                if q == "'" and text[j] == "\n":
+                    break
                 j += 1
-            if j < n:
-                mask[j] = False
-            i = j + 1
+            if q == "'" and not closed:
+                i += 1  # prose apostrophe, not a string opener
+                continue
+            stop = j + 1 if closed else n
+            for k in range(i, min(stop, n)):
+                mask[k] = False
+            i = stop
             continue
         if hash_comment and c == "#":
             while i < n and text[i] != "\n":
@@ -223,14 +255,79 @@ def _py_sig_end(text: str, start: int) -> int:
     return n
 
 
+def _py_mask(text: str) -> list[bool]:
+    """Python code mask: hash comments, single/double one-line strings
+    (a quote unterminated at the newline is rewound to plain text —
+    python strings cannot span lines, and prose apostrophes must not
+    mask what follows), and triple-quoted strings (which CAN span
+    lines; unterminated masks to end — error recovery matching
+    tree-sitter's string node). Prefixes (f/r/b) need no handling: the
+    quote chars themselves drive the scan, and a backslash prevents
+    the next quote from closing even in raw strings (CPython
+    tokenizer behavior)."""
+    n = len(text)
+    mask = [True] * n
+    i = 0
+    while i < n:
+        c = text[i]
+        if c == "#":
+            while i < n and text[i] != "\n":
+                mask[i] = False
+                i += 1
+            continue
+        if c in "'\"":
+            if text.startswith(c * 3, i):
+                q = c * 3
+                j = i + 3
+                stop = n
+                while j < n:
+                    if text[j] == "\\":
+                        j += 2
+                        continue
+                    if text.startswith(q, j):
+                        stop = j + 3
+                        break
+                    j += 1
+                for k in range(i, min(stop, n)):
+                    mask[k] = False
+                i = stop
+                continue
+            j = i + 1
+            closed = False
+            while j < n:
+                if text[j] == "\\":
+                    j += 2
+                    continue
+                if text[j] == c:
+                    closed = True
+                    break
+                if text[j] == "\n":
+                    break
+                j += 1
+            if not closed:
+                i += 1  # prose apostrophe / stray quote
+                continue
+            for k in range(i, min(j + 1, n)):
+                mask[k] = False
+            i = j + 1
+            continue
+        i += 1
+    return mask
+
+
 def _extract_python(text: str) -> list[dict]:
+    mask = _py_mask(text)
     hits: list[tuple[int, int, str, str, str]] = []  # (pos, indent, kind, name, sig)
     for m in _PY_CLASS.finditer(text):
         start = m.start() + len(m.group(1))
+        if not mask[start]:  # class keyword inside a string/comment
+            continue
         sig = text[start : _py_sig_end(text, start)]
         hits.append((start, len(m.group(1).expandtabs()), "class", m.group(2), sig))
     for m in _PY_DEF.finditer(text):
         start = m.start() + len(m.group(1))
+        if not mask[start]:  # def keyword inside a string/comment
+            continue
         sig = text[start : _py_sig_end(text, start)]
         hits.append((start, len(m.group(1).expandtabs()), "function", m.group(3), sig))
     hits.sort()
@@ -354,7 +451,7 @@ _GO_TYPE = re.compile(r"\btype[ \t]+(" + _ID + r")[ \t]+(struct|interface)\b")
 
 
 def _extract_go(text: str) -> list[dict]:
-    mask = _scan_mask(text, "//")
+    mask = _scan_mask(text, "//", squote="char")
     out: list[dict] = []
     for m in _GO_METHOD.finditer(text):
         if mask[m.start()]:
@@ -406,7 +503,7 @@ _RS_TRAIT = re.compile(r"\b(" + _RS_VIS + r"trait[ \t]+(" + _ID + r"))")
 
 
 def _extract_rust(text: str) -> list[dict]:
-    mask = _scan_mask(text, "//")
+    mask = _scan_mask(text, "//", squote="char")
     depth = _brace_depth(text, mask)
     out: list[dict] = []
     impls: list[tuple[int, int, int, str]] = []  # (body_start, body_end, body_depth, name)
@@ -470,7 +567,7 @@ _JAVA_KEYWORDS = {"if", "for", "while", "switch", "catch", "return", "new", "sup
 
 
 def _extract_java(text: str) -> list[dict]:
-    mask = _scan_mask(text, "//")
+    mask = _scan_mask(text, "//", squote="char")
     depth = _brace_depth(text, mask)
     out: list[dict] = []
     bodies: list[tuple[int, int, str]] = []  # (body_start, body_depth, name)
@@ -557,7 +654,7 @@ _C_KEYWORDS = {"if", "for", "while", "switch", "return", "sizeof", "defined"}
 
 
 def _extract_c(text: str, mask: list[bool] | None = None, depth: list[int] | None = None) -> list[dict]:
-    mask = _scan_mask(text, "//") if mask is None else mask
+    mask = _scan_mask(text, "//", squote="char") if mask is None else mask
     depth = _brace_depth(text, mask) if depth is None else depth
     out: list[dict] = []
     for m in _C_FUNC.finditer(text):
@@ -737,7 +834,7 @@ _CPP_METHOD = re.compile(r"\b(" + _ID + r")::(" + _ID + r")[ \t]*\(")
 def _extract_cpp(text: str) -> list[dict]:
     # ONE mask/depth pass shared with the delegated C scanner (these
     # run per transcript turn inside map_batches)
-    mask = _scan_mask(text, "//")
+    mask = _scan_mask(text, "//", squote="char")
     depth = _brace_depth(text, mask)
     out = _extract_c(text, mask, depth)  # functions / structs / enums / typedefs
     for m in _CPP_CLASS.finditer(text):
@@ -901,7 +998,7 @@ _HCL_BLOCK = re.compile(
 
 
 def _extract_hcl(text: str) -> list[dict]:
-    mask = _scan_mask(text, None, hash_comment=True)
+    mask = _scan_mask(text, None, hash_comment=True, squote="none")
     depth = _brace_depth(text, mask)
     out: list[dict] = []
     for m in _HCL_BLOCK.finditer(text):
@@ -934,7 +1031,7 @@ _SCALA_ALIAS = re.compile(r"\btype[ \t]+(" + _ID + r")[ \t]*=")
 
 
 def _extract_scala(text: str) -> list[dict]:
-    mask = _scan_mask(text, "//")
+    mask = _scan_mask(text, "//", squote="char")
     depth = _brace_depth(text, mask)
     out: list[dict] = []
     bodies: list[tuple[int, int, str]] = []
