@@ -38,7 +38,8 @@ def entry() -> Any:
 # new this round, then queries earlier snapshots never recorded, then
 # the classics already green in CORRECTNESS_r01-r03.
 _SNAPSHOT_PRIORITY = [
-    "kg_triples", "kg_analyze", "q_turn_symbols", "q_gitlab_includes",
+    "kg_triples", "kg_analyze", "q_argocd_sources", "q_md_reference_links",
+    "q_turn_symbols", "q_gitlab_includes",
     "q_helm_templates", "q_doc_repetition", "q_pii_scrub",
     "q_doc_quota_sample", "q_embedding_semdedup",
     # never in a driver snapshot before round 4 (r03 verdict list)

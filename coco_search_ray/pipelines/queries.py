@@ -1651,6 +1651,9 @@ def kg_literal_mentions(sf_dir: str) -> pd.DataFrame:
     out = lit.groupby("kind_code").aggregate(Count(alias_name="n_mentions")).to_pandas()
     preds = {i + 1: p for i, (_n, p) in enumerate(lit_specs)}
     out["kind"] = out["kind_code"].map(preds)
+    # two families may share a pred (md_links + md_refs are both
+    # references_doc, the reference's doc_link kind): report per PRED
+    out = out.groupby("kind", as_index=False)["n_mentions"].sum()
     return out[["kind", "n_mentions"]].astype({"n_mentions": "int64"})
 
 
@@ -1742,8 +1745,35 @@ WITH t AS (
     || regexp_extract_all(text, '\\bfn[ \t]+([A-Za-z_][A-Za-z0-9_]*)[(<]', 1)
     || regexp_extract_all(text, '\\bstruct[ \t]+([A-Za-z_][A-Za-z0-9_]*)[ \t]*\\{{', 1)
   )) AS n FROM t
+), argo AS (
+  -- argocd family: repoURL / chart / path / project refs
+  SELECT len(list_distinct(
+    regexp_extract_all(text, '\\brepoURL:[ \t]*[''"]?([A-Za-z][A-Za-z0-9+.-]*://[A-Za-z0-9._~:/@-]+|git@[A-Za-z0-9._-]+:[A-Za-z0-9._/-]+)', 1)
+    || regexp_extract_all(text, '\\bchart:[ \t]*[''"]?([A-Za-z0-9][A-Za-z0-9._-]*)', 1)
+    || regexp_extract_all(text, '\\bpath:[ \t]*[''"]?([A-Za-z0-9._-]+(?:/[A-Za-z0-9._-]+)*)', 1)
+    || regexp_extract_all(text, '\\bproject:[ \t]*[''"]?([A-Za-z0-9][A-Za-z0-9._-]*)', 1)
+  )) AS n FROM t
+), mdref AS (
+  -- md_refs family: reference-style links resolved through the turn's
+  -- own line-anchored [ref]: target definitions (keep-first per
+  -- case-folded ref == list_position on the lowered def list), http
+  -- targets excluded like md_links
+  SELECT len(list_distinct(list_filter(
+    list_transform(
+      regexp_extract_all(text, '\\[[^\\]\n]{{1,80}}\\]\\[([^\\]\n]{{1,80}})\\]', 1)
+      || regexp_extract_all(text, '\\[([^\\]\n]{{1,80}})\\]\\[\\]', 1),
+      r -> dtgts[list_position(drefs, lower(r))]
+    ), x -> x IS NOT NULL AND NOT regexp_matches(x, '^https?://')
+  ))) AS n
+  FROM (
+    SELECT text,
+      list_transform(regexp_extract_all(text, '(?m)^[ \t]*\\[([^\\]\n]{{1,80}})\\]:[ \t]*([^ \t\r\n]{{1,200}})', 1), x -> lower(x)) AS drefs,
+      regexp_extract_all(text, '(?m)^[ \t]*\\[([^\\]\n]{{1,80}})\\]:[ \t]*([^ \t\r\n]{{1,200}})', 2) AS dtgts
+    FROM t
+  )
 )
 SELECT 'defines_symbol' AS kind, sum(n)::BIGINT AS n_mentions FROM sym
+UNION ALL SELECT 'argo_ref', sum(n)::BIGINT FROM argo
 UNION ALL SELECT 'extends_template', sum(n)::BIGINT FROM ex
 UNION ALL SELECT 'includes_config', sum(n)::BIGINT FROM gl
 UNION ALL SELECT 'uses_helm_template', sum(n)::BIGINT FROM hm
@@ -1752,7 +1782,7 @@ UNION ALL SELECT 'links_to', sum(n)::BIGINT FROM u
 UNION ALL SELECT 'mentions_email', sum(n)::BIGINT FROM e
 UNION ALL SELECT 'mentions_version', sum(n)::BIGINT FROM v
 UNION ALL SELECT 'quotes', sum(n)::BIGINT FROM q
-UNION ALL SELECT 'references_doc', sum(n)::BIGINT FROM md
+UNION ALL SELECT 'references_doc', ((SELECT sum(n) FROM md) + (SELECT sum(n) FROM mdref))::BIGINT
 UNION ALL SELECT 'references_path', sum(n)::BIGINT FROM p
 UNION ALL SELECT 'uses_action', sum(n)::BIGINT FROM ci
 UNION ALL SELECT 'uses_image', sum(n)::BIGINT FROM img
@@ -3214,32 +3244,49 @@ def q_doc_repetition(sf_dir: str) -> pd.DataFrame:
     def metrics(df: pd.DataFrame) -> pd.DataFrame:
         words = df["text"].fillna("").str.findall(r"[A-Za-z0-9_]+")
         ex = df[["doc_id", "lang"]].copy()
-        ex["n_words"] = words.str.len().astype("int64")
-        flat = pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].repeat(words.str.len()),
-                "w": np.concatenate(words.to_numpy()) if len(df) else [],
-            }
+        n_docs = len(df)
+        nw = words.str.len().to_numpy(dtype=np.int64) if n_docs else np.zeros(0, np.int64)
+        ex["n_words"] = nw
+        # ONE factorize over the batch's flattened words; everything
+        # below runs on int codes (the extraction ordinal trick) — no
+        # per-row Python loop. Word identity == code identity, and the
+        # old "w1 w2" string key == the (code1, code2) pair key because
+        # words contain no spaces, so counts are bit-identical.
+        allw = (
+            np.concatenate(words.to_numpy())
+            if n_docs and nw.sum()
+            else np.zeros(0, dtype=object)
         )
-        uniq = flat.groupby("doc_id")["w"].nunique()
-        ex["n_uniq"] = ex["doc_id"].map(uniq).fillna(0).astype("int64")
-        # top bigram count per doc: consecutive pairs within the doc
-        nb = (words.str.len() - 1).clip(lower=0)
-        bi = pd.DataFrame(
-            {
-                "doc_id": df["doc_id"].repeat(nb),
-                "bg": [
-                    f"{ws[i]} {ws[i + 1]}"
-                    for ws in words
-                    for i in range(max(len(ws) - 1, 0))
-                ],
-            }
+        codes, uniques = pd.factorize(allw)
+        codes = codes.astype(np.int64)
+        K = np.int64(max(len(uniques), 1))
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), nw)
+        # distinct words per doc: unique (doc, code) ordinals per doc
+        upairs = np.unique(doc_idx * K + codes)
+        ex["n_uniq"] = (
+            np.bincount(upairs // K, minlength=n_docs).astype(np.int64)
+            if len(upairs)
+            else np.zeros(n_docs, np.int64)
         )
-        if len(bi):
-            top = bi.groupby(["doc_id", "bg"]).size().groupby("doc_id").max()
-        else:
-            top = pd.Series(dtype="int64")
-        ex["top_bigram"] = ex["doc_id"].map(top).fillna(0).astype("int64")
+        # top bigram count per doc: consecutive code-pair ordinals,
+        # pairs crossing doc boundaries masked out; sorted uniques give
+        # per-doc runs for one maximum.reduceat
+        topbg = np.zeros(n_docs, dtype=np.int64)
+        if len(codes) >= 2:
+            same = doc_idx[:-1] == doc_idx[1:]
+            if same.any():
+                # two-step ordinal: pair code first (< K^2 <= W^2, safe),
+                # then doc*P + pair (< n_docs*W, safe) — the naive
+                # doc*K^2 key can overflow int64 on huge batches
+                pairs = codes[:-1][same] * K + codes[1:][same]
+                pcodes, puniq = pd.factorize(pairs)
+                P = np.int64(max(len(puniq), 1))
+                keys = doc_idx[:-1][same] * P + pcodes.astype(np.int64)
+                ukeys, counts = np.unique(keys, return_counts=True)
+                docs = ukeys // P
+                starts = np.flatnonzero(np.r_[True, docs[1:] != docs[:-1]])
+                topbg[docs[starts]] = np.maximum.reduceat(counts, starts)
+        ex["top_bigram"] = topbg
         dup_frac = np.where(
             ex["n_words"] > 0, 1.0 - ex["n_uniq"] / ex["n_words"], 0.0
         )
@@ -3493,4 +3540,165 @@ FROM d GROUP BY cluster ORDER BY cluster
 
 REGISTRY.update(
     {"q_embedding_semdedup": (q_embedding_semdedup, Q_EMBEDDING_SEMDEDUP_SQL)}
+)
+
+
+# ---------------------------------------------------------------------------
+# ArgoCD application-source refs + reference-style markdown links
+# (reference deps/extractors/argocd.py:24-262 Application/AppSet/
+# AppProject source edges; deps/extractors/markdown.py:268-326 reference
+# link resolution) — parsed + aggregated, full SQL mirror
+# ---------------------------------------------------------------------------
+
+
+def q_argocd_sources(sf_dir: str) -> pd.DataFrame:
+    """ArgoCD reference parse (reference argocd.py:115-159 repoURL/
+    chart/path + :84-96 project edges): extract argo_ref surfaces from
+    the synth transcripts, recover the reference's metadata.kind by
+    surface shape (``://`` or ``git@`` -> repo, ``/`` -> path, bare
+    word -> chart/project name), and count refs + distinct targets per
+    kind."""
+    from ..stages.extract import extract_mention_rows
+    from .kg import normalized_turns_ds
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    ds = normalized_turns_ds(data_dir).map_batches(
+        lambda b: extract_mention_rows(
+            b, entity_names=(), literal_specs=(("argocd", "argo_ref"),)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        m = b["mention"]
+        is_repo = pc.or_(
+            pc.match_substring(m, "://"), pc.starts_with(m, "git@")
+        )
+        is_path = pc.match_substring(m, "/")
+        kind = pc.if_else(
+            is_repo, "repo", pc.if_else(is_path, "path", "name")
+        )
+        return pa.table({"kind": kind, "ref": m})
+
+    # consumed twice (refs + distinct groupby): pin the tiny parse result
+    parsed = ds.map_batches(classify, batch_format="pyarrow").materialize()
+    n = parsed.groupby("kind").aggregate(Count(alias_name="n_refs")).to_pandas()
+    tgts = (
+        parsed.groupby(["kind", "ref"]).aggregate(Count(alias_name="_n")).to_pandas()
+    )
+    nt = tgts.groupby("kind").size().reset_index(name="n_targets")
+    out = n.merge(nt, on="kind").sort_values("kind", kind="mergesort")
+    return out[["kind", "n_refs", "n_targets"]].astype(
+        {"n_refs": "int64", "n_targets": "int64"}
+    ).reset_index(drop=True)
+
+
+Q_ARGOCD_SOURCES_SQL = f"""
+WITH t AS (
+  SELECT coalesce(text, '') AS text FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
+), refs AS (
+  -- same four rules + per-turn keep-first dedupe as the pipeline
+  SELECT unnest(list_distinct(
+    regexp_extract_all(text, '\\brepoURL:[ \t]*[''"]?([A-Za-z][A-Za-z0-9+.-]*://[A-Za-z0-9._~:/@-]+|git@[A-Za-z0-9._-]+:[A-Za-z0-9._/-]+)', 1)
+    || regexp_extract_all(text, '\\bchart:[ \t]*[''"]?([A-Za-z0-9][A-Za-z0-9._-]*)', 1)
+    || regexp_extract_all(text, '\\bpath:[ \t]*[''"]?([A-Za-z0-9._-]+(?:/[A-Za-z0-9._-]+)*)', 1)
+    || regexp_extract_all(text, '\\bproject:[ \t]*[''"]?([A-Za-z0-9][A-Za-z0-9._-]*)', 1)
+  )) AS ref FROM t
+), k AS (
+  SELECT CASE WHEN ref LIKE '%://%' OR ref LIKE 'git@%' THEN 'repo'
+              WHEN ref LIKE '%/%' THEN 'path'
+              ELSE 'name' END AS kind, ref
+  FROM refs
+)
+SELECT kind, count(*)::BIGINT AS n_refs, count(DISTINCT ref)::BIGINT AS n_targets
+FROM k GROUP BY kind ORDER BY kind
+"""
+
+
+def q_md_reference_links(sf_dir: str) -> pd.DataFrame:
+    """Reference-style markdown link resolution (reference
+    markdown.py:268-326: full/collapsed reference links and reference
+    images resolved through the document's ``[ref]: url`` definition
+    table, non-local targets skipped): extract the RESOLVED targets via
+    the md_refs family's two-pass extract, split into (dir, file), and
+    count refs + distinct files per directory. The DuckDB oracle
+    replays both passes: definitions via two zipped regexp_extract_all
+    captures with keep-first-per-ref, usages joined per turn on the
+    case-folded ref."""
+    from ..stages.extract import extract_mention_rows
+    from .kg import normalized_turns_ds
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    ds = normalized_turns_ds(data_dir).map_batches(
+        lambda b: extract_mention_rows(
+            b, entity_names=(), literal_specs=(("md_refs", "references_doc"),)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def parse(b: pa.Table) -> pa.Table:
+        parts = pc.extract_regex(b["mention"], r"^(?P<dir>(?:[^/]*/)*)(?P<file>[^/]+)$")
+        parts = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+        parts = parts.filter(pc.is_valid(parts))
+        return pa.table(
+            {
+                "dir": pc.struct_field(parts, "dir"),
+                "file": pc.struct_field(parts, "file"),
+            }
+        )
+
+    # consumed twice (refs + distinct groupby): pin the tiny parse result
+    parsed = ds.map_batches(parse, batch_format="pyarrow").materialize()
+    n = parsed.groupby("dir").aggregate(Count(alias_name="n_refs")).to_pandas()
+    files = (
+        parsed.groupby(["dir", "file"]).aggregate(Count(alias_name="_n")).to_pandas()
+    )
+    nf = files.groupby("dir").size().reset_index(name="n_files")
+    out = n.merge(nf, on="dir")
+    out = out.sort_values(
+        ["n_refs", "dir"], ascending=[False, True], kind="mergesort"
+    ).head(30).reset_index(drop=True)
+    return out[["dir", "n_refs", "n_files"]].astype({"n_refs": "int64", "n_files": "int64"})
+
+
+Q_MD_REFERENCE_LINKS_SQL = f"""
+WITH t AS (
+  SELECT row_number() OVER () AS rid, coalesce(text, '') AS text
+  FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
+), dl AS (
+  SELECT rid,
+    regexp_extract_all(text, '(?m)^[ \t]*\\[([^\\]\n]{{1,80}})\\]:[ \t]*([^ \t\r\n]{{1,200}})', 1) AS refs,
+    regexp_extract_all(text, '(?m)^[ \t]*\\[([^\\]\n]{{1,80}})\\]:[ \t]*([^ \t\r\n]{{1,200}})', 2) AS tgts
+  FROM t
+), defs AS (
+  -- keep-first per case-folded ref within a turn (extract()'s dict)
+  SELECT rid, lower(refs[i]) AS ref, tgts[i] AS target
+  FROM (SELECT rid, refs, tgts, unnest(generate_series(1, len(refs))) AS i FROM dl)
+  QUALIFY row_number() OVER (PARTITION BY rid, lower(refs[i]) ORDER BY i) = 1
+), uses AS (
+  SELECT rid, lower(unnest(
+      regexp_extract_all(text, '\\[[^\\]\n]{{1,80}}\\]\\[([^\\]\n]{{1,80}})\\]', 1)
+      || regexp_extract_all(text, '\\[([^\\]\n]{{1,80}})\\]\\[\\]', 1)
+  )) AS ref FROM t
+), resolved AS (
+  -- per-turn deduped resolved targets, http-external excluded (urls family)
+  SELECT DISTINCT u.rid, d.target
+  FROM uses u JOIN defs d ON d.rid = u.rid AND d.ref = u.ref
+  WHERE NOT regexp_matches(d.target, '^https?://')
+), p AS (
+  SELECT regexp_extract(target, '^((?:[^/]*/)*)([^/]+)$', 1) AS dir,
+         regexp_extract(target, '^((?:[^/]*/)*)([^/]+)$', 2) AS file
+  FROM resolved
+)
+SELECT dir, count(*)::BIGINT AS n_refs, count(DISTINCT file)::BIGINT AS n_files
+FROM p GROUP BY dir
+ORDER BY n_refs DESC, dir LIMIT 30
+"""
+
+
+REGISTRY.update(
+    {
+        "q_argocd_sources": (q_argocd_sources, Q_ARGOCD_SOURCES_SQL),
+        "q_md_reference_links": (q_md_reference_links, Q_MD_REFERENCE_LINKS_SQL),
+    }
 )

@@ -312,6 +312,45 @@ def _generate_shard(
                     words.append(f'{{{{ include "{w}.{w2}" . }}}}')
                 else:
                     words.append(f'{{{{- template "{w}.{w2}" }}}}')
+            # ArgoCD manifest material (drives extractors/argocd.py):
+            # the reference's Application repoURL/chart/path/project
+            # shapes, https and git@ repo forms
+            if rng.rand() < 0.04:
+                w = _VOCAB[rng.randint(0, len(_VOCAB))]
+                w2 = _VOCAB[rng.randint(0, len(_VOCAB))]
+                style = rng.randint(0, 5)
+                if style == 0:
+                    words.append(f"repoURL: https://git.example.com/{w}/{w2}.git")
+                elif style == 1:
+                    words.append(f"repoURL: git@git.example.com:{w}/{w2}.git")
+                elif style == 2:
+                    words.append(f"chart: {w}-{w2}")
+                elif style == 3:
+                    words.append(f"path: apps/{w}")
+                else:
+                    words.append(f"project: {w}")
+            # reference-style markdown links (drives extractors/
+            # md_refs.py): usage + line-anchored definition in the same
+            # turn; collapsed, image, http-external and dangling
+            # variants exercise the fold/skip paths
+            if rng.rand() < 0.04:
+                w = _VOCAB[rng.randint(0, len(_VOCAB))]
+                w2 = _VOCAB[rng.randint(0, len(_VOCAB))]
+                style = rng.randint(0, 5)
+                if style == 0:
+                    words.append(f"see [{w2} guide][{w}] then")
+                    words.append(f"\n[{w}]: docs/{w}-{w2}.md")
+                elif style == 1:
+                    words.append(f"![{w2} diagram][{w}-img]")
+                    words.append(f"\n[{w}-img]: assets/{w}.png")
+                elif style == 2:
+                    words.append(f"[{w.capitalize()}][]")
+                    words.append(f"\n[{w}]: guides/{w2}/{w}.md")
+                elif style == 3:
+                    words.append(f"[{w2} api][{w}-ext]")
+                    words.append(f"\n[{w}-ext]: https://svc.example/{w}")
+                else:
+                    words.append(f"[{w2} notes][{w}-missing]")
             shard["conv_id"].append(conv_id)
             shard["turn_idx"].append(ti)
             shard["role"].append(role)
@@ -350,7 +389,7 @@ def generate_transcripts(
     ``catalog.parquet``. Idempotent: returns immediately if a
     ``_SYNTH_OK`` marker with matching params exists."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v16"
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v17"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:

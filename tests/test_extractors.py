@@ -299,3 +299,56 @@ def test_hcl_blocks_link_and_assemble_end_to_end():
     surfaces = dict(zip(m["mention"].to_pylist(), m["kind_code"].to_pylist()))
     hcl_code = -2 - [n for n, _p in quals].index("hcl_blocks")
     assert surfaces["payment_gateway.primary"] == hcl_code
+
+
+def test_argocd_extract():
+    from coco_search_ray.extractors import argocd
+
+    t = (
+        "apply repoURL: https://git.example.com/pay/bill.git with "
+        "chart: nginx-ingress at path: apps/guestbook under project: platform"
+    )
+    assert argocd.extract(t) == [
+        "https://git.example.com/pay/bill.git",
+        "nginx-ingress",
+        "apps/guestbook",
+        "platform",
+    ]
+    # SSH shorthand repo form (reference argocd.py accepts any repoURL string)
+    assert argocd.extract("repoURL: git@git.example.com:org/repo.git") == [
+        "git@git.example.com:org/repo.git"
+    ]
+    # quoted values; dedupe keep-first across rules
+    assert argocd.extract('chart: "redis" and project: redis') == ["redis"]
+    # bare keys with no value emit nothing
+    assert argocd.extract("the chart: , path: !") == []
+    assert argocd.KIND == "literal" and argocd.PRED == "argo_ref"
+
+
+def test_md_refs_extract():
+    from coco_search_ray.extractors import md_refs
+
+    # full reference link + image reference, defs after usages
+    t = (
+        "see [billing guide][pay] then\n[pay]: docs/pay-bill.md and "
+        "![x diagram][pay-img]\n[pay-img]: assets/pay.png"
+    )
+    assert md_refs.extract(t) == ["docs/pay-bill.md", "assets/pay.png"]
+    # collapsed form is case-folded against the definition table
+    assert md_refs.extract("[Payment][]\n[payment]: guides/x/payment.md") == [
+        "guides/x/payment.md"
+    ]
+    # http targets excluded (urls family); dangling refs emit nothing
+    assert md_refs.extract("[a api][x]\n[x]: https://svc.example/x") == []
+    assert md_refs.extract("[notes][missing] no definitions") == []
+    # duplicate definition: keep-first wins (extract()'s dict semantics)
+    assert md_refs.extract("[a][r]\n[r]: first/f.md\n[r]: second/s.md") == [
+        "first/f.md"
+    ]
+    # definition must be line-anchored: mid-prose [r]: x is not a definition
+    assert md_refs.extract("[a][r] where [r]: notdef/x.md mid-line") == []
+    # two refs resolving to the same target dedupe keep-first
+    assert md_refs.extract("[a][r1] [b][r2]\n[r1]: same/t.md\n[r2]: same/t.md") == [
+        "same/t.md"
+    ]
+    assert md_refs.KIND == "literal" and md_refs.PRED == "references_doc"
