@@ -10,8 +10,12 @@ Two single-capture rules so the DuckDB oracle replays them 1:1 with
 regexp_extract_all(..., 1); http(s) targets are excluded on BOTH sides
 (they belong to the urls family / links_to predicate):
 
-  1. inline link:   [label](target)   -> target  (non-http only)
-  2. wiki ref:      [[ref]]           -> ref
+  1. inline link:   [label](target)   -> target, validated/cleaned per
+     the reference's _validate_link_path (markdown.py:308-326):
+     mailto: and pure-#anchor targets skipped, #fragment stripped
+     (empty-after-strip skipped), non-http only
+  2. wiki ref:      [[ref]]           -> ref (verbatim; wiki refs are
+     this repo's transcript addition, no URL semantics)
 """
 
 from __future__ import annotations
@@ -35,9 +39,22 @@ def maybe(text: str) -> bool:
     return "](" in text or "[[" in text
 
 
+def clean_target(s: str) -> str | None:
+    """The reference's link-destination validation
+    (markdown.py:308-326 _validate_link_path): skip external (http),
+    mailto and pure-anchor targets; strip the #fragment; None if
+    nothing is left. Shared with md_refs (reference links resolve to
+    the same destination kind)."""
+    if _HTTP.match(s) or s.startswith("mailto:") or s.startswith("#"):
+        return None
+    s = s.split("#", 1)[0]
+    return s or None
+
+
 def extract(text: str) -> list[str]:
     """Targets in first-occurrence order (match start, ties by rule
-    order), deduped keep-first; http(s) targets excluded."""
+    order), deduped keep-first AFTER cleaning; http(s) excluded from
+    both rules."""
     hits: list[tuple[int, int, str]] = []
     for ri, rx in enumerate(_RULES):
         for m in rx.finditer(text):
@@ -45,9 +62,15 @@ def extract(text: str) -> list[str]:
     hits.sort()
     out: list[str] = []
     seen: set[str] = set()
-    for _pos, _ri, s in hits:
-        if s in seen or _HTTP.match(s):
+    for _pos, ri, s in hits:
+        if ri == 0:
+            cleaned = clean_target(s)
+            if cleaned is None:
+                continue
+            s = cleaned
+        elif _HTTP.match(s):
             continue
-        seen.add(s)
-        out.append(s)
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
     return out

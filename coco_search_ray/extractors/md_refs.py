@@ -17,9 +17,11 @@ Two passes over ONE turn (extract stays a pure function of text):
                                 ``![alt][ref]`` image form — the ``!``
                                 is just the preceding character)
              ``[ref][]``        collapsed reference link
-           each resolves through the table; unresolved refs and
-           http(s) targets emit nothing (external links belong to the
-           urls family, mirroring md_links' exclusion).
+           each resolves through the table; unresolved refs emit
+           nothing, and the resolved target goes through md_links'
+           clean_target (the reference's _validate_link_path,
+           markdown.py:308-326): http(s)/mailto:/pure-anchor targets
+           skipped, #fragments stripped.
 
 The emitted surface is the RESOLVED target (the reference's
 metadata.module for doc_link edges), deduped keep-first. The DuckDB
@@ -35,12 +37,13 @@ NAME = "md_refs"
 KIND = "literal"
 PRED = "references_doc"
 
+from .md_links import clean_target
+
 _DEF = re.compile(
     r"^[ \t]*\[([^\]\n]{1,80})\]:[ \t]*([^ \t\r\n]{1,200})", re.MULTILINE
 )
 _USE_FULL = re.compile(r"\[([^\]\n]{1,80})\]\[([^\]\n]{1,80})\]")
 _USE_COLLAPSED = re.compile(r"\[([^\]\n]{1,80})\]\[\]")
-_HTTP = re.compile(r"^https?://")
 
 QUICK = r"\]\["
 
@@ -50,8 +53,8 @@ def maybe(text: str) -> bool:
 
 
 def extract(text: str) -> list[str]:
-    """Resolved reference-link targets in usage order, deduped
-    keep-first; unresolved refs and http(s) targets excluded."""
+    """Resolved reference-link targets in usage order, cleaned per
+    clean_target, deduped keep-first; unresolved refs excluded."""
     defs: dict[str, str] = {}
     for m in _DEF.finditer(text):
         key = m.group(1).lower()
@@ -68,7 +71,10 @@ def extract(text: str) -> list[str]:
     seen: set[str] = set()
     for _pos, _ri, ref in hits:
         target = defs.get(ref)
-        if target is None or target in seen or _HTTP.match(target):
+        if target is None:
+            continue
+        target = clean_target(target)
+        if target is None or target in seen:
             continue
         seen.add(target)
         out.append(target)

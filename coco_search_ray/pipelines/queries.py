@@ -1691,12 +1691,20 @@ WITH t AS (
     || regexp_extract_all(text, '(?:^|[\r\n;])[ \t]*import[ \t\r\n]+([A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z0-9_]+)*)[ \t\r\n]+as[ \t\r\n]', 1)
   )) AS n FROM t
 ), md AS (
-  -- md_links family: inline targets + wiki refs, distinct per turn,
-  -- http(s) excluded on both sides (those are the urls family's)
-  SELECT len(list_filter(list_distinct(
-    regexp_extract_all(text, '\\[[^\\]\n]{{1,80}}\\]\\(([^()\\[\\] \t\r\n]{{1,200}})\\)', 1)
-    || regexp_extract_all(text, '\\[\\[([^\\[\\]\n]{{1,80}})\\]\\]', 1)
-  ), x -> NOT regexp_matches(x, '^https?://'))) AS n FROM t
+  -- md_links family: inline targets (validated/cleaned per the
+  -- reference's _validate_link_path: http/mailto/pure-anchor skipped,
+  -- #fragment stripped) + verbatim wiki refs, distinct per turn AFTER
+  -- cleaning like extract()
+  SELECT len(list_distinct(
+    list_filter(list_transform(
+      list_filter(
+        regexp_extract_all(text, '\\[[^\\]\n]{{1,80}}\\]\\(([^()\\[\\] \t\r\n]{{1,200}})\\)', 1),
+        x -> NOT regexp_matches(x, '^(https?://|mailto:|#)')),
+      x -> regexp_replace(x, '#.*', '')), x -> x != '')
+    || list_filter(
+      regexp_extract_all(text, '\\[\\[([^\\[\\]\n]{{1,80}})\\]\\]', 1),
+      x -> NOT regexp_matches(x, '^https?://'))
+  )) AS n FROM t
 ), img AS (
   -- images family: yaml image: keys + Dockerfile FROM lines; the
   -- tag-first alternation order matches the pipeline (leftmost-first
@@ -1758,12 +1766,13 @@ WITH t AS (
   -- own line-anchored [ref]: target definitions (keep-first per
   -- case-folded ref == list_position on the lowered def list), http
   -- targets excluded like md_links
-  SELECT len(list_distinct(list_filter(
+  SELECT len(list_distinct(list_filter(list_transform(list_filter(
     list_transform(
       regexp_extract_all(text, '\\[[^\\]\n]{{1,80}}\\]\\[([^\\]\n]{{1,80}})\\]', 1)
       || regexp_extract_all(text, '\\[([^\\]\n]{{1,80}})\\]\\[\\]', 1),
       r -> dtgts[list_position(drefs, lower(r))]
-    ), x -> x IS NOT NULL AND NOT regexp_matches(x, '^https?://')
+    ), x -> x IS NOT NULL AND NOT regexp_matches(x, '^(https?://|mailto:|#)')),
+    x -> regexp_replace(x, '#.*', '')), x -> x != ''
   ))) AS n
   FROM (
     SELECT text,
@@ -3681,10 +3690,12 @@ WITH t AS (
       || regexp_extract_all(text, '\\[([^\\]\n]{{1,80}})\\]\\[\\]', 1)
   )) AS ref FROM t
 ), resolved AS (
-  -- per-turn deduped resolved targets, http-external excluded (urls family)
-  SELECT DISTINCT u.rid, d.target
+  -- per-turn deduped resolved targets, cleaned per md_links.clean_target
+  -- (http/mailto/pure-anchor skipped, #fragment stripped, empty dropped)
+  SELECT DISTINCT u.rid, regexp_replace(d.target, '#.*', '') AS target
   FROM uses u JOIN defs d ON d.rid = u.rid AND d.ref = u.ref
-  WHERE NOT regexp_matches(d.target, '^https?://')
+  WHERE NOT regexp_matches(d.target, '^(https?://|mailto:|#)')
+    AND regexp_replace(d.target, '#.*', '') != ''
 ), p AS (
   SELECT regexp_extract(target, '^((?:[^/]*/)*)([^/]+)$', 1) AS dir,
          regexp_extract(target, '^((?:[^/]*/)*)([^/]+)$', 2) AS file

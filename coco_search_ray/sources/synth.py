@@ -209,13 +209,21 @@ def _generate_shard(
             # urls family and is excluded by md_links on both sides
             if rng.rand() < 0.05:
                 w = _VOCAB[rng.randint(0, len(_VOCAB))]
-                style = rng.randint(0, 3)
+                style = rng.randint(0, 6)
                 if style == 0:
                     words.append(f"[{w} docs](docs/{w}.md)")
                 elif style == 1:
                     words.append(f"[[{w}_notes]]")
-                else:
+                elif style == 2:
                     words.append(f"[api](https://svc.example/{w})")
+                elif style == 3:
+                    # fragment target: cleaned to docs/{w}.md (the
+                    # reference's _validate_link_path fragment strip)
+                    words.append(f"[{w} sec](docs/{w}.md#usage)")
+                elif style == 4:
+                    words.append(f"[mail](mailto:{w}@svc.example)")
+                else:
+                    words.append("[top](#overview)")
             # import-statement material (drives extractors/imports.py):
             # python from/import, dotted import, require(), ES import
             if qpool and rng.rand() < 0.06:
@@ -344,8 +352,10 @@ def _generate_shard(
                     words.append(f"![{w2} diagram][{w}-img]")
                     words.append(f"\n[{w}-img]: assets/{w}.png")
                 elif style == 2:
+                    # definition target carries a fragment: resolution
+                    # then strips it (clean_target on both sides)
                     words.append(f"[{w.capitalize()}][]")
-                    words.append(f"\n[{w}]: guides/{w2}/{w}.md")
+                    words.append(f"\n[{w}]: guides/{w2}/{w}.md#setup")
                 elif style == 3:
                     words.append(f"[{w2} api][{w}-ext]")
                     words.append(f"\n[{w}-ext]: https://svc.example/{w}")
@@ -389,7 +399,7 @@ def generate_transcripts(
     ``catalog.parquet``. Idempotent: returns immediately if a
     ``_SYNTH_OK`` marker with matching params exists."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v17"
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v18"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:

@@ -352,3 +352,24 @@ def test_md_refs_extract():
         "same/t.md"
     ]
     assert md_refs.KIND == "literal" and md_refs.PRED == "references_doc"
+
+
+def test_md_links_target_validation():
+    """The reference's _validate_link_path semantics (markdown.py:
+    308-326): mailto/pure-anchor skipped, fragments stripped."""
+    from coco_search_ray.extractors import md_links
+
+    assert md_links.extract("[s](docs/a.md#usage)") == ["docs/a.md"]
+    assert md_links.extract("[m](mailto:x@svc.example) [t](#top)") == []
+    # fragment-only after strip -> skipped; dedupe happens post-clean
+    assert md_links.extract("[a](x.md#f1) [b](x.md#f2) [c](x.md)") == ["x.md"]
+    # wiki refs stay verbatim (no URL semantics)
+    assert md_links.extract("[[notes#raw]]") == ["notes#raw"]
+
+
+def test_md_refs_target_validation():
+    from coco_search_ray.extractors import md_refs
+
+    assert md_refs.extract("[a][r]\n[r]: guides/x/a.md#setup") == ["guides/x/a.md"]
+    assert md_refs.extract("[a][r]\n[r]: mailto:x@svc.example") == []
+    assert md_refs.extract("[a][r]\n[r]: #anchor-only") == []

@@ -289,3 +289,51 @@ def test_round_half_away_matches_decimal(x, dec):
     got = round_half_away(x, dec)
     d = decimal.Decimal(x).quantize(decimal.Decimal(1).scaleb(-dec), rounding=decimal.ROUND_HALF_UP)
     assert abs(got - float(d)) < 1e-9 * max(1.0, abs(x))
+
+
+_MD_ALPHABET = st.text(
+    alphabet="[]()#!: \t\nabcrepoURL/.-@_chart" + "\"'",
+    max_size=300,
+)
+
+
+@given(_MD_ALPHABET)
+@settings(max_examples=300, deadline=None)
+def test_new_extractors_total_and_deterministic(text):
+    """argocd / md_refs / md_links never raise on adversarial bracket/
+    key soup, are deterministic, and every emitted surface is non-empty
+    with no leading/trailing whitespace (delimiters never leak)."""
+    from coco_search_ray.extractors import argocd, md_links, md_refs
+
+    for mod in (argocd, md_links, md_refs):
+        out = mod.extract(text)
+        assert out == mod.extract(text)
+        assert len(out) == len(set(out))
+        for s in out:
+            assert s
+            # wiki refs ([[ x ]]) keep interior spacing verbatim; the
+            # whitespace-free char classes make the others strip-clean
+            if mod is not md_links:
+                assert s == s.strip()
+
+
+@given(_MD_ALPHABET)
+@settings(max_examples=300, deadline=None)
+def test_md_refs_targets_come_from_definitions(text):
+    """Every md_refs surface is a cleaned definition target from the
+    same text (resolution never invents strings)."""
+    import re
+
+    from coco_search_ray.extractors import md_refs
+    from coco_search_ray.extractors.md_links import clean_target
+
+    defs = {
+        clean_target(m.group(2))
+        for m in re.finditer(
+            r"^[ \t]*\[([^\]\n]{1,80})\]:[ \t]*([^ \t\r\n]{1,200})",
+            text,
+            re.MULTILINE,
+        )
+    }
+    for s in md_refs.extract(text):
+        assert s in defs
