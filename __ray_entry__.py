@@ -39,7 +39,7 @@ def entry() -> Any:
 # the classics already green in CORRECTNESS_r01-r03.
 _SNAPSHOT_PRIORITY = [
     "kg_triples", "kg_analyze", "q_argocd_sources", "q_md_reference_links",
-    "q_turn_symbols", "q_gitlab_includes",
+    "q_md_code_paths", "q_md_frontmatter", "q_turn_symbols", "q_gitlab_includes",
     "q_helm_templates", "q_doc_repetition", "q_pii_scrub",
     "q_doc_quota_sample", "q_embedding_semdedup",
     # never in a driver snapshot before round 4 (r03 verdict list)

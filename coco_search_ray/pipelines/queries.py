@@ -1657,6 +1657,13 @@ def kg_literal_mentions(sf_dir: str) -> pd.DataFrame:
     return out[["kind", "n_mentions"]].astype({"n_mentions": "int64"})
 
 
+# the md_code_paths known-extension list, rendered once for every SQL
+# replay site (both engines consult the identical frozenset)
+from ..extractors.md_code_paths import PATH_EXTENSIONS as _MCP_EXTS
+
+_MCP_EXT_IN = ", ".join(f"'{e}'" for e in sorted(_MCP_EXTS))
+
+
 KG_LITERAL_MENTIONS_SQL = f"""
 WITH t AS (
   SELECT coalesce(text, '') AS text FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
@@ -1780,9 +1787,36 @@ WITH t AS (
       regexp_extract_all(text, '(?m)^[ \t]*\\[([^\\]\n]{{1,80}})\\]:[ \t]*([^ \t\r\n]{{1,200}})', 2) AS dtgts
     FROM t
   )
+), mcp AS (
+  -- md_code_paths family: code spans passing _looks_like_path + paths
+  -- on #-, //- and ---comment lines passing the known-extension gate
+  SELECT len(list_distinct(
+    list_filter(
+      regexp_extract_all(text, '`([^`\n]{{1,200}})`', 1),
+      x -> NOT regexp_matches(x, '[()=+{{}}\\[\\];|<> ]') AND x NOT LIKE '-%'
+           AND (contains(x, '/') OR (contains(x, '.')
+                AND lower(regexp_extract(x, '\\.([^.]*)$', 1)) IN ({_MCP_EXT_IN})))
+    )
+    || list_filter(
+      flatten(list_transform(
+        regexp_extract_all(text, '(?m)^[ \t]*(?:#|//|--)([^\n]*)', 1),
+        l -> regexp_extract_all(l, '(?:[A-Za-z0-9_.~-]+/)+[A-Za-z0-9_.-]+')
+      )),
+      x -> NOT regexp_matches(x, '\\.[^/]*$')
+           OR lower(regexp_extract(x, '\\.([^.]*)$', 1)) IN ({_MCP_EXT_IN})
+    )
+  )) AS n FROM t
+), mfm AS (
+  -- md_frontmatter family: depends: blocks -> regex-stripped items
+  SELECT len(list_distinct(flatten(list_transform(
+    regexp_extract_all(text, '(?m)^depends:[ \t]*\n((?:[ \t]+-[ \t]+[^\n]+\n?)+)', 1),
+    b -> regexp_extract_all(b, '-[ \t]+([^\n]*[^ \t\r\n])', 1)
+  )))) AS n FROM t
 )
 SELECT 'defines_symbol' AS kind, sum(n)::BIGINT AS n_mentions FROM sym
 UNION ALL SELECT 'argo_ref', sum(n)::BIGINT FROM argo
+UNION ALL SELECT 'references_code', sum(n)::BIGINT FROM mcp
+UNION ALL SELECT 'depends_on', sum(n)::BIGINT FROM mfm
 UNION ALL SELECT 'extends_template', sum(n)::BIGINT FROM ex
 UNION ALL SELECT 'includes_config', sum(n)::BIGINT FROM gl
 UNION ALL SELECT 'uses_helm_template', sum(n)::BIGINT FROM hm
@@ -3713,3 +3747,133 @@ REGISTRY.update(
         "q_md_reference_links": (q_md_reference_links, Q_MD_REFERENCE_LINKS_SQL),
     }
 )
+
+
+def q_md_code_paths(sf_dir: str) -> pd.DataFrame:
+    """Code-span / comment-line path extraction (reference
+    markdown.py:328-361 _extract_code_spans + _looks_like_path and
+    :367-409 code-block comment scanning): extract references_code
+    surfaces, classify by extension (text after the last dot when the
+    last segment carries one — '' for bare dir/name paths), and count
+    refs + distinct paths per extension."""
+    from ..stages.extract import extract_mention_rows
+    from .kg import normalized_turns_ds
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    ds = normalized_turns_ds(data_dir).map_batches(
+        lambda b: extract_mention_rows(
+            b, entity_names=(), literal_specs=(("md_code_paths", "references_code"),)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def parse(b: pa.Table) -> pa.Table:
+        m = b["mention"]
+        parts = pc.extract_regex(m, r"\.(?P<ext>[^./]*)$")
+        parts = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
+        ext = pc.utf8_lower(pc.fill_null(pc.struct_field(parts, "ext"), ""))
+        return pa.table({"ext": ext, "ref": m})
+
+    # consumed twice (refs + distinct groupby): pin the tiny parse result
+    parsed = ds.map_batches(parse, batch_format="pyarrow").materialize()
+    n = parsed.groupby("ext").aggregate(Count(alias_name="n_refs")).to_pandas()
+    paths = (
+        parsed.groupby(["ext", "ref"]).aggregate(Count(alias_name="_n")).to_pandas()
+    )
+    np_ = paths.groupby("ext").size().reset_index(name="n_paths")
+    out = n.merge(np_, on="ext")
+    out = out.sort_values(
+        ["n_refs", "ext"], ascending=[False, True], kind="mergesort"
+    ).head(30).reset_index(drop=True)
+    return out[["ext", "n_refs", "n_paths"]].astype({"n_refs": "int64", "n_paths": "int64"})
+
+
+Q_MD_CODE_PATHS_SQL = f"""
+WITH t AS (
+  SELECT coalesce(text, '') AS text FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
+), refs AS (
+  -- spans passing _looks_like_path + comment-line paths passing the
+  -- known-extension gate, per-turn keep-first dedupe across rules
+  SELECT unnest(list_distinct(
+    list_filter(
+      regexp_extract_all(text, '`([^`\n]{{1,200}})`', 1),
+      x -> NOT regexp_matches(x, '[()=+{{}}\\[\\];|<> ]') AND x NOT LIKE '-%'
+           AND (contains(x, '/') OR (contains(x, '.')
+                AND lower(regexp_extract(x, '\\.([^.]*)$', 1)) IN ({_MCP_EXT_IN})))
+    )
+    || list_filter(
+      flatten(list_transform(
+        regexp_extract_all(text, '(?m)^[ \t]*(?:#|//|--)([^\n]*)', 1),
+        l -> regexp_extract_all(l, '(?:[A-Za-z0-9_.~-]+/)+[A-Za-z0-9_.-]+')
+      )),
+      x -> NOT regexp_matches(x, '\\.[^/]*$')
+           OR lower(regexp_extract(x, '\\.([^.]*)$', 1)) IN ({_MCP_EXT_IN})
+    )
+  )) AS ref FROM t
+), p AS (
+  SELECT lower(regexp_extract(ref, '\\.([^./]*)$', 1)) AS ext, ref FROM refs
+)
+SELECT ext, count(*)::BIGINT AS n_refs, count(DISTINCT ref)::BIGINT AS n_paths
+FROM p GROUP BY ext
+ORDER BY n_refs DESC, ext LIMIT 30
+"""
+
+
+REGISTRY.update({"q_md_code_paths": (q_md_code_paths, Q_MD_CODE_PATHS_SQL)})
+
+
+def q_md_frontmatter(sf_dir: str) -> pd.DataFrame:
+    """Frontmatter depends-list extraction (reference markdown.py:
+    188-235 _extract_frontmatter: stripped entries, empties dropped,
+    trailing-/ entries are directory references): extract depends_on
+    surfaces, split file vs directory targets (the reference's
+    is_directory flag), count refs + distinct targets per class."""
+    from ..stages.extract import extract_mention_rows
+    from .kg import normalized_turns_ds
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    ds = normalized_turns_ds(data_dir).map_batches(
+        lambda b: extract_mention_rows(
+            b, entity_names=(), literal_specs=(("md_frontmatter", "depends_on"),)
+        ),
+        batch_format="pyarrow",
+    )
+
+    def parse(b: pa.Table) -> pa.Table:
+        m = b["mention"]
+        kind = pc.if_else(pc.ends_with(m, "/"), "directory", "file")
+        return pa.table({"kind": kind, "ref": m})
+
+    # consumed twice (refs + distinct groupby): pin the tiny parse result
+    parsed = ds.map_batches(parse, batch_format="pyarrow").materialize()
+    n = parsed.groupby("kind").aggregate(Count(alias_name="n_refs")).to_pandas()
+    tgts = (
+        parsed.groupby(["kind", "ref"]).aggregate(Count(alias_name="_n")).to_pandas()
+    )
+    nt = tgts.groupby("kind").size().reset_index(name="n_targets")
+    out = n.merge(nt, on="kind").sort_values("kind", kind="mergesort")
+    return out[["kind", "n_refs", "n_targets"]].astype(
+        {"n_refs": "int64", "n_targets": "int64"}
+    ).reset_index(drop=True)
+
+
+Q_MD_FRONTMATTER_SQL = f"""
+WITH t AS (
+  SELECT coalesce(text, '') AS text FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
+), refs AS (
+  -- depends: blocks then items, per-turn keep-first dedupe; the item
+  -- regex itself strips (separator eats leading ws, last char non-ws)
+  SELECT unnest(list_distinct(flatten(list_transform(
+    regexp_extract_all(text, '(?m)^depends:[ \t]*\n((?:[ \t]+-[ \t]+[^\n]+\n?)+)', 1),
+    b -> regexp_extract_all(b, '-[ \t]+([^\n]*[^ \t\r\n])', 1)
+  )))) AS ref FROM t
+), p AS (
+  SELECT CASE WHEN ref LIKE '%/' THEN 'directory' ELSE 'file' END AS kind, ref
+  FROM refs
+)
+SELECT kind, count(*)::BIGINT AS n_refs, count(DISTINCT ref)::BIGINT AS n_targets
+FROM p GROUP BY kind ORDER BY kind
+"""
+
+
+REGISTRY.update({"q_md_frontmatter": (q_md_frontmatter, Q_MD_FRONTMATTER_SQL)})

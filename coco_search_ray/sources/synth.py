@@ -361,6 +361,39 @@ def _generate_shard(
                     words.append(f"\n[{w}-ext]: https://svc.example/{w}")
                 else:
                     words.append(f"[{w2} notes][{w}-missing]")
+            # code-span / comment-line path material (drives
+            # extractors/md_code_paths.py — the reference's
+            # doc_inline_code + doc_code_block surfaces); the last
+            # style exercises the _looks_like_path reject
+            if rng.rand() < 0.04:
+                w = _VOCAB[rng.randint(0, len(_VOCAB))]
+                w2 = _VOCAB[rng.randint(0, len(_VOCAB))]
+                style = rng.randint(0, 6)
+                if style == 0:
+                    words.append(f"`src/{w}/{w2}.py`")
+                elif style == 1:
+                    words.append(f"`{w}.rs`")
+                elif style == 2:
+                    words.append(f"\n# see src/{w}/{w2}.py for details")
+                elif style == 3:
+                    words.append(f"\n// config lives in conf/{w}.yaml now")
+                elif style == 4:
+                    words.append(f"\n-- from sql/{w}.sql migration")
+                else:
+                    words.append(f"`{w}({w2})`")
+            # frontmatter depends-list material (drives
+            # extractors/md_frontmatter.py): file + directory entries,
+            # sometimes fenced by --- like real frontmatter
+            if rng.rand() < 0.03:
+                w = _VOCAB[rng.randint(0, len(_VOCAB))]
+                w2 = _VOCAB[rng.randint(0, len(_VOCAB))]
+                style = rng.randint(0, 3)
+                if style == 0:
+                    words.append(f"\n---\ndepends:\n  - src/{w}.py\n  - {w2}/\n---")
+                elif style == 1:
+                    words.append(f"\ndepends:\n  - conf/{w}.yaml")
+                else:
+                    words.append(f"\ndepends:\n  - src/{w}.py\n  - src/{w2}.py")
             shard["conv_id"].append(conv_id)
             shard["turn_idx"].append(ti)
             shard["role"].append(role)
@@ -399,7 +432,7 @@ def generate_transcripts(
     ``catalog.parquet``. Idempotent: returns immediately if a
     ``_SYNTH_OK`` marker with matching params exists."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v18"
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v20"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:

@@ -373,3 +373,48 @@ def test_md_refs_target_validation():
     assert md_refs.extract("[a][r]\n[r]: guides/x/a.md#setup") == ["guides/x/a.md"]
     assert md_refs.extract("[a][r]\n[r]: mailto:x@svc.example") == []
     assert md_refs.extract("[a][r]\n[r]: #anchor-only") == []
+
+
+def test_md_code_paths_extract():
+    from coco_search_ray.extractors import md_code_paths as mcp
+
+    # code spans: _looks_like_path accepts slash-paths and known-ext
+    # bare names; rejects code expressions, CLI flags, spaced text
+    t = "check `src/cli.py` then `run(x)` and `app.rs` or `-v` or `a b/c`"
+    assert mcp.extract(t) == ["src/cli.py", "app.rs"]
+    # comment lines (# / // / --): path regex + known-extension gate
+    t2 = (
+        "# see src/payment/billing.py for details\n"
+        "// config in conf/gateway.yaml\n"
+        "-- sql/schema.sql here\n"
+        "prose src/mid/line.py is NOT a comment line"
+    )
+    assert mcp.extract(t2) == [
+        "src/payment/billing.py",
+        "conf/gateway.yaml",
+        "sql/schema.sql",
+    ]
+    # unknown extension rejected on comment lines; bare dir/name passes
+    assert mcp.extract("# a weird/file.xyz but plain dir/name ok") == ["dir/name"]
+    # span with unknown ext and no slash rejected; with slash accepted
+    assert mcp.extract("`file.unknownext` `dir/file.xyz`") == ["dir/file.xyz"]
+    # dedupe keep-first across rules
+    assert mcp.extract("`src/a.py`\n# also src/a.py again") == ["src/a.py"]
+    assert mcp.KIND == "literal" and mcp.PRED == "references_code"
+
+
+def test_md_frontmatter_extract():
+    from coco_search_ray.extractors import md_frontmatter as mf
+
+    t = "---\ndepends:\n  - src/foo.py\n  - docs/\n---\nprose"
+    assert mf.extract(t) == ["src/foo.py", "docs/"]
+    # inline (non-block) depends: is not a frontmatter list; indented
+    # headers are not top-level YAML keys
+    assert mf.extract("depends: inline") == []
+    assert mf.extract("  depends:\n  - indented.py") == []
+    # multiple blocks merge keep-first; item values are regex-stripped
+    assert mf.extract("depends:\n  - a.py  \ndepends:\n  - b.py\n  - a.py") == [
+        "a.py",
+        "b.py",
+    ]
+    assert mf.KIND == "literal" and mf.PRED == "depends_on"
