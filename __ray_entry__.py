@@ -6,10 +6,10 @@ here (or in the library) calls ray.init()/ray.shutdown().
 - entry(): flagship KG pipeline (transcripts -> triples) on the smoke
   tier derived from /root/testdata/sf0.001 sizing.
 - queries(): one entry per implemented operator family (SURVEY.md §2 +
-  the training-data operations suite); each takes sf_dir. 78 entries,
+  the training-data operations suite); each takes sf_dir. 82 entries,
   ordered so the driver's 50-query snapshot covers the widest
   value-checked surface (see _SNAPSHOT_PRIORITY).
-- oracle_sql(): DuckDB oracles for the 74 checkable queries — pure SQL
+- oracle_sql(): DuckDB oracles for the 78 checkable queries — pure SQL
   re-derivations where expressible, parquet-export-backed re-derivations
   (simhash, fingerprints, triples, embeddings, symbols) where the
   intermediate is not SQL-derivable; the 4 rows-only queries each
