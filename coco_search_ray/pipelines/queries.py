@@ -1812,11 +1812,27 @@ WITH t AS (
     regexp_extract_all(text, '(?m)^depends:[ \t]*\n((?:[ \t]+-[ \t]+[^\n]+\n?)+)', 1),
     b -> regexp_extract_all(b, '-[ \t]+([^\n]*[^ \t\r\n])', 1)
   )))) AS n FROM t
+), cd AS (
+  -- compose_deps family: depends_on list + dict blocks -> service
+  -- names, extends -> parent service; cross-rule dedupe == one
+  -- list_distinct (counting is order-insensitive)
+  SELECT len(list_distinct(
+    flatten(list_transform(
+      regexp_extract_all(text, '\\bdepends_on:[ \t]*\n((?:[ \t]+-[ \t]+[^\n]+\n?)+)', 1),
+      b -> regexp_extract_all(b, '-[ \t]+[''"]?([A-Za-z0-9._-]+)', 1)
+    ))
+    || flatten(list_transform(
+      regexp_extract_all(text, '\\bdepends_on:[ \t]*\n((?:[ \t]+[A-Za-z0-9._-]+:[ \t]*\n[ \t]+condition:[^\n]+\n?)+)', 1),
+      b -> regexp_extract_all(b, '([A-Za-z0-9._-]+):[ \t]*\n', 1)
+    ))
+    || regexp_extract_all(text, '\\bextends:[ \t]*\n(?:[ \t]+file:[^\n]*\n)?[ \t]+service:[ \t]*[''"]?([A-Za-z0-9._-]+)', 1)
+  )) AS n FROM t
 )
 SELECT 'defines_symbol' AS kind, sum(n)::BIGINT AS n_mentions FROM sym
 UNION ALL SELECT 'argo_ref', sum(n)::BIGINT FROM argo
 UNION ALL SELECT 'references_code', sum(n)::BIGINT FROM mcp
 UNION ALL SELECT 'depends_on', sum(n)::BIGINT FROM mfm
+UNION ALL SELECT 'depends_on_svc', sum(n)::BIGINT FROM cd
 UNION ALL SELECT 'extends_template', sum(n)::BIGINT FROM ex
 UNION ALL SELECT 'includes_config', sum(n)::BIGINT FROM gl
 UNION ALL SELECT 'uses_helm_template', sum(n)::BIGINT FROM hm
@@ -3877,3 +3893,58 @@ FROM p GROUP BY kind ORDER BY kind
 
 
 REGISTRY.update({"q_md_frontmatter": (q_md_frontmatter, Q_MD_FRONTMATTER_SQL)})
+
+
+def q_compose_deps(sf_dir: str) -> pd.DataFrame:
+    """Docker-compose service-dependency extraction (reference
+    docker_compose.py:61-113: depends_on list + dict forms and
+    extends.service each emit a REFERENCE edge to the named service):
+    per-service reference counts (one per turn mentioning it — the
+    per-turn keep-first dedupe), top 20 by count with a total
+    tiebreak."""
+    from ..stages.extract import extract_mention_rows
+    from .kg import normalized_turns_ds
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    ds = normalized_turns_ds(data_dir).map_batches(
+        lambda b: extract_mention_rows(
+            b, entity_names=(), literal_specs=(("compose_deps", "depends_on_svc"),)
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        ds.groupby("mention")
+        .aggregate(Count(alias_name="n_refs"))
+        .to_pandas()
+        .rename(columns={"mention": "svc"})
+        .sort_values(["n_refs", "svc"], ascending=[False, True], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+    return out[["svc", "n_refs"]].astype({"n_refs": "int64"})
+
+
+Q_COMPOSE_DEPS_SQL = f"""
+WITH t AS (
+  SELECT coalesce(text, '') AS text FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
+), refs AS (
+  -- depends_on list + dict blocks -> service names, extends -> parent
+  -- service; per-turn keep-first dedupe across rules == list_distinct
+  SELECT unnest(list_distinct(
+    flatten(list_transform(
+      regexp_extract_all(text, '\\bdepends_on:[ \t]*\n((?:[ \t]+-[ \t]+[^\n]+\n?)+)', 1),
+      b -> regexp_extract_all(b, '-[ \t]+[''"]?([A-Za-z0-9._-]+)', 1)
+    ))
+    || flatten(list_transform(
+      regexp_extract_all(text, '\\bdepends_on:[ \t]*\n((?:[ \t]+[A-Za-z0-9._-]+:[ \t]*\n[ \t]+condition:[^\n]+\n?)+)', 1),
+      b -> regexp_extract_all(b, '([A-Za-z0-9._-]+):[ \t]*\n', 1)
+    ))
+    || regexp_extract_all(text, '\\bextends:[ \t]*\n(?:[ \t]+file:[^\n]*\n)?[ \t]+service:[ \t]*[''"]?([A-Za-z0-9._-]+)', 1)
+  )) AS svc FROM t
+)
+SELECT svc, count(*)::BIGINT AS n_refs FROM refs
+GROUP BY svc ORDER BY n_refs DESC, svc LIMIT 20
+"""
+
+
+REGISTRY.update({"q_compose_deps": (q_compose_deps, Q_COMPOSE_DEPS_SQL)})

@@ -394,6 +394,27 @@ def _generate_shard(
                     words.append(f"\ndepends:\n  - conf/{w}.yaml")
                 else:
                     words.append(f"\ndepends:\n  - src/{w}.py\n  - src/{w2}.py")
+            # docker-compose service-dependency material (drives
+            # extractors/compose_deps.py — the reference's
+            # docker_compose.py depends_on list/dict + extends.service
+            # shapes); the image: line feeds the sibling images family
+            if rng.rand() < 0.03:
+                w = _VOCAB[rng.randint(0, len(_VOCAB))]
+                w2 = _VOCAB[rng.randint(0, len(_VOCAB))]
+                style = rng.randint(0, 5)
+                if style == 0:
+                    words.append(f"\ndepends_on:\n  - {w}\n  - {w2}-db")
+                elif style == 1:
+                    words.append(f"\ndepends_on:\n  - '{w}'")
+                elif style == 2:
+                    words.append(
+                        f"\ndepends_on:\n  {w}:\n    condition: service_healthy"
+                        f"\n  {w2}:\n    condition: service_started"
+                    )
+                elif style == 3:
+                    words.append(f"\nextends:\n  service: {w}-base")
+                else:
+                    words.append(f"\nextends:\n  file: common/{w}.yml\n  service: {w2}")
             shard["conv_id"].append(conv_id)
             shard["turn_idx"].append(ti)
             shard["role"].append(role)
@@ -432,7 +453,7 @@ def generate_transcripts(
     ``catalog.parquet``. Idempotent: returns immediately if a
     ``_SYNTH_OK`` marker with matching params exists."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v20"
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v21"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:

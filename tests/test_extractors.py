@@ -418,3 +418,29 @@ def test_md_frontmatter_extract():
         "b.py",
     ]
     assert mf.KIND == "literal" and mf.PRED == "depends_on"
+
+
+def test_compose_deps_extract():
+    from coco_search_ray.extractors import compose_deps as cd
+
+    t = (
+        "services:\n  web:\n    image: nginx:1.25\n    depends_on:\n"
+        "      - db\n      - 'redis'\n  db:\n    image: postgres:16\n"
+        "  worker:\n    depends_on:\n      db:\n"
+        "        condition: service_healthy\n      queue:\n"
+        "        condition: service_started\n  child:\n    extends:\n"
+        "      file: common/base.yml\n      service: base-web\n"
+        "  other:\n    extends:\n      service: web\n"
+    )
+    # document order across the three rules, deduped keep-first
+    assert cd.extract(t) == ["db", "redis", "queue", "base-web", "web"]
+    # gitlab-style same-line extends belongs to ci_extends, not here
+    assert cd.extract("extends: .hidden-tpl") == []
+    # a bare depends_on: with no block emits nothing
+    assert cd.extract("prose about depends_on: nothing") == []
+    # a later service-level bare key is NOT swallowed by the dict block
+    # (dict entries require the immediately-following condition line)
+    assert cd.extract("depends_on:\n  - db\n  cache:\n    image: redis\n") == ["db"]
+    # extends with service before file still resolves
+    assert cd.extract("extends:\n  service: base\n  file: x.yml") == ["base"]
+    assert cd.KIND == "literal" and cd.PRED == "depends_on_svc"

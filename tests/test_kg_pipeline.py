@@ -86,7 +86,7 @@ def test_window_context_caps_and_coverage(ray_session, smoke_dir):
 def test_pipeline_nonempty_and_schema(pipeline_df):
     assert len(pipeline_df) > 100
     assert list(pipeline_df.columns) == TRIPLE_KEY
-    assert set(pipeline_df["pred"].unique()) <= {"mentions", "uses_tool", "replies_to", "quotes", "links_to", "mentions_email", "references_path", "mentions_version", "has_member", "declares_resource", "imports_module", "references_doc", "uses_image", "uses_action", "defines_symbol", "includes_config", "extends_template", "uses_helm_template", "argo_ref", "references_code", "depends_on"}
+    assert set(pipeline_df["pred"].unique()) <= {"mentions", "uses_tool", "replies_to", "quotes", "links_to", "mentions_email", "references_path", "mentions_version", "has_member", "declares_resource", "imports_module", "references_doc", "uses_image", "uses_action", "defines_symbol", "includes_config", "extends_template", "uses_helm_template", "argo_ref", "references_code", "depends_on", "depends_on_svc"}
 
 
 def test_exact_dedup_invariant(pipeline_df):
