@@ -337,3 +337,39 @@ def test_md_refs_targets_come_from_definitions(text):
     }
     for s in md_refs.extract(text):
         assert s in defs
+
+
+_YAML_ALPHABET = st.text(
+    alphabet="depnds_o:xtcvfil-abq \t\n'\"`/.#0",
+    max_size=300,
+)
+
+
+@given(_YAML_ALPHABET)
+@settings(max_examples=300, deadline=None)
+def test_yaml_block_extractors_total_and_deterministic(text):
+    """compose_deps / md_frontmatter / md_code_paths never raise on
+    adversarial yaml-ish soup, are deterministic, and every emitted
+    surface is non-empty with no leading/trailing whitespace."""
+    from coco_search_ray.extractors import compose_deps, md_code_paths, md_frontmatter
+
+    for mod in (compose_deps, md_frontmatter, md_code_paths):
+        out = mod.extract(text)
+        assert out == mod.extract(text)
+        assert len(out) == len(set(out))
+        for s in out:
+            assert s and s == s.strip()
+
+
+@given(_YAML_ALPHABET)
+@settings(max_examples=200, deadline=None)
+def test_compose_deps_surfaces_are_service_shaped(text):
+    """Every compose_deps surface matches the service-name class (the
+    capture groups never leak delimiters, indentation or values)."""
+    import re
+
+    from coco_search_ray.extractors import compose_deps
+
+    svc = re.compile(r"^[A-Za-z0-9._-]+$")
+    for s in compose_deps.extract(text):
+        assert svc.match(s)
