@@ -674,8 +674,10 @@ def semantic_dedup(
     normalize-then-dot while DuckDB computes dot/(|a||b|); the two op
     orders can differ in the last ulp, so a cosine landing EXACTLY on
     a 1e-6 rounding boundary could in principle flip across engines.
-    No synth/test vector sits on a boundary (the gate hash would
-    catch it); for adversarial data, export the per-row rounded
+    No gate vector sits near a boundary — PINNED by
+    tests/test_dedup_ann.py::test_semdedup_gate_cosines_off_rounding_boundary
+    (min margin ~3.6e-11 cosine units vs a dim*eps drift bound of
+    ~2.8e-14); for adversarial data, export the per-row rounded
     similarities instead of re-deriving.
 
     Returns (Dataset[cluster, vec_id, dropped], centroids)."""

@@ -381,3 +381,64 @@ def test_semantic_dedup_blocked_matches_unchunked(ray_session):
     want = np.triu(cos >= thr, k=1).any(axis=0)
     assert want.any() and not want.all()  # non-trivial case
     assert (got["dropped"].to_numpy() == want).all()
+
+
+def test_semdedup_gate_cosines_off_rounding_boundary():
+    """ADVICE r04 (low): the pipeline computes cosine normalize-then-dot
+    while the DuckDB oracle computes dot/(|a||b|); the two op orders can
+    differ in the last ulp, so a raw cosine landing EXACTLY on a 1e-6
+    half-away rounding boundary could flip an assignment or drop across
+    engines. The dedup.py docstring claims no gate vector sits on a
+    boundary — PIN that claim: every decision cosine at the sf0.01 gate
+    tier (all 500x8 assignment cosines + every within-cluster pair fed
+    to the >=0.9 compare) must be at least 100x the worst-case
+    cross-engine dot-product drift (dim * machine-eps, the classic
+    summation error bound) from the nearest (k + 0.5) * 1e-6 boundary.
+    Measured min margin is ~3.6e-11 cosine units vs a drift bound of
+    ~2.8e-14 — three orders of headroom. Pure numpy replay of
+    semantic_dedup's exact float ops (same sample, seed, argmax
+    tiebreak); no Ray needed."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("driver test tables not present")
+    from coco_search_ray.functions.numeric import round_half_away
+    from coco_search_ray.stages.ann import kmeans_centroids
+
+    t = pq.read_table(os.path.join(sf, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    order = pc.sort_indices(t["vec_id"])
+    emb = np.array(pc.take(t["embedding"], order).to_pylist(), dtype=np.float64)
+    sample = emb[:2000]
+    cents = kmeans_centroids(sample, 8, seed=5)  # q_embedding_semdedup params
+
+    def boundary_margin(raw: np.ndarray) -> float:
+        # distance (in COSINE units) from the nearest half-away
+        # rounding boundary (k + 0.5) * 1e-6
+        frac = np.abs(raw) * 1e6
+        return float(np.min(np.abs(frac - np.floor(frac) - 0.5))) * 1e-6
+
+    # worst-case cross-engine dot-product drift: n-term summation in a
+    # different order differs by at most ~dim * eps for unit vectors
+    drift = emb.shape[1] * np.finfo(np.float64).eps
+
+    n = np.linalg.norm(emb, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    xn = emb / n
+    raw_assign = xn @ cents.T
+    assert boundary_margin(raw_assign) > 100 * drift
+
+    # assignment exactly as the pipeline: argmax of ROUNDED cosine
+    # (np.argmax ties -> lowest index == lower cluster id)
+    cluster = np.argmax(round_half_away(raw_assign, 6), axis=1)
+    for c in range(len(cents)):
+        grp = xn[cluster == c]
+        if len(grp) < 2:
+            continue
+        raw_pairs = grp @ grp.T
+        iu = np.triu_indices(len(grp), k=1)
+        assert boundary_margin(raw_pairs[iu]) > 100 * drift, f"cluster {c}"
