@@ -6,10 +6,10 @@ here (or in the library) calls ray.init()/ray.shutdown().
 - entry(): flagship KG pipeline (transcripts -> triples) on the smoke
   tier derived from /root/testdata/sf0.001 sizing.
 - queries(): one entry per implemented operator family (SURVEY.md §2 +
-  the training-data operations suite); each takes sf_dir. 83 entries,
+  the training-data operations suite); each takes sf_dir. 84 entries,
   ordered so the driver's 50-query snapshot covers the widest
   value-checked surface (see _SNAPSHOT_PRIORITY).
-- oracle_sql(): DuckDB oracles for the 79 checkable queries — pure SQL
+- oracle_sql(): DuckDB oracles for the 80 checkable queries — pure SQL
   re-derivations where expressible, parquet-export-backed re-derivations
   (simhash, fingerprints, triples, embeddings, symbols) where the
   intermediate is not SQL-derivable; the 4 rows-only queries each
@@ -38,8 +38,8 @@ def entry() -> Any:
 # new this round, then queries earlier snapshots never recorded, then
 # the classics already green in CORRECTNESS_r01-r03.
 _SNAPSHOT_PRIORITY = [
-    "kg_triples", "kg_analyze", "q_compose_deps", "q_argocd_sources",
-    "q_md_reference_links",
+    "kg_triples", "kg_analyze", "q_go_imports", "q_compose_deps",
+    "q_argocd_sources", "q_md_reference_links",
     "q_md_code_paths", "q_md_frontmatter", "q_turn_symbols", "q_gitlab_includes",
     "q_helm_templates", "q_doc_repetition", "q_pii_scrub",
     "q_doc_quota_sample", "q_embedding_semdedup",

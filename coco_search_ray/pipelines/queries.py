@@ -1697,6 +1697,18 @@ WITH t AS (
     || regexp_extract_all(text, '\\bimport[ \t\r\n]+[A-Za-z0-9_{{}}, *\t\r\n]+[ \t\r\n]*from[ \t\r\n]+[''"]([^''"]+)[''"]', 1)
     || regexp_extract_all(text, '(?:^|[\r\n;])[ \t]*import[ \t\r\n]+([A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z0-9_]+)*)[ \t\r\n]+as[ \t\r\n]', 1)
   )) AS n FROM t
+), goi AS (
+  -- go_imports family: single-form (optional alias) + grouped blocks
+  -- with line-anchored items; per-FAMILY distinct (keep-first), summed
+  -- with the imports family below (both emit imports_module — the
+  -- md + mdref shared-pred shape)
+  SELECT len(list_distinct(
+    regexp_extract_all(text, '\\bimport[ \t]+(?:[A-Za-z_.][A-Za-z0-9_]*[ \t]+)?"([^"\n]+)"', 1)
+    || flatten(list_transform(
+         regexp_extract_all(text, '\\bimport[ \t]*\\(([^)]*)\\)', 1),
+         b -> regexp_extract_all(b, '(?m)^[ \t]*(?:[A-Za-z_.][A-Za-z0-9_]*[ \t]+)?"([^"\n]+)"', 1)
+       ))
+  )) AS n FROM t
 ), md AS (
   -- md_links family: inline targets (validated/cleaned per the
   -- reference's _validate_link_path: http/mailto/pure-anchor skipped,
@@ -1836,7 +1848,7 @@ UNION ALL SELECT 'depends_on_svc', sum(n)::BIGINT FROM cd
 UNION ALL SELECT 'extends_template', sum(n)::BIGINT FROM ex
 UNION ALL SELECT 'includes_config', sum(n)::BIGINT FROM gl
 UNION ALL SELECT 'uses_helm_template', sum(n)::BIGINT FROM hm
-UNION ALL SELECT 'imports_module', sum(n)::BIGINT FROM i
+UNION ALL SELECT 'imports_module', ((SELECT sum(n) FROM i) + (SELECT sum(n) FROM goi))::BIGINT
 UNION ALL SELECT 'links_to', sum(n)::BIGINT FROM u
 UNION ALL SELECT 'mentions_email', sum(n)::BIGINT FROM e
 UNION ALL SELECT 'mentions_version', sum(n)::BIGINT FROM v
@@ -3948,3 +3960,55 @@ GROUP BY svc ORDER BY n_refs DESC, svc LIMIT 20
 
 
 REGISTRY.update({"q_compose_deps": (q_compose_deps, Q_COMPOSE_DEPS_SQL)})
+
+
+def q_go_imports(sf_dir: str) -> pd.DataFrame:
+    """Go import-declaration extraction (reference go.py:36-110:
+    tree-sitter import_spec walk over single / grouped / aliased /
+    blank forms, one edge per imported package): per-package reference
+    counts (one per turn mentioning it — the per-turn keep-first
+    dedupe), top 20 by count with a total tiebreak."""
+    from ..stages.extract import extract_mention_rows
+    from .kg import normalized_turns_ds
+
+    data_dir = ensure_tier(tier_for_sf_dir(sf_dir))
+    ds = normalized_turns_ds(data_dir).map_batches(
+        lambda b: extract_mention_rows(
+            b, entity_names=(), literal_specs=(("go_imports", "imports_module"),)
+        ),
+        batch_format="pyarrow",
+    )
+    out = (
+        ds.groupby("mention")
+        .aggregate(Count(alias_name="n_refs"))
+        .to_pandas()
+        .rename(columns={"mention": "package"})
+        .sort_values(["n_refs", "package"], ascending=[False, True], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+    return out[["package", "n_refs"]].astype({"n_refs": "int64"})
+
+
+Q_GO_IMPORTS_SQL = f"""
+WITH t AS (
+  SELECT coalesce(text, '') AS text FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
+), refs AS (
+  -- single form (optional named/_/. alias) + grouped import ( ... )
+  -- blocks with LINE-anchored items (a // comment line inside the
+  -- block emits nothing); per-turn keep-first dedupe across rules ==
+  -- list_distinct (counting is order-insensitive)
+  SELECT unnest(list_distinct(
+    regexp_extract_all(text, '\\bimport[ \t]+(?:[A-Za-z_.][A-Za-z0-9_]*[ \t]+)?"([^"\n]+)"', 1)
+    || flatten(list_transform(
+         regexp_extract_all(text, '\\bimport[ \t]*\\(([^)]*)\\)', 1),
+         b -> regexp_extract_all(b, '(?m)^[ \t]*(?:[A-Za-z_.][A-Za-z0-9_]*[ \t]+)?"([^"\n]+)"', 1)
+       ))
+  )) AS package FROM t
+)
+SELECT package, count(*)::BIGINT AS n_refs FROM refs
+GROUP BY package ORDER BY n_refs DESC, package LIMIT 20
+"""
+
+
+REGISTRY.update({"q_go_imports": (q_go_imports, Q_GO_IMPORTS_SQL)})

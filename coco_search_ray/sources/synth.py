@@ -244,6 +244,31 @@ def _generate_shard(
                     words.append(f"\nimport {root} as {member}")
                 else:
                     words.append(f"from .{root} import {member} now")
+            # Go import-declaration material (drives
+            # extractors/go_imports.py — the reference's go.py
+            # single/grouped/aliased/blank import_spec forms); the
+            # comment line inside the grouped block exercises the
+            # line-anchored item skip
+            if rng.rand() < 0.04:
+                w = _VOCAB[rng.randint(0, len(_VOCAB))]
+                w2 = _VOCAB[rng.randint(0, len(_VOCAB))]
+                style = rng.randint(0, 6)
+                if style == 0:
+                    words.append(f'import "{w}/{w2}"')
+                elif style == 1:
+                    words.append(f'import {w} "example.com/{w}/{w2}"')
+                elif style == 2:
+                    words.append(f'import _ "{w}/driver"')
+                elif style == 3:
+                    words.append(f'import . "{w}"')
+                elif style == 4:
+                    words.append(
+                        f'import (\n\t"{w}"\n\t{w2} "example.com/{w}/{w2}"\n)'
+                    )
+                else:
+                    words.append(
+                        f'import (\n\t// {w} helpers\n\t"{w}/{w2}"\n\t_ "{w2}/driver"\n)'
+                    )
             # container-image refs (drives extractors/images.py): yaml
             # image: keys + Dockerfile FROM lines (the reference's
             # docker_compose / gitlab_ci / helm image shapes)
@@ -453,7 +478,7 @@ def generate_transcripts(
     ``catalog.parquet``. Idempotent: returns immediately if a
     ``_SYNTH_OK`` marker with matching params exists."""
     marker = os.path.join(out_dir, "_SYNTH_OK")
-    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v21"
+    stamp = f"{n_convs}|{turns_target}|{n_entities}|{num_files}|{seed}|v22"
     if os.path.exists(marker):
         with open(marker) as f:
             if f.read().strip() == stamp:

@@ -444,3 +444,29 @@ def test_compose_deps_extract():
     # extends with service before file still resolves
     assert cd.extract("extends:\n  service: base\n  file: x.yml") == ["base"]
     assert cd.KIND == "literal" and cd.PRED == "depends_on_svc"
+
+
+def test_go_imports_extract():
+    from coco_search_ray.extractors import go_imports as gi
+
+    # single / aliased / blank / dot forms (reference go.py import_spec)
+    assert gi.extract('import "fmt"') == ["fmt"]
+    assert gi.extract('import f "net/http"') == ["net/http"]
+    assert gi.extract('import _ "database/sql"') == ["database/sql"]
+    assert gi.extract('import . "strings"') == ["strings"]
+    # grouped block, document order, keep-first dedupe across rules
+    t = 'import "a"\nimport (\n\t"a"\n\tlog "example.com/x/log"\n\t_ "y/driver"\n)'
+    assert gi.extract(t) == ["a", "example.com/x/log", "y/driver"]
+    # a // comment line inside the block emits nothing (line anchor)
+    assert gi.extract('import (\n\t// "not real"\n\t"os"\n)') == ["os"]
+    # one-liner grouped form
+    assert gi.extract('import ("fmt")') == ["fmt"]
+    # prose and python/ES shapes stay with the imports family
+    assert gi.extract("the import process imports things") == []
+    assert gi.extract("import os.path") == []
+    assert gi.extract("import { x } from 'mod'") == []
+    assert gi.extract('import { x } from "mod"') == []  # brace blocks alias
+    # unterminated block / empty forms are inert
+    assert gi.extract("import (incomplete") == []
+    assert gi.extract("import ()") == []
+    assert gi.KIND == "literal" and gi.PRED == "imports_module"

@@ -381,3 +381,38 @@ def test_compose_deps_surfaces_are_service_shaped(text):
     svc = re.compile(r"^[A-Za-z0-9._-]+$")
     for s in compose_deps.extract(text):
         assert svc.match(s)
+
+
+_GO_ALPHABET = st.text(
+    alphabet='import"()_. \t\nfmtoslgexbc/',
+    max_size=300,
+)
+
+
+@given(_GO_ALPHABET)
+@settings(max_examples=300, deadline=None)
+def test_go_imports_total_deterministic_and_lockstep(text):
+    """go_imports never raises on adversarial go-ish soup, is
+    deterministic, dedupes, emits quote-/newline-free packages — and
+    the DuckDB replay (the Q_GO_IMPORTS_SQL rule pair) agrees on the
+    SET of packages for every input (counting is order-insensitive)."""
+    import duckdb
+
+    from coco_search_ray.extractors import go_imports
+
+    out = go_imports.extract(text)
+    assert out == go_imports.extract(text)
+    assert len(out) == len(set(out))
+    for s in out:
+        assert s and '"' not in s and "\n" not in s
+    sql = r"""
+    SELECT list_distinct(
+      regexp_extract_all(t, '\bimport[ \t]+(?:[A-Za-z_.][A-Za-z0-9_]*[ \t]+)?"([^"\n]+)"', 1)
+      || flatten(list_transform(
+           regexp_extract_all(t, '\bimport[ \t]*\(([^)]*)\)', 1),
+           b -> regexp_extract_all(b, '(?m)^[ \t]*(?:[A-Za-z_.][A-Za-z0-9_]*[ \t]+)?"([^"\n]+)"', 1)
+         ))
+    ) FROM (SELECT ? AS t)
+    """
+    duck = duckdb.execute(sql, [text]).fetchone()[0]
+    assert sorted(out) == sorted(duck)
