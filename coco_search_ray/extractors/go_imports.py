@@ -17,7 +17,8 @@ regexes cover the canonical layouts a transcript carries):
                    keyword and the quoted path
   2. grouped form  ``import ( ... )`` block (body captured up to the
                    first ``)``; Go paths cannot contain one), items
-                   are LINE-anchored ``alias? "path"`` lines so a
+                   anchored at a line start OR after ``;`` (the
+                   one-line ``import ("fmt"; "os")`` form) so a
                    ``// "quoted"`` comment line inside the block does
                    not emit a phantom package
 
@@ -40,7 +41,7 @@ _ALIAS = r"[A-Za-z_.][A-Za-z0-9_]*"
 
 _SINGLE = re.compile(r"\bimport[ \t]+(?:" + _ALIAS + r"[ \t]+)?\"([^\"\n]+)\"")
 _BLOCK = re.compile(r"\bimport[ \t]*\(([^)]*)\)")
-_ITEM = re.compile(r"(?m)^[ \t]*(?:" + _ALIAS + r"[ \t]+)?\"([^\"\n]+)\"")
+_ITEM = re.compile(r"(?m)(?:^|;)[ \t]*(?:" + _ALIAS + r"[ \t]+)?\"([^\"\n]+)\"")
 
 QUICK = r"\bimport[ \t(]"
 

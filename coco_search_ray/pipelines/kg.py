@@ -424,8 +424,21 @@ def _strip_file_scheme(paths: list[str]) -> list[str]:
     element of a path list but does not strip the scheme from the rest,
     so a LIST of file:// URIs fails normalize_path (a single string
     works). file:// is the local filesystem by definition — strip it up
-    front; real remote schemes (s3:// etc.) pass through untouched."""
-    return [p[len("file://"):] if isinstance(p, str) and p.startswith("file://") else p for p in paths]
+    front with real URI parsing — percent-DECODE '%20' etc. (pathlib's
+    as_uri() encodes spaces) and drop an empty/localhost authority (a
+    naive prefix slice would leave literal escapes and turn the host
+    into a relative path segment); real remote schemes (s3:// etc.)
+    pass through untouched."""
+    from urllib.parse import unquote, urlparse
+
+    out: list[str] = []
+    for p in paths:
+        if isinstance(p, str) and p.startswith("file://"):
+            u = urlparse(p)
+            if u.netloc in ("", "localhost"):
+                p = unquote(u.path)
+        out.append(p)
+    return out
 
 
 def linkmap_dataset(

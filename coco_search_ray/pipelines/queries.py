@@ -1706,7 +1706,7 @@ WITH t AS (
     regexp_extract_all(text, '\\bimport[ \t]+(?:[A-Za-z_.][A-Za-z0-9_]*[ \t]+)?"([^"\n]+)"', 1)
     || flatten(list_transform(
          regexp_extract_all(text, '\\bimport[ \t]*\\(([^)]*)\\)', 1),
-         b -> regexp_extract_all(b, '(?m)^[ \t]*(?:[A-Za-z_.][A-Za-z0-9_]*[ \t]+)?"([^"\n]+)"', 1)
+         b -> regexp_extract_all(b, '(?m)(?:^|;)[ \t]*(?:[A-Za-z_.][A-Za-z0-9_]*[ \t]+)?"([^"\n]+)"', 1)
        ))
   )) AS n FROM t
 ), md AS (
@@ -3759,9 +3759,13 @@ WITH t AS (
   WHERE NOT regexp_matches(d.target, '^(https?://|mailto:|#)')
     AND regexp_replace(d.target, '#.*', '') != ''
 ), p AS (
+  -- directory-only targets (trailing '/', no file segment) are DROPPED
+  -- like the pipeline's extract_regex null filter — without the guard
+  -- DuckDB's regexp_extract would return '' on no-match and count a
+  -- phantom (dir='', file='') row the Arrow side never emits
   SELECT regexp_extract(target, '^((?:[^/]*/)*)([^/]+)$', 1) AS dir,
          regexp_extract(target, '^((?:[^/]*/)*)([^/]+)$', 2) AS file
-  FROM resolved
+  FROM resolved WHERE target NOT LIKE '%/'
 )
 SELECT dir, count(*)::BIGINT AS n_refs, count(DISTINCT file)::BIGINT AS n_files
 FROM p GROUP BY dir
@@ -4002,7 +4006,7 @@ WITH t AS (
     regexp_extract_all(text, '\\bimport[ \t]+(?:[A-Za-z_.][A-Za-z0-9_]*[ \t]+)?"([^"\n]+)"', 1)
     || flatten(list_transform(
          regexp_extract_all(text, '\\bimport[ \t]*\\(([^)]*)\\)', 1),
-         b -> regexp_extract_all(b, '(?m)^[ \t]*(?:[A-Za-z_.][A-Za-z0-9_]*[ \t]+)?"([^"\n]+)"', 1)
+         b -> regexp_extract_all(b, '(?m)(?:^|;)[ \t]*(?:[A-Za-z_.][A-Za-z0-9_]*[ \t]+)?"([^"\n]+)"', 1)
        ))
   )) AS package FROM t
 )

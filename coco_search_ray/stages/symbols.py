@@ -110,6 +110,7 @@ def _scan_mask(
     hash_comment: bool = False,
     block_comment: bool | None = None,
     squote: str = "string",
+    multiline_squote: bool = False,
 ) -> list[bool]:
     """``squote`` picks how a single quote is read: "string" (a real
     delimiter — js/ts/php/bash/css), "char" (char/rune literal only —
@@ -117,8 +118,12 @@ def _scan_mask(
     prose apostrophe), "none" (never a delimiter — hcl). An unterminated
     '-string is bounded at the NEWLINE and rewound to plain text: one
     apostrophe in prose ("Here's my function:") must not mask the rest
-    of a mixed prose+code turn (string literals don't span lines in
-    these languages)."""
+    of a mixed prose+code turn. In bash and php single-quoted strings
+    DO legally span lines; ``multiline_squote`` lets the canonical
+    assignment shape (opener directly preceded by ``=``, a closing
+    quote existing later) scan across newlines so string content never
+    emits phantom symbols — prose contractions are never
+    ``=``-preceded, so the rewind still protects mixed turns."""
     if block_comment is None:
         block_comment = bool(line_comment)
     n = len(text)
@@ -138,6 +143,15 @@ def _scan_mask(
             continue
         if c in "'\"`":
             q = c
+            # canonical multi-line '-string: VAR='...' (bash/php) — the
+            # ``=``-preceded opener with a later closer spans newlines
+            span_nl = (
+                q == "'"
+                and multiline_squote
+                and i > 0
+                and text[i - 1] == "="
+                and text.find("'", i + 1) != -1
+            )
             j = i + 1
             closed = False
             while j < n:
@@ -147,7 +161,7 @@ def _scan_mask(
                 if text[j] == q:
                     closed = True
                     break
-                if q == "'" and text[j] == "\n":
+                if q == "'" and text[j] == "\n" and not span_nl:
                     break
                 j += 1
             if q == "'" and not closed:
@@ -796,7 +810,7 @@ _SH_KSH = re.compile(
 
 
 def _extract_bash(text: str) -> list[dict]:
-    mask = _scan_mask(text, None, hash_comment=True)
+    mask = _scan_mask(text, None, hash_comment=True, multiline_squote=True)
     out: list[dict] = []
     seen_pos: set[int] = set()
     for rx in (_SH_KSH, _SH_POSIX):
@@ -896,7 +910,7 @@ _PHP_FUNC = re.compile(r"\bfunction[ \t]+(" + _ID + r")[ \t]*\(")
 
 
 def _extract_php(text: str) -> list[dict]:
-    mask = _scan_mask(text, "//", hash_comment=True)
+    mask = _scan_mask(text, "//", hash_comment=True, multiline_squote=True)
     depth = _brace_depth(text, mask)
     out: list[dict] = []
     bodies: list[tuple[int, int, str]] = []

@@ -459,8 +459,12 @@ def test_go_imports_extract():
     assert gi.extract(t) == ["a", "example.com/x/log", "y/driver"]
     # a // comment line inside the block emits nothing (line anchor)
     assert gi.extract('import (\n\t// "not real"\n\t"os"\n)') == ["os"]
-    # one-liner grouped form
+    # one-liner grouped forms, incl. semicolon-separated specs
     assert gi.extract('import ("fmt")') == ["fmt"]
+    assert gi.extract('import ("fmt"; "os")') == ["fmt", "os"]
+    assert gi.extract('import ("fmt"; f "net/http"; _ "y/driver")') == [
+        "fmt", "net/http", "y/driver"
+    ]
     # prose and python/ES shapes stay with the imports family
     assert gi.extract("the import process imports things") == []
     assert gi.extract("import os.path") == []

@@ -433,3 +433,31 @@ def test_auto_spill_triggers_on_non_stat_scheme(ray_session, smoke_dir, tmp_path
     files = [f for f in os.listdir(sdir) if f.endswith(".parquet")]
     assert files, "auto trigger must spill for a non-os.stat-able scheme"
     pd.testing.assert_frame_equal(_sorted(base), _sorted(got))
+
+
+def test_strip_file_scheme_decodes_uris():
+    """Round-5 review finding: pathlib as_uri() percent-encodes spaces
+    and file:// may carry a localhost authority; a naive prefix slice
+    left literal %20 (FileNotFound downstream) and turned the host into
+    a relative path segment. Remote schemes pass through untouched."""
+    from pathlib import Path
+
+    from coco_search_ray.pipelines.kg import _strip_file_scheme
+
+    assert _strip_file_scheme(
+        [
+            "file:///tmp/my%20dir/a.parquet",
+            "file://localhost/a.parquet",
+            "file:///plain/b.parquet",
+            "s3://bucket/x",
+            "/local/y",
+            Path("/tmp/x y/z.parquet").as_uri(),
+        ]
+    ) == [
+        "/tmp/my dir/a.parquet",
+        "/a.parquet",
+        "/plain/b.parquet",
+        "s3://bucket/x",
+        "/local/y",
+        "/tmp/x y/z.parquet",
+    ]

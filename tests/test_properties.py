@@ -410,7 +410,7 @@ def test_go_imports_total_deterministic_and_lockstep(text):
       regexp_extract_all(t, '\bimport[ \t]+(?:[A-Za-z_.][A-Za-z0-9_]*[ \t]+)?"([^"\n]+)"', 1)
       || flatten(list_transform(
            regexp_extract_all(t, '\bimport[ \t]*\(([^)]*)\)', 1),
-           b -> regexp_extract_all(b, '(?m)^[ \t]*(?:[A-Za-z_.][A-Za-z0-9_]*[ \t]+)?"([^"\n]+)"', 1)
+           b -> regexp_extract_all(b, '(?m)(?:^|;)[ \t]*(?:[A-Za-z_.][A-Za-z0-9_]*[ \t]+)?"([^"\n]+)"', 1)
          ))
     ) FROM (SELECT ? AS t)
     """

@@ -725,3 +725,20 @@ def test_fuzz_newest_languages_adversarial_nesting():
                 assert sym["symbol_name"] is not None
 
     fuzz()
+
+
+def test_bash_php_multiline_single_quoted_strings_stay_masked():
+    """Round-5 review finding: bash/php single-quoted strings DO span
+    lines — the canonical VAR='...' assignment shape must mask its
+    content across newlines (no phantom symbols from string bodies),
+    while the prose-apostrophe rewind still protects mixed turns."""
+    bash = "MSG='usage:\nfunction phantom() { hi }\n'\nfunction real() { :; }"
+    assert [s["symbol_name"] for s in extract_symbols(bash, "bash")] == ["real"]
+    php = "<?php\n$m='one\nfunction phantom() {}\ntwo';\nfunction real() {}"
+    assert [s["symbol_name"] for s in extract_symbols(php, "php")] == ["real"]
+    # prose apostrophes (never =-preceded) still don't mask later code
+    assert [s["symbol_name"] for s in extract_symbols(
+        "echo it's fine\nfunction real() { :; }", "bash")] == ["real"]
+    # single-line '-strings behave exactly as before
+    assert [s["symbol_name"] for s in extract_symbols(
+        "X='function nope() {}'\nfunction real() { :; }", "bash")] == ["real"]
