@@ -40,10 +40,10 @@ _WORD = r"[A-Za-z0-9][A-Za-z0-9._-]*"
 _PATH = r"[A-Za-z0-9._-]+(?:/[A-Za-z0-9._-]+)*"
 
 _RULES = [
-    (re.compile(r"\brepoURL:[ \t]*['\"]?(" + _REPO + r")"), "repoURL:"),
-    (re.compile(r"\bchart:[ \t]*['\"]?(" + _WORD + r")"), "chart:"),
-    (re.compile(r"\bpath:[ \t]*['\"]?(" + _PATH + r")"), "path:"),
-    (re.compile(r"\bproject:[ \t]*['\"]?(" + _WORD + r")"), "project:"),
+    (re.compile(r"\brepoURL:[ \t]*['\"]?(" + _REPO + r")", re.ASCII), "repoURL:"),
+    (re.compile(r"\bchart:[ \t]*['\"]?(" + _WORD + r")", re.ASCII), "chart:"),
+    (re.compile(r"\bpath:[ \t]*['\"]?(" + _PATH + r")", re.ASCII), "path:"),
+    (re.compile(r"\bproject:[ \t]*['\"]?(" + _WORD + r")", re.ASCII), "project:"),
 ]
 
 QUICK = r"(?:repoURL|chart|path|project):"

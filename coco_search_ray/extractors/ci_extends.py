@@ -24,7 +24,7 @@ NAME = "ci_extends"
 KIND = "literal"
 PRED = "extends_template"
 
-_RULE = re.compile(r"\bextends:[ \t]*['\"]?(\.[A-Za-z0-9_-]+)")
+_RULE = re.compile(r"\bextends:[ \t]*['\"]?(\.[A-Za-z0-9_-]+)", re.ASCII)
 
 QUICK = r"extends:"
 

@@ -29,9 +29,9 @@ PRED = "uses_action"
 _OWNER = r"[A-Za-z0-9_][A-Za-z0-9_.-]*"
 _RULES = [
     re.compile(
-        r"\buses:[ \t]*['\"]?(" + _OWNER + r"(?:/[A-Za-z0-9_.-]+)+@[A-Za-z0-9._/-]+)"
+        r"\buses:[ \t]*['\"]?(" + _OWNER + r"(?:/[A-Za-z0-9_.-]+)+@[A-Za-z0-9._/-]+)", re.ASCII
     ),
-    re.compile(r"\buses:[ \t]*['\"]?(\./[A-Za-z0-9._/-]+)"),
+    re.compile(r"\buses:[ \t]*['\"]?(\./[A-Za-z0-9._/-]+)", re.ASCII),
 ]
 
 QUICK = r"uses:"

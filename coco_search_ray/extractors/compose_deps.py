@@ -39,14 +39,14 @@ PRED = "depends_on_svc"
 
 _SVC = r"[A-Za-z0-9._-]+"
 
-_LIST_BLOCK = re.compile(r"\bdepends_on:[ \t]*\n((?:[ \t]+-[ \t]+[^\n]+\n?)+)")
-_LIST_ITEM = re.compile(r"-[ \t]+['\"]?(" + _SVC + r")")
+_LIST_BLOCK = re.compile(r"\bdepends_on:[ \t]*\n((?:[ \t]+-[ \t]+[^\n]+\n?)+)", re.ASCII)
+_LIST_ITEM = re.compile(r"-[ \t]+['\"]?(" + _SVC + r")", re.ASCII)
 _DICT_BLOCK = re.compile(
-    r"\bdepends_on:[ \t]*\n((?:[ \t]+" + _SVC + r":[ \t]*\n[ \t]+condition:[^\n]+\n?)+)"
+    r"\bdepends_on:[ \t]*\n((?:[ \t]+" + _SVC + r":[ \t]*\n[ \t]+condition:[^\n]+\n?)+)", re.ASCII
 )
-_DICT_ITEM = re.compile(r"(" + _SVC + r"):[ \t]*\n")
+_DICT_ITEM = re.compile(r"(" + _SVC + r"):[ \t]*\n", re.ASCII)
 _EXTENDS = re.compile(
-    r"\bextends:[ \t]*\n(?:[ \t]+file:[^\n]*\n)?[ \t]+service:[ \t]*['\"]?(" + _SVC + r")"
+    r"\bextends:[ \t]*\n(?:[ \t]+file:[^\n]*\n)?[ \t]+service:[ \t]*['\"]?(" + _SVC + r")", re.ASCII
 )
 
 QUICK = r"depends_on:|extends:"

@@ -12,7 +12,7 @@ KIND = "literal"
 PRED = "mentions_email"
 QUICK = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 
-_RE = re.compile(QUICK)
+_RE = re.compile(QUICK, re.ASCII)
 
 
 def maybe(text: str) -> bool:

@@ -29,9 +29,9 @@ PRED = "includes_config"
 
 _YML = r"[A-Za-z0-9_][A-Za-z0-9_./-]*\.ya?ml"
 _RULES = [
-    (re.compile(r"\binclude:[ \t]*['\"]?(" + _YML + r")"), "include:"),
-    (re.compile(r"\blocal:[ \t]*['\"]?(/?" + _YML + r")"), "local:"),
-    (re.compile(r"\btemplate:[ \t]*['\"]?(" + _YML + r")"), "template:"),
+    (re.compile(r"\binclude:[ \t]*['\"]?(" + _YML + r")", re.ASCII), "include:"),
+    (re.compile(r"\blocal:[ \t]*['\"]?(/?" + _YML + r")", re.ASCII), "local:"),
+    (re.compile(r"\btemplate:[ \t]*['\"]?(" + _YML + r")", re.ASCII), "template:"),
 ]
 
 QUICK = r"(?:include|local|template):"

@@ -39,9 +39,9 @@ PRED = "imports_module"
 # covers all three; Go identifiers are ASCII in the canonical layouts)
 _ALIAS = r"[A-Za-z_.][A-Za-z0-9_]*"
 
-_SINGLE = re.compile(r"\bimport[ \t]+(?:" + _ALIAS + r"[ \t]+)?\"([^\"\n]+)\"")
-_BLOCK = re.compile(r"\bimport[ \t]*\(([^)]*)\)")
-_ITEM = re.compile(r"(?m)(?:^|;)[ \t]*(?:" + _ALIAS + r"[ \t]+)?\"([^\"\n]+)\"")
+_SINGLE = re.compile(r"\bimport[ \t]+(?:" + _ALIAS + r"[ \t]+)?\"([^\"\n]+)\"", re.ASCII)
+_BLOCK = re.compile(r"\bimport[ \t]*\(([^)]*)\)", re.ASCII)
+_ITEM = re.compile(r"(?m)(?:^|;)[ \t]*(?:" + _ALIAS + r"[ \t]+)?\"([^\"\n]+)\"", re.ASCII)
 
 QUICK = r"\bimport[ \t(]"
 

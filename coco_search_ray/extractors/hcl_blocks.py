@@ -36,8 +36,8 @@ _LABEL = r"[A-Za-z_][A-Za-z0-9_-]*"
 # extract() skips the regex scan on rows whose QUICK hit came from the
 # other block kind
 _RULES = [
-    (re.compile(r"\bresource[ \t]+\"(" + _TYPE + r")\"[ \t]+\"(" + _LABEL + r")\""), "resource"),
-    (re.compile(r"\bdata[ \t]+\"(" + _TYPE + r")\"[ \t]+\"(" + _LABEL + r")\""), "data"),
+    (re.compile(r"\bresource[ \t]+\"(" + _TYPE + r")\"[ \t]+\"(" + _LABEL + r")\"", re.ASCII), "resource"),
+    (re.compile(r"\bdata[ \t]+\"(" + _TYPE + r")\"[ \t]+\"(" + _LABEL + r")\"", re.ASCII), "data"),
 ]
 
 QUICK = r"(?:resource|data)[ \t]+\""

@@ -25,8 +25,8 @@ KIND = "literal"
 PRED = "uses_helm_template"
 
 _RULES = [
-    re.compile(r"\{\{-?[ \t]*include[ \t]+\"([^\"\n]+)\""),
-    re.compile(r"\{\{-?[ \t]*template[ \t]+\"([^\"\n]+)\""),
+    re.compile(r"\{\{-?[ \t]*include[ \t]+\"([^\"\n]+)\"", re.ASCII),
+    re.compile(r"\{\{-?[ \t]*template[ \t]+\"([^\"\n]+)\"", re.ASCII),
 ]
 
 QUICK = r"\{\{-?[ \t]*(?:include|template)[ \t]"

@@ -36,8 +36,8 @@ _REF = (
     r"|" + _SEG + r"(?:/" + _SEG + r")+"
 )
 _RULES = [
-    re.compile(r"\bimage:[ \t]*(" + _REF + r")"),
-    re.compile(r"\bFROM[ \t]+(" + _REF + r")"),
+    re.compile(r"\bimage:[ \t]*(" + _REF + r")", re.ASCII),
+    re.compile(r"\bFROM[ \t]+(" + _REF + r")", re.ASCII),
 ]
 
 QUICK = r"image:|FROM[ \t]"

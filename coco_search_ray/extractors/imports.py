@@ -41,13 +41,13 @@ _WS = r"[ \t\r\n]"  # explicit ASCII whitespace: identical in re/RE2/DuckDB
 # rule match always contains its keyword) so extract() can skip regex
 # scans on rows whose QUICK hit came from another statement shape
 _RULES = [
-    (re.compile(r"\bfrom" + _WS + r"+((?:\.{1,3})?" + _MOD + r")" + _WS + r"+import" + _WS), "from"),
-    (re.compile(r"\bimport" + _WS + r"+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)+)"), "import"),
-    (re.compile(r"require\(" + _WS + r"*['\"]([^'\"]+)['\"]" + _WS + r"*\)"), "require("),
+    (re.compile(r"\bfrom" + _WS + r"+((?:\.{1,3})?" + _MOD + r")" + _WS + r"+import" + _WS, re.ASCII), "from"),
+    (re.compile(r"\bimport" + _WS + r"+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)+)", re.ASCII), "import"),
+    (re.compile(r"require\(" + _WS + r"*['\"]([^'\"]+)['\"]" + _WS + r"*\)", re.ASCII), "require("),
     (
         re.compile(
             r"\bimport" + _WS + r"+[A-Za-z0-9_{}, *\t\r\n]+" + _WS
-            + r"*from" + _WS + r"+['\"]([^'\"]+)['\"]"
+            + r"*from" + _WS + r"+['\"]([^'\"]+)['\"]", re.ASCII
         ),
         "from",
     ),
@@ -57,7 +57,7 @@ _RULES = [
     # RE2 has no lookbehind, so the anchor is the lockstep-able form.
     (
         re.compile(
-            r"(?:^|[\r\n;])[ \t]*import" + _WS + r"+(" + _MOD + r")" + _WS + r"+as" + _WS
+            r"(?:^|[\r\n;])[ \t]*import" + _WS + r"+(" + _MOD + r")" + _WS + r"+as" + _WS, re.ASCII
         ),
         "as",
     ),

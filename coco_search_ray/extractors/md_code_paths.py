@@ -41,12 +41,12 @@ PATH_EXTENSIONS = frozenset(
     "astro prisma proto".split()
 )
 
-_SPAN = re.compile(r"`([^`\n]{1,200})`")
-_BAD_CHARS = re.compile(r"[()=+{}\[\];|<> ]")
-_COMMENT_LINE = re.compile(r"^[ \t]*(?:#|//|--)([^\n]*)", re.MULTILINE)
+_SPAN = re.compile(r"`([^`\n]{1,200})`", re.ASCII)
+_BAD_CHARS = re.compile(r"[()=+{}\[\];|<> ]", re.ASCII)
+_COMMENT_LINE = re.compile(r"^[ \t]*(?:#|//|--)([^\n]*)", re.MULTILINE | re.ASCII)
 # explicit ASCII version of the reference's (?:[\w.~-]+/)+[\w.-]+
-_PATH = re.compile(r"(?:[A-Za-z0-9_.~-]+/)+[A-Za-z0-9_.-]+")
-_LAST_DOT = re.compile(r"\.[^/]*$")
+_PATH = re.compile(r"(?:[A-Za-z0-9_.~-]+/)+[A-Za-z0-9_.-]+", re.ASCII)
+_LAST_DOT = re.compile(r"\.[^/]*$", re.ASCII)
 
 QUICK = r"`|#|//|--"
 

@@ -26,8 +26,8 @@ NAME = "md_frontmatter"
 KIND = "literal"
 PRED = "depends_on"
 
-_BLOCK = re.compile(r"^depends:[ \t]*\n((?:[ \t]+-[ \t]+[^\n]+\n?)+)", re.MULTILINE)
-_ITEM = re.compile(r"-[ \t]+([^\n]*[^ \t\r\n])")
+_BLOCK = re.compile(r"^depends:[ \t]*\n((?:[ \t]+-[ \t]+[^\n]+\n?)+)", re.MULTILINE | re.ASCII)
+_ITEM = re.compile(r"-[ \t]+([^\n]*[^ \t\r\n])", re.ASCII)
 
 QUICK = r"depends:"
 

@@ -27,10 +27,10 @@ KIND = "literal"
 PRED = "references_doc"
 
 _RULES = [
-    re.compile(r"\[[^\]\n]{1,80}\]\(([^()\[\] \t\r\n]{1,200})\)"),
-    re.compile(r"\[\[([^\[\]\n]{1,80})\]\]"),
+    re.compile(r"\[[^\]\n]{1,80}\]\(([^()\[\] \t\r\n]{1,200})\)", re.ASCII),
+    re.compile(r"\[\[([^\[\]\n]{1,80})\]\]", re.ASCII),
 ]
-_HTTP = re.compile(r"^https?://")
+_HTTP = re.compile(r"^https?://", re.ASCII)
 
 QUICK = r"\]\(|\[\["
 

@@ -40,10 +40,10 @@ PRED = "references_doc"
 from .md_links import clean_target
 
 _DEF = re.compile(
-    r"^[ \t]*\[([^\]\n]{1,80})\]:[ \t]*([^ \t\r\n]{1,200})", re.MULTILINE
+    r"^[ \t]*\[([^\]\n]{1,80})\]:[ \t]*([^ \t\r\n]{1,200})", re.MULTILINE | re.ASCII
 )
-_USE_FULL = re.compile(r"\[([^\]\n]{1,80})\]\[([^\]\n]{1,80})\]")
-_USE_COLLAPSED = re.compile(r"\[([^\]\n]{1,80})\]\[\]")
+_USE_FULL = re.compile(r"\[([^\]\n]{1,80})\]\[([^\]\n]{1,80})\]", re.ASCII)
+_USE_COLLAPSED = re.compile(r"\[([^\]\n]{1,80})\]\[\]", re.ASCII)
 
 QUICK = r"\]\["
 

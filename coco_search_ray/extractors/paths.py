@@ -17,7 +17,7 @@ KIND = "literal"
 PRED = "references_path"
 QUICK = r"(?:^|[\s('\"`])/(?:[A-Za-z0-9._-]+/)+[A-Za-z0-9_-]+\.[A-Za-z0-9]{1,8}"
 
-_RE = re.compile(r"(?:^|[\s('\"`])(/(?:[A-Za-z0-9._-]+/)+[A-Za-z0-9_-]+\.[A-Za-z0-9]{1,8})")
+_RE = re.compile(r"(?:^|[\s('\"`])(/(?:[A-Za-z0-9._-]+/)+[A-Za-z0-9_-]+\.[A-Za-z0-9]{1,8})", re.ASCII)
 
 
 def maybe(text: str) -> bool:

@@ -43,7 +43,7 @@ _PATTERN = r"[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)+"
 # ("svc.example") and email domains from even reaching extract().
 QUICK = r"(?:_|[a-z][A-Z]|[A-Z][a-z]+[A-Z])[A-Za-z0-9_]*\.[A-Za-z_]"
 
-_RE = re.compile(_PATTERN)
+_RE = re.compile(_PATTERN, re.ASCII)
 
 
 def maybe(text: str) -> bool:

@@ -14,7 +14,7 @@ KIND = "literal"
 PRED = "quotes"
 QUICK = r'"[^"\n]{2,60}"|`[^`\n]{1,60}`'
 
-_RE = re.compile(QUICK)
+_RE = re.compile(QUICK, re.ASCII)
 
 
 def maybe(text: str) -> bool:

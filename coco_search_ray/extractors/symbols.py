@@ -41,13 +41,13 @@ _RULES: list[tuple[re.Pattern, bool, str]] = [
     # group1.group2; the gate is a sound necessary condition (a rule
     # match always contains its keyword) so extract() can skip the
     # regex scan on rows whose QUICK hit came from another keyword
-    (re.compile(r"\bdef[ \t]+(" + _ID + r")\("), False, "def"),
-    (re.compile(r"\bclass[ \t]+(" + _ID + r")[ \t]*[:({]"), False, "class"),
-    (re.compile(r"\bfunction[ \t]+(" + _ID + r")\("), False, "function"),
-    (re.compile(r"\bfunc[ \t]+(" + _ID + r")\("), False, "func"),
-    (re.compile(_RECV), True, "func"),
-    (re.compile(r"\bfn[ \t]+(" + _ID + r")[(<]"), False, "fn"),
-    (re.compile(r"\bstruct[ \t]+(" + _ID + r")[ \t]*\{"), False, "struct"),
+    (re.compile(r"\bdef[ \t]+(" + _ID + r")\(", re.ASCII), False, "def"),
+    (re.compile(r"\bclass[ \t]+(" + _ID + r")[ \t]*[:({]", re.ASCII), False, "class"),
+    (re.compile(r"\bfunction[ \t]+(" + _ID + r")\(", re.ASCII), False, "function"),
+    (re.compile(r"\bfunc[ \t]+(" + _ID + r")\(", re.ASCII), False, "func"),
+    (re.compile(_RECV, re.ASCII), True, "func"),
+    (re.compile(r"\bfn[ \t]+(" + _ID + r")[(<]", re.ASCII), False, "fn"),
+    (re.compile(r"\bstruct[ \t]+(" + _ID + r")[ \t]*\{", re.ASCII), False, "struct"),
 ]
 
 QUICK = r"\b(?:def|class|function|func|fn|struct)[ \t]"

@@ -14,7 +14,7 @@ KIND = "literal"
 PRED = "links_to"
 QUICK = r"https?://"
 
-_RE = re.compile(r"https?://[^\s\"'<>\)\]]+")
+_RE = re.compile(r"https?://[^\s\"'<>\)\]]+", re.ASCII)
 
 
 def maybe(text: str) -> bool:

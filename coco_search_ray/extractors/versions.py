@@ -13,7 +13,7 @@ KIND = "literal"
 PRED = "mentions_version"
 QUICK = r"\bv?[0-9]+\.[0-9]+\.[0-9]+(?:-[0-9A-Za-z.]+)?\b"
 
-_RE = re.compile(QUICK)
+_RE = re.compile(QUICK, re.ASCII)
 
 
 def maybe(text: str) -> bool:

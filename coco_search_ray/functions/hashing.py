@@ -16,6 +16,7 @@ uint64 ndarray.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 
@@ -144,7 +145,7 @@ def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     arithmetic), then np.unique; no per-shingle Python/sha calls.
     Shingling domain matches :func:`char_shingles` (lowercased,
     whitespace-collapsed)."""
-    t = " ".join(text.lower().split())
+    t = _norm_ws(text)
     if not t:
         return np.empty(0, dtype=np.uint64)
     codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
@@ -163,7 +164,7 @@ def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
 def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
     """uint64 hashes of distinct word n-grams (vectorized over the hashed
     word sequence — rolling combine of per-word hashes)."""
-    words = text.lower().split()
+    words = _split_words(text)
     if not words:
         return np.empty(0, dtype=np.uint64)
     wh = np.fromiter((_token_hash(w) for w in words), dtype=np.uint64, count=len(words))
@@ -241,17 +242,34 @@ def jaccard_u64(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
+# ASCII-whitespace normalization shared by every shingle/ngram domain:
+# the DuckDB oracles replay it as trim(regexp_replace(lower(text),
+# '\\s+', ' ', 'g')) under RE2 ASCII \\s — Python str.split() would also
+# collapse Unicode whitespace (NBSP, U+2028...) and silently change the
+# shingle sets on non-ASCII text (round-5 review finding).
+_ASCII_WS = re.compile(r"[ \t\n\r\f\v]+")
+
+
+def _norm_ws(text: str) -> str:
+    return _ASCII_WS.sub(" ", text.lower()).strip(" ")
+
+
+def _split_words(text: str) -> list[str]:
+    t = _norm_ws(text)
+    return t.split(" ") if t else []
+
+
 def char_shingles(text: str, k: int = 5) -> set[str]:
     """Character k-shingles for near-dup detection (lowercased,
     whitespace-collapsed)."""
-    t = " ".join(text.lower().split())
+    t = _norm_ws(text)
     if len(t) < k:
         return {t} if t else set()
     return {t[i : i + k] for i in range(len(t) - k + 1)}
 
 
 def word_ngrams(text: str, n: int = 3) -> set[str]:
-    words = text.lower().split()
+    words = _split_words(text)
     if len(words) < n:
         return {" ".join(words)} if words else set()
     return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
@@ -318,7 +336,7 @@ _FP_MOD = (1 << 61) - 1
 def rolling_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
     """Rabin-Karp rolling hashes of k-grams, winnowed: keep the min hash of
     every ``window`` consecutive k-gram hashes (deduped, order preserved)."""
-    t = " ".join(text.lower().split())
+    t = _norm_ws(text)
     n = len(t)
     if n < k:
         return [stable_hash64(t)] if t else []

@@ -256,11 +256,16 @@ GROUP BY p_brand
 
 def q_distinct_priorities(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "orders", ["o_orderpriority"])
-    vals = sorted(ds.unique("o_orderpriority"))
+    # NULL-safe: a null priority would make sorted() raise (None < str);
+    # both sides drop nulls (oracle WHERE o_orderpriority IS NOT NULL)
+    vals = sorted(v for v in ds.unique("o_orderpriority") if v is not None)
     return pd.DataFrame({"o_orderpriority": vals})
 
 
-Q_DISTINCT_PRIORITIES_SQL = "SELECT DISTINCT o_orderpriority FROM orders"
+Q_DISTINCT_PRIORITIES_SQL = (
+    "SELECT DISTINCT o_orderpriority FROM orders"
+    " WHERE o_orderpriority IS NOT NULL"
+)
 
 
 def q_top_orders_per_segment(sf_dir: str) -> pd.DataFrame:
@@ -309,12 +314,16 @@ def q_order_price_quantiles(sf_dir: str) -> pd.DataFrame:
 
     def q(df: pd.DataFrame) -> pd.DataFrame:
         x = df["o_totalprice"].to_numpy(dtype=np.float64)
+        # quantiles over non-null values only (DuckDB quantile_cont
+        # skips NULLs; a None -> NaN would poison np.quantile), while
+        # n_orders counts every row like count(*)
+        xq = x[~np.isnan(x)]
         return pd.DataFrame(
             {
                 "o_orderpriority": [df["o_orderpriority"].iloc[0]],
                 "n_orders": [len(x)],
-                "median_price": [np.quantile(x, 0.5)],
-                "p90_price": [np.quantile(x, 0.9)],
+                "median_price": [np.quantile(xq, 0.5) if len(xq) else np.nan],
+                "p90_price": [np.quantile(xq, 0.9) if len(xq) else np.nan],
             }
         )
 
@@ -411,8 +420,11 @@ def q_events_heavy_hitters(sf_dir: str) -> pd.DataFrame:
 
 
 Q_EVENTS_HEAVY_HITTERS_SQL = """
+-- NULL keys are excluded like the pipeline's drop_null sketch passes
+-- (the threshold denominator still counts every row, as b.num_rows does)
 SELECT user_id, count(*) AS n_events
 FROM events
+WHERE user_id IS NOT NULL
 GROUP BY user_id
 HAVING count(*) >= CAST(ceil(0.0075 * (SELECT count(*) FROM events)) AS BIGINT)
 """
@@ -457,7 +469,10 @@ def q_events_tumbling(sf_dir: str) -> pd.DataFrame:
 
 
 Q_EVENTS_TUMBLING_SQL = """
-SELECT (floor(epoch(ts) / 3600))::BIGINT AS hour_bucket, event_type,
+-- integer // truncates toward zero exactly like the pipeline's Arrow
+-- pc.divide on int64 microseconds (floor() would diverge on pre-epoch
+-- timestamps: -30min floors to bucket -1 but truncates to bucket 0)
+SELECT (epoch_us(ts) // 3600000000) AS hour_bucket, event_type,
        count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
 """
@@ -710,7 +725,9 @@ def q_doc_stats(sf_dir: str) -> pd.DataFrame:
 
 Q_DOC_STATS_SQL = """
 SELECT lang, count(*) AS n_docs,
-       sum(array_length(regexp_extract_all(text, '\\w+')))::BIGINT AS sum_tokens,
+       -- coalesce: an all-NULL-text lang group must sum 0 like the
+       -- pipeline's (t or ''), not NULL
+       sum(array_length(regexp_extract_all(coalesce(text, ''), '\\w+')))::BIGINT AS sum_tokens,
        round(avg(n_chars), 2) AS avg_chars
 FROM documents GROUP BY lang
 """
@@ -722,7 +739,11 @@ def q_doc_exact_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 Q_DOC_EXACT_DEDUP_SQL = """
-SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents GROUP BY text
+-- coalesce mirrors the pipeline's content_sha256(t or ''): a NULL-text
+-- doc and an empty-text doc are the SAME content group (bare GROUP BY
+-- text would keep NULL a separate group)
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY coalesce(text, '')
 """
 
 
@@ -740,7 +761,9 @@ def q_doc_langid(sf_dir: str) -> pd.DataFrame:
 Q_DOC_LANGID_SQL = r"""
 WITH w AS (
   SELECT doc_id,
-         list_transform(list_slice(regexp_extract_all(text, '\w+'), 1, 200), x -> lower(x)) AS words
+         -- coalesce: NULL text must classify 'und' like the pipeline's
+         -- (t or ''), not fall through every NULL CASE arm to the ELSE
+         list_transform(list_slice(regexp_extract_all(coalesce(text, ''), '\w+'), 1, 200), x -> lower(x)) AS words
   FROM documents
 ), h AS (
   SELECT doc_id, len(words) AS nw,
@@ -817,7 +840,7 @@ def q_doc_minhash_neardup(sf_dir: str) -> pd.DataFrame:
 # checks LSH recall AND the union-find, not just the aggregation
 Q_DOC_MINHASH_NEARDUP_SQL = r"""
 WITH RECURSIVE d AS (
-  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+  SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'), ' ') AS t FROM documents
 ), sh AS (
   SELECT doc_id, list_distinct([substr(t, i, 5) for i in range(1, greatest(length(t) - 3, 2))]) AS s FROM d
 ), sizes AS (
@@ -961,9 +984,17 @@ def q_doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
 # independent brute-force word-3-gram Jaccard (unnest join intersection)
 Q_DOC_NGRAM_JACCARD_SQL = r"""
 WITH d AS (
-  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w FROM documents
+  SELECT doc_id, string_split(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'), ' '), ' ') AS w FROM documents
 ), sh AS (
-  SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, greatest(len(w) - 1, 2))]) AS s FROM d
+  -- short-doc convention mirrors word_ngram_hashes: 0 words -> empty
+  -- set, 1-2 words -> ONE gram (the whole text; the kernel's fold-hash
+  -- of all words) — a bare comprehension would yield [NULL] ->
+  -- list_distinct [] and two identical 2-word docs would never pair
+  SELECT doc_id,
+    CASE WHEN len(w) = 1 AND w[1] = '' THEN []
+         WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+         ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+    END AS s FROM d
 ), sizes AS (
   SELECT doc_id, len(s) AS l FROM sh
 ), ex AS (
@@ -1004,10 +1035,10 @@ WITH q AS (
   ORDER BY vec_id LIMIT 3
 ), scored AS (
   SELECT q.query_id::INTEGER AS query_id, e.vec_id,
-         round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cos_sim,
+         round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 4) AS cos_sim,
          row_number() OVER (
              PARTITION BY q.query_id
-             ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id
+             ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, e.vec_id
          ) AS rn
   FROM embeddings e CROSS JOIN q
 )
@@ -1026,9 +1057,9 @@ def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
 
 Q_EMBEDDING_NEARDUP_SQL = """
 SELECT a.vec_id AS a, b.vec_id AS b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """
 
 
@@ -3081,7 +3112,7 @@ def q_doc_decontaminate(sf_dir: str) -> pd.DataFrame:
 Q_DOC_DECONTAMINATE_SQL = f"""
 WITH w AS (
   SELECT doc_id, source,
-         list_filter(string_split_regex(lower(text), '[^a-z0-9_]+'), x -> x != '') AS ws
+         list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9_]+'), x -> x != '') AS ws
   FROM documents
 ), n AS (
   SELECT doc_id, source,
@@ -3091,7 +3122,10 @@ WITH w AS (
          )) AS ngl
   FROM w
 ), b2 AS (
-  SELECT list_distinct(flatten(list(ngl))) AS bl FROM n WHERE source = 'src0'
+  -- coalesce: zero src0 docs must yield an EMPTY benchmark set (0
+  -- hits everywhere, like the pipeline's empty broadcast set), not a
+  -- NULL that nulls every list_intersect
+  SELECT coalesce(list_distinct(flatten(list(ngl))), []) AS bl FROM n WHERE source = 'src0'
 )
 SELECT n.source,
        count(*)::BIGINT AS n_docs,

@@ -416,3 +416,56 @@ def test_go_imports_total_deterministic_and_lockstep(text):
     """
     duck = duckdb.execute(sql, [text]).fetchone()[0]
     assert sorted(out) == sorted(duck)
+
+
+def test_extractor_regexes_are_ascii_like_re2():
+    """Round-5 review finding: every extractor regex is compiled
+    re.ASCII so \\b/\\s/\\w agree with the RE2/DuckDB replays. Pinned on
+    the two verified repro shapes: a NBSP inside a URL is NOT \\s (one
+    URL, not two) and a non-ASCII letter before a keyword IS an ASCII
+    \\b (the import extracts). Both asserted against DuckDB directly."""
+    import duckdb
+    import re as _re
+
+    from coco_search_ray import extractors as ex
+    from coco_search_ray.extractors import imports, urls
+
+    t1 = "https://a.com/x\xa0https://a.com/y"
+    duck1 = duckdb.execute(
+        "SELECT regexp_extract_all(?, 'https?://[^\\s\"''<>\\)\\]]+')", [t1]
+    ).fetchone()[0]
+    assert urls.extract(t1) == duck1 == [t1]
+
+    t2 = "éimport pkg.mod"
+    duck2 = duckdb.execute(
+        r"SELECT regexp_extract_all(?, '\bimport[ \t\r\n]+([A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z0-9_]+)+)', 1)",
+        [t2],
+    ).fetchone()[0]
+    assert imports.extract(t2) == duck2 == ["pkg.mod"]
+
+    # structural pin: every compiled pattern that uses a
+    # charset-sensitive metachar (\b \s \w \d and negations) carries
+    # the ASCII flag (explicit-class-only patterns don't need it)
+    sensitive = _re.compile(r"\\[bBsSwWdD]")
+    for mod in ex.REGISTRY.values():
+        for v in vars(mod).values():
+            if isinstance(v, _re.Pattern) and sensitive.search(v.pattern):
+                assert v.flags & _re.ASCII, f"{mod.NAME}: {v.pattern!r}"
+
+
+def test_shingle_normalization_is_ascii_ws():
+    """Shingle/ngram normalization collapses ASCII whitespace ONLY,
+    byte-identical to the oracles' trim(regexp_replace(lower(text),
+    '\\s+', ' ', 'g'), ' ') under RE2 (explicit trim SET: DuckDB's
+    default trim also strips NBSP) — Python str.split() would also eat
+    NBSP/U+2028 and change shingle sets on non-ASCII text."""
+    import duckdb
+
+    from coco_search_ray.functions.hashing import _norm_ws, char_shingles
+
+    for t in ["A \t B", "aaaaa\xa0bbbbb", "x y", "  pad  ", "", "\xa0"]:
+        duck = duckdb.execute(
+            r"SELECT trim(regexp_replace(lower(?), '\s+', ' ', 'g'), ' ')", [t]
+        ).fetchone()[0]
+        assert _norm_ws(t) == duck, repr(t)
+    assert char_shingles("aaaaa\xa0bbbbb") != char_shingles("aaaaa bbbbb")
