@@ -469,3 +469,64 @@ def test_shingle_normalization_is_ascii_ws():
         ).fetchone()[0]
         assert _norm_ws(t) == duck, repr(t)
     assert char_shingles("aaaaa\xa0bbbbb") != char_shingles("aaaaa bbbbb")
+
+
+_MIXED_ALPHABET = st.text(
+    # ASCII family material + the charset-sensitive shapes: NBSP,
+    # accented letters, CR/LF — the inputs where Unicode-vs-ASCII
+    # regex semantics would diverge between the engines
+    alphabet='abcdefXYZ0123._-@/:()"\'`\t\r\n v\xa0é\u2028',
+    max_size=200,
+)
+
+
+@given(_MIXED_ALPHABET)
+@settings(max_examples=300, deadline=None)
+def test_classic_families_lockstep_with_duckdb(text):
+    """The five classic literal families (quoted / urls / emails /
+    paths / versions) and the imports family agree with their exact
+    DuckDB replay rules (the kg_literal_mentions CTEs) on the SET of
+    surfaces for every input INCLUDING non-ASCII whitespace and
+    letters — the round-5 re.ASCII alignment under fuzz. (The text is
+    bound through a temp table: '?' placeholders collide with the
+    '(?:' group syntax inside the regex literals.)"""
+    import duckdb
+
+    from coco_search_ray.extractors import emails, imports, paths, quoted, urls, versions
+
+    rules = {
+        quoted: (
+            "list_distinct(list_transform("
+            "regexp_extract_all(text, '\"[^\"\\n]{2,60}\"|`[^`\\n]{1,60}`'),"
+            " x -> x[2:-2]))"
+        ),
+        urls: "list_distinct(regexp_extract_all(text, 'https?://[^\\s\"''<>\\)\\]]+'))",
+        emails: (
+            "list_distinct(regexp_extract_all(text,"
+            " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))"
+        ),
+        paths: (
+            "list_distinct(regexp_extract_all(text,"
+            " '(?:^|[\\s(''\"`])(/(?:[A-Za-z0-9._-]+/)+[A-Za-z0-9_-]+\\.[A-Za-z0-9]{1,8})', 1))"
+        ),
+        versions: (
+            "list_distinct(regexp_extract_all(text,"
+            " '\\bv?[0-9]+\\.[0-9]+\\.[0-9]+(?:-[0-9A-Za-z.]+)?\\b'))"
+        ),
+        imports: (
+            "list_distinct("
+            "regexp_extract_all(text, '\\bfrom[ \\t\\r\\n]+((?:\\.{1,3})?[A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z0-9_]+)*)[ \\t\\r\\n]+import[ \\t\\r\\n]', 1)"
+            " || regexp_extract_all(text, '\\bimport[ \\t\\r\\n]+([A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z0-9_]+)+)', 1)"
+            " || regexp_extract_all(text, 'require\\([ \\t\\r\\n]*[''\"]([^''\"]+)[''\"][ \\t\\r\\n]*\\)', 1)"
+            " || regexp_extract_all(text, '\\bimport[ \\t\\r\\n]+[A-Za-z0-9_{}, *\\t\\r\\n]+[ \\t\\r\\n]*from[ \\t\\r\\n]+[''\"]([^''\"]+)[''\"]', 1)"
+            " || regexp_extract_all(text, '(?:^|[\\r\\n;])[ \\t]*import[ \\t\\r\\n]+([A-Za-z_][A-Za-z0-9_]*(?:\\.[A-Za-z0-9_]+)*)[ \\t\\r\\n]+as[ \\t\\r\\n]', 1))"
+        ),
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TEMP TABLE tt(text VARCHAR)")
+    con.execute("INSERT INTO tt VALUES (?)", [text])
+    for mod, expr in rules.items():
+        duck = con.execute(f"SELECT {expr} FROM tt").fetchone()[0]
+        got = mod.extract(text)
+        assert sorted(set(got)) == sorted(set(duck)), mod.NAME
+    con.close()
