@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import importlib
 import pkgutil
+import re
 from types import ModuleType
 
 REGISTRY: dict[str, ModuleType] = {}
@@ -47,6 +48,15 @@ def _validate(mod: ModuleType) -> None:
         raise TypeError(f"extractor {mod.NAME}: KIND must be entity|literal|qualified")
     if mod.KIND in ("literal", "qualified") and not getattr(mod, "PRED", None):
         raise TypeError(f"{mod.KIND} extractor {mod.NAME} needs PRED")
+    # PRED is interpolated into SQL literals (the kg_triples oracle
+    # predmap) and into parquet predicate columns — fail fast on
+    # anything outside the identifier charset (a quote would break or
+    # silently remap the VALUES list; extractor_dirs is a USER surface)
+    pred = getattr(mod, "PRED", None)
+    if pred is not None and not re.fullmatch(r"[a-z][a-z0-9_]*", pred):
+        raise TypeError(
+            f"extractor {mod.NAME}: PRED {pred!r} must match [a-z][a-z0-9_]*"
+        )
 
 
 def _register(mod: ModuleType, origin: str) -> None:

@@ -90,6 +90,17 @@ class EntityIndex:
 
         for row in catalog_rows:
             eid = row["entity_id"]
+            # the KG mention stream encodes qualified values as
+            # '<root_entity_id>.<tail>' and assembly re-splits at the
+            # FIRST dot (pipelines/kg.py) — a dotted entity_id would
+            # silently shift that split and diverge from the oracle's
+            # verbatim id. Fail fast instead (round-5 review finding).
+            if "." in eid:
+                raise ValueError(
+                    f"catalog entity_id {eid!r} contains '.': dotted ids "
+                    "break the qualified-mention '<root_id>.<tail>' "
+                    "encoding; use a dot-free id scheme"
+                )
             desc = row.get("description", "") or ""
             forms = [(row["canonical_name"], True)]
             forms += [(a, False) for a in (row.get("aliases") or [])]

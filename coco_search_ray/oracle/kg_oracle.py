@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from ..extractors import entity_families, literal_families, qualified_families
@@ -25,7 +26,15 @@ _VALID_ROLES = {"user", "assistant", "tool", "system"}
 
 
 def _normalize_tool(tool: str | None) -> str:
-    t = (tool or "").strip().lower()
+    """Mirror stages/normalize.py EXACTLY by routing through the same
+    Arrow kernels: Python str.lower()/strip() use full Unicode case
+    mapping ('İ'.lower() -> 'i' + combining dot) while utf8_lower is
+    utf8proc's simple mapping ('i') — a Python reimplementation would
+    diverge from the pipeline (and from the SQL, which reads the
+    Arrow-normalized exported stream) on such tools."""
+    if tool is None:
+        return ""
+    t = pc.utf8_lower(pc.utf8_trim_whitespace(pa.scalar(tool))).as_py()
     return "" if t == "none" else t
 
 
@@ -40,6 +49,13 @@ def oracle_triples(data_dir: str) -> pd.DataFrame:
         .to_pandas()
         .sort_values(["conv_id", "turn_idx"], kind="mergesort")
     )
+    # identical drop rule to stages/normalize.normalize_turns: rows
+    # with no conv key or a null/negative turn index are unattributable
+    turns = turns[
+        turns["conv_id"].notna()
+        & turns["turn_idx"].notna()
+        & (turns["turn_idx"] >= 0)
+    ]
 
     memo: dict[str, LinkResult | None] = {}
 

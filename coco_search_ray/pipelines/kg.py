@@ -538,6 +538,11 @@ def apply_linkmap(
             "kind_code" in batch.schema.names
             and batch.num_rows
             and pa.types.is_dictionary(batch.schema.field("mention").type)
+            # null mention rows (persisted emit_sentinels=True streams)
+            # have NULL dictionary indices, which the fast path's
+            # to_numpy->int64 cast would turn into INT64_MIN garbage
+            # slots — the general path below is index_in-null-safe
+            and _one_chunk(batch["mention"]).indices.null_count == 0
         ):
             # dictionary fast path (the _dict_compress-ed stream): every
             # string operation runs once per DISTINCT mention (the
@@ -1260,7 +1265,19 @@ def build_kg_from_dir(
     **kwargs,
 ) -> ray.data.Dataset:
     """The synth generator guarantees conv-disjoint files, so the
-    no-shuffle fast path is the default here."""
+    no-shuffle fast path is the default here.
+
+    Input contract (violations diverge loudly or are documented, never
+    silently): (1) files are CONVERSATION-DISJOINT — a conv spanning
+    two files under conv_local_shards=True loses its cross-file
+    replies_to edge and cross-file dedup; pass conv_local_shards=False
+    for arbitrary file layouts (the one-shuffle general plan). (2)
+    (conv_id, turn_idx) uniquely identifies a turn — duplicate
+    turn_idx rows are merged per-turn by assembly and the SQL oracle
+    but iterated per-row by the single-process oracle, so the parity
+    gates only hold under uniqueness. (3) conv_id non-null and
+    turn_idx >= 0 — normalize_turns and the oracle DROP violating
+    rows identically (they are unattributable)."""
     catalog = load_catalog(data_dir)
     return build_kg(
         transcript_files(data_dir),

@@ -1165,7 +1165,9 @@ def _kg_predmap_values() -> str:
     _ents, lit_specs, qual_specs = family_plan()
     pairs = [(i + 1, p) for i, (_n, p) in enumerate(lit_specs)]
     pairs += [(-2 - i, p) for i, (_n, p) in enumerate(qual_specs)]
-    return ", ".join(f"({k}, '{p}')" for k, p in pairs)
+    # the registry fail-fasts PREDs to [a-z][a-z0-9_]* already; the
+    # quote-doubling is belt-and-braces for the SQL literal
+    return ", ".join("({}, '{}')".format(k, p.replace("'", "''")) for k, p in pairs)
 
 
 # Independent SQL re-derivation of the FULL triple set from the exported
@@ -1194,7 +1196,10 @@ WITH ms AS (
   FROM rl WHERE ent IS NOT NULL AND (kind_code = 0 OR kind_code <= -2)
   GROUP BY conv_id, turn_idx, ent
 ), rk AS (
-  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ord0) AS r
+  -- ent tiebreak: ord0 is unique per turn under the (conv_id, turn_idx)
+  -- row-uniqueness input contract, but every sort gets a total order
+  -- anyway (CLAUDE.md invariant)
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx ORDER BY ord0, ent) AS r
   FROM ded
 ), firsts AS (
   SELECT conv_id, turn_idx, ent FROM rk WHERE r = 1

@@ -18,6 +18,18 @@ _VALID_ROLES = {"user", "assistant", "tool", "system"}
 
 def normalize_turns(batch: pa.Table, with_uid: bool = True) -> pa.Table:
     names = set(batch.schema.names)
+    # rows with no conversation key or a negative/null turn index are
+    # unattributable — drop them up front (vectorized, no-op on clean
+    # data). Downstream the conv-local assembly fuses tk = code*T + turn
+    # assuming turn >= 0 and a non-null conv code; feeding it such rows
+    # would misattribute triples or crash (round-5 review finding). The
+    # oracle applies the identical filter.
+    valid = pc.and_(
+        pc.is_valid(batch["conv_id"]),
+        pc.fill_null(pc.greater_equal(batch["turn_idx"], pa.scalar(0)), False),
+    )
+    if pc.all(valid).as_py() is not True and batch.num_rows:
+        batch = batch.filter(valid)
     cols = {"conv_id": batch["conv_id"], "turn_idx": batch["turn_idx"]}
     if "role" in names:  # pruned away on the KG hot path (never consumed)
         role = pc.utf8_lower(pc.utf8_trim_whitespace(batch["role"]))

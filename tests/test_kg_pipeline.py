@@ -461,3 +461,51 @@ def test_strip_file_scheme_decodes_uris():
         "/local/y",
         "/tmp/x y/z.parquet",
     ]
+
+
+def test_input_contract_guards():
+    """Round-5 flagship-review findings: (a) normalize_turns drops
+    unattributable rows (null conv_id, null/negative turn_idx) — the
+    fused conv*T+turn assembly key would misattribute or crash on them;
+    (b) the oracle applies the identical drop; (c) a dotted catalog
+    entity_id fails fast (it would silently shift the qualified
+    '<root_id>.<tail>' split); (d) a PRED outside [a-z][a-z0-9_]* fails
+    registry validation (it is interpolated into SQL literals);
+    (e) the oracle's tool normalization matches Arrow's simple case
+    mapping, not Python's full one."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from coco_search_ray.stages.normalize import normalize_turns
+
+    batch = pa.table(
+        {
+            "conv_id": pa.array(["c1", None, "c2", "c3"], pa.string()),
+            "turn_idx": pa.array([0, 1, -1, None], pa.int32()),
+            "role": pa.array(["user"] * 4, pa.string()),
+            "text": pa.array(["a", "b", "c", "d"], pa.string()),
+            "tool": pa.array(["t"] * 4, pa.string()),
+        }
+    )
+    out = normalize_turns(batch)
+    assert out["conv_id"].to_pylist() == ["c1"]
+
+    from coco_search_ray.functions.linker_core import EntityIndex
+
+    with _pytest.raises(ValueError, match="contains '.'"):
+        EntityIndex([{"entity_id": "svc.payments", "canonical_name": "X", "aliases": []}])
+
+    import types
+
+    from coco_search_ray.extractors import _validate
+
+    bad = types.ModuleType("bad")
+    bad.NAME, bad.KIND, bad.QUICK = "bad", "literal", "x"
+    bad.PRED = "uses'tool"
+    bad.extract = lambda t: []
+    with _pytest.raises(TypeError, match="PRED"):
+        _validate(bad)
+
+    from coco_search_ray.oracle.kg_oracle import _normalize_tool
+
+    assert _normalize_tool("İ") == "i"  # Arrow simple mapping, not 'i̇'
