@@ -530,3 +530,62 @@ def test_classic_families_lockstep_with_duckdb(text):
         got = mod.extract(text)
         assert sorted(set(got)) == sorted(set(duck)), mod.NAME
     con.close()
+
+
+_YAML_CI_ALPHABET = st.text(
+    alphabet='abcdefXYZ0123._-@/:"\'`\t\r\n {}()#éincludesteprov\xa0',
+    max_size=250,
+)
+
+
+@given(_YAML_CI_ALPHABET)
+@settings(max_examples=300, deadline=None)
+def test_yaml_ci_families_lockstep_with_duckdb(text):
+    """The yaml/CI families (images, ci_uses, gitlab_ci, ci_extends,
+    helm_tpl, argocd) agree with their exact kg_literal_mentions CTE
+    rules on the SET of surfaces under a mixed-charset alphabet — same
+    lockstep harness as the classic families."""
+    import duckdb
+
+    from coco_search_ray.extractors import argocd, ci_extends, ci_uses, gitlab_ci, helm_tpl, images
+
+    img = (
+        "'\\bimage:[ \\t]*([a-z0-9]+(?:[._-][a-z0-9]+)*(?:/[a-z0-9]+(?:[._-][a-z0-9]+)*)*"
+        ":[A-Za-z0-9_][A-Za-z0-9._-]*|[a-z0-9]+(?:[._-][a-z0-9]+)*(?:/[a-z0-9]+(?:[._-][a-z0-9]+)*)+)'"
+    )
+    frm = img.replace("\\bimage:[ \\t]*", "\\bFROM[ \\t]+")
+    rules = {
+        images: f"list_distinct(regexp_extract_all(text, {img}, 1) || regexp_extract_all(text, {frm}, 1))",
+        ci_uses: (
+            "list_distinct("
+            "regexp_extract_all(text, '\\buses:[ \\t]*[''\"]?([A-Za-z0-9_][A-Za-z0-9_.-]*(?:/[A-Za-z0-9_.-]+)+@[A-Za-z0-9._/-]+)', 1)"
+            " || regexp_extract_all(text, '\\buses:[ \\t]*[''\"]?(\\./[A-Za-z0-9._/-]+)', 1))"
+        ),
+        gitlab_ci: (
+            "list_distinct("
+            "regexp_extract_all(text, '\\binclude:[ \\t]*[''\"]?([A-Za-z0-9_][A-Za-z0-9_./-]*\\.ya?ml)', 1)"
+            " || regexp_extract_all(text, '\\blocal:[ \\t]*[''\"]?(/?[A-Za-z0-9_][A-Za-z0-9_./-]*\\.ya?ml)', 1)"
+            " || regexp_extract_all(text, '\\btemplate:[ \\t]*[''\"]?([A-Za-z0-9_][A-Za-z0-9_./-]*\\.ya?ml)', 1))"
+        ),
+        ci_extends: "list_distinct(regexp_extract_all(text, '\\bextends:[ \\t]*[''\"]?(\\.[A-Za-z0-9_-]+)', 1))",
+        helm_tpl: (
+            "list_distinct("
+            "regexp_extract_all(text, '\\{\\{-?[ \\t]*include[ \\t]+\"([^\"\\n]+)\"', 1)"
+            " || regexp_extract_all(text, '\\{\\{-?[ \\t]*template[ \\t]+\"([^\"\\n]+)\"', 1))"
+        ),
+        argocd: (
+            "list_distinct("
+            "regexp_extract_all(text, '\\brepoURL:[ \\t]*[''\"]?([A-Za-z][A-Za-z0-9+.-]*://[A-Za-z0-9._~:/@-]+|git@[A-Za-z0-9._-]+:[A-Za-z0-9._/-]+)', 1)"
+            " || regexp_extract_all(text, '\\bchart:[ \\t]*[''\"]?([A-Za-z0-9][A-Za-z0-9._-]*)', 1)"
+            " || regexp_extract_all(text, '\\bpath:[ \\t]*[''\"]?([A-Za-z0-9._-]+(?:/[A-Za-z0-9._-]+)*)', 1)"
+            " || regexp_extract_all(text, '\\bproject:[ \\t]*[''\"]?([A-Za-z0-9][A-Za-z0-9._-]*)', 1))"
+        ),
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TEMP TABLE tt(text VARCHAR)")
+    con.execute("INSERT INTO tt VALUES (?)", [text])
+    for mod, expr in rules.items():
+        duck = con.execute(f"SELECT {expr} FROM tt").fetchone()[0]
+        got = mod.extract(text)
+        assert sorted(set(got)) == sorted(set(duck)), mod.NAME
+    con.close()
