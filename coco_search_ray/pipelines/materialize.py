@@ -78,7 +78,18 @@ def run_resumable(
     Changing G renames the shard ids, which invalidates all manifests —
     pick it once per output dir."""
     os.makedirs(out_dir, exist_ok=True)
+    # fingerprint the catalog BEFORE loading it, and re-check after: a
+    # catalog swapped in between (atomic regeneration landing mid-start)
+    # would otherwise stamp every shard with the NEW bytes' globals_hash
+    # while the linkmap was built from the OLD bytes — and the next run
+    # on the new catalog would then skip every stale shard forever
+    catalog_path = os.path.join(data_dir, "catalog.parquet")
+    catalog_fp = input_fingerprint(catalog_path)
     catalog = load_catalog(data_dir)
+    if input_fingerprint(catalog_path) != catalog_fp:
+        raise RuntimeError(
+            f"{catalog_path} changed while starting the run — rerun"
+        )
     cp = canon_params or {}
     mapping = canonical_mapping(catalog.to_pylist(), **cp)
 
@@ -95,7 +106,6 @@ def run_resumable(
     jt = cp.get("threshold", JACCARD_THRESHOLD)
     mb = cp.get("max_bucket", MAX_BUCKET)
     lp = (kg_kwargs or {}).get("link_params") or {}
-    catalog_fp = input_fingerprint(os.path.join(data_dir, "catalog.parquet"))
     globals_hash = hashlib.sha256(
         f"{catalog_fp}|jt={jt}|mb={mb}|link={sorted(lp.items())}"
         f"|encoder=hash-sha256|dim=768".encode()
@@ -112,6 +122,7 @@ def run_resumable(
         "globals_hash": globals_hash,
         "schema_version": TRIPLE_SCHEMA_VERSION,
     }
+    meta_stale = True
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             old = json.load(f)
@@ -121,22 +132,25 @@ def run_resumable(
                 f"{old.get('encoder')}/{old.get('dim')}; now using "
                 f"{meta['encoder']}/{meta['dim']} — results will mix models"
             )
-        # rewrite on ANY field drift (e.g. a TRIPLE_SCHEMA_VERSION bump
-        # without a globals_hash change), not only on globals_hash — a
-        # stale meta would misreport schema_version to
-        # detect_output_features (ADVICE r02)
-        if old != meta:
-            with open(meta_path, "w") as f:
-                json.dump(meta, f)
-    else:
-        with open(meta_path, "w") as f:
-            json.dump(meta, f)
+        meta_stale = old != meta
+    # the (atomic, tmp+rename) rewrite happens AFTER the shard loop —
+    # manifest-last ordering: writing the new schema_version up front
+    # would make detect_output_features report a version no shard has
+    # been rebuilt to yet if the run crashes mid-way (ADVICE r02 was the
+    # stale-behind direction; round-5 review found the ahead-of-data
+    # inversion). Any drift (e.g. a schema bump without a globals
+    # change) is still rewritten, just last.
 
     # extraction fingerprint: the captured family plan + the stream
     # schema version — a saved mention stream is replayable only when
-    # extraction semantics are unchanged
+    # extraction semantics are unchanged. Directory-loaded extractor
+    # families (a USER surface) must register BEFORE the plan is
+    # captured, or the hash would cover only the base registry while
+    # the streams carry the extra families' mentions (round-5 review)
+    from ..extractors import ensure_directories
     from ..stages.extract import family_plan
 
+    ensure_directories((kg_kwargs or {}).get("extractor_dirs"))
     plan = family_plan()
     extract_hash = hashlib.sha256(
         f"{plan}|mention_stream=v{MENTION_STREAM_VERSION}".encode()
@@ -162,24 +176,38 @@ def run_resumable(
     def _mentions_dir(sid: str) -> str:
         return os.path.join(out_dir, "_mentions", f"shard={sid}")
 
+    def _stream_meta(sid: str) -> dict:
+        p = os.path.join(_mentions_dir(sid), "_stream_meta.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
     def _can_relink(sid: str, input_hash: str) -> bool:
         """input + extraction unchanged, only the run-globals moved, and
-        the saved stream is actually on disk."""
+        the saved stream is on disk AND its own recorded fingerprints
+        match — the manifest alone can't vouch for the stream bytes
+        (the stream promotes before the manifest commits, so a crash
+        mid-shard can leave a stream from a DIFFERENT input; the
+        in-stream meta is written inside the temp dir and promoted
+        atomically WITH the stream)."""
         from ..state.manifest import read_manifest
 
         m = read_manifest(out_dir, sid)
+        sm = _stream_meta(sid)
         return bool(
             m
             and m.get("status") == "done"
             and m.get("input_hash") == input_hash
             and m.get("extract_hash") == extract_hash
-            and os.path.isdir(_mentions_dir(sid))
+            and sm.get("input_hash") == input_hash
+            and sm.get("extract_hash") == extract_hash
         )
 
     todo: list[tuple[str, list, str, bool]] = []  # (sid, paths, fp, relink)
     for sid, paths in shards:
         fp = _input_hash(paths)
-        if shard_is_done(out_dir, sid, fp, globals_hash):
+        if shard_is_done(out_dir, sid, fp, globals_hash, extract_hash):
             continue
         todo.append((sid, paths, fp, keep_mentions and _can_relink(sid, fp)))
 
@@ -201,12 +229,26 @@ def run_resumable(
             os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
         )
 
+    # stale temp/aside dirs from crashed runs (this run's temps get a
+    # unique suffix below, so anything matching now is garbage)
+    for name in os.listdir(out_dir):
+        if name.startswith(("_tmp_shard_", "_tmp_mentions_", "_old_shard_")):
+            shutil.rmtree(os.path.join(out_dir, name), ignore_errors=True)
+
+    # unique per-process temp suffix: two concurrent runs on the same
+    # out_dir (operator double-resume) must never write into each
+    # other's temp dirs — a deterministic name lets run B rmtree and
+    # overwrite run A's fully-written temp mid-commit
+    import uuid
+
+    run_tag = f"{os.getpid()}_{uuid.uuid4().hex[:8]}"
+
     done = 0
     relinked = 0
     for shard_id, paths, fp, relink in todo:
         if fail_after_shards is not None and done >= fail_after_shards:
             raise RuntimeError(f"injected failure after {done} shards")
-        tmp = os.path.join(out_dir, f"_tmp_shard_{shard_id}")
+        tmp = os.path.join(out_dir, f"_tmp_shard_{shard_id}_{run_tag}")
         shutil.rmtree(tmp, ignore_errors=True)
         # config kwargs override the defaults, but a None config value
         # (unset) must not clobber an explicitly-passed argument
@@ -214,16 +256,26 @@ def run_resumable(
         kw = {"concurrency": concurrency, "conv_local_shards": True, **overrides}
         if relink:
             # catalog-only change: replay link + assembly from the saved
-            # stream; extraction (the expensive half) is NOT re-run
+            # stream; extraction (the expensive half) is NOT re-run. An
+            # EMPTY saved stream (zero-mention shard) has no files to
+            # read — emit the empty table directly like the build path
             from .kg import build_kg_from_mention_stream
 
-            triples = build_kg_from_mention_stream(
-                _stream_files(_mentions_dir(shard_id)),
-                catalog,
-                mapping,
-                concurrency=concurrency,
-                link_params=overrides.get("link_params"),
-            )
+            sf = _stream_files(_mentions_dir(shard_id))
+            if sf:
+                triples = build_kg_from_mention_stream(
+                    sf,
+                    catalog,
+                    mapping,
+                    concurrency=concurrency,
+                    link_params=overrides.get("link_params"),
+                )
+            else:
+                import ray.data
+
+                from .kg import TRIPLE_SCHEMA
+
+                triples = ray.data.from_arrow(TRIPLE_SCHEMA.empty_table())
             relinked += 1
         elif keep_mentions:
             # split build: extraction streams to the persisted mention
@@ -231,11 +283,20 @@ def run_resumable(
             # exactly once either way
             from .kg import build_kg_from_mention_stream, extract_mentions_ds
 
-            mtmp = os.path.join(out_dir, f"_tmp_mentions_{shard_id}")
+            mtmp = os.path.join(out_dir, f"_tmp_mentions_{shard_id}_{run_tag}")
             shutil.rmtree(mtmp, ignore_errors=True)
             extract_mentions_ds(
                 paths, extractor_dirs=overrides.get("extractor_dirs")
             ).write_parquet(mtmp)
+            # a zero-mention shard writes NO files and (on this Ray)
+            # creates no directory at all — materialize it so the
+            # promote below cannot FileNotFoundError
+            os.makedirs(mtmp, exist_ok=True)
+            # the stream's own fingerprints, promoted atomically WITH
+            # the stream (see _can_relink): the manifest commits later,
+            # so only this sidecar can vouch for the stream bytes
+            with open(os.path.join(mtmp, "_stream_meta.json"), "w") as f:
+                json.dump({"input_hash": fp, "extract_hash": extract_hash}, f)
             mdir = _mentions_dir(shard_id)
             os.makedirs(os.path.dirname(mdir), exist_ok=True)
             shutil.rmtree(mdir, ignore_errors=True)
@@ -281,12 +342,22 @@ def run_resumable(
             "input_paths": paths,
             "triples": n_triples,
             "globals_hash": globals_hash,
+            # ALWAYS recorded (not only with keep_mentions): shard_is_done
+            # compares it so that adding an extractor family invalidates
+            # committed shards — they lack the new family's triples
+            "extract_hash": extract_hash,
             "relinked": relink,
         }
-        if keep_mentions:
-            stats["extract_hash"] = extract_hash
         commit_shard(out_dir, shard_id, fp, tmp, stats)
         done += 1
+
+    # index-meta last (atomic tmp+rename, manifest-last ordering): only
+    # now do the committed shards actually reflect meta's schema_version
+    if meta_stale:
+        tmp_meta = meta_path + ".tmp"
+        with open(tmp_meta, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp_meta, meta_path)
 
     return {
         "shards_total": len(shards),

@@ -23,6 +23,11 @@ import time
 
 
 def input_fingerprint(path: str) -> str:
+    """Cheap content fingerprint: size + head/tail 64 KiB + three 4 KiB
+    interior samples at size/4, size/2 and 3*size/4 for files above
+    128 KiB (a same-size rewrite confined to unsampled interior bytes is
+    still invisible — this is a sampling fingerprint, not a full hash;
+    at 100 TB the equivalent would be object-store etags)."""
     size = os.path.getsize(path)
     h = hashlib.sha256(str(size).encode())
     with open(path, "rb") as f:
@@ -33,6 +38,12 @@ def input_fingerprint(path: str) -> str:
             # (overlap with the head read is fine; a gap is not)
             f.seek(max(65536, size - 65536))
             h.update(f.read(65536))
+        if size > 131072:
+            for frac in (4, 2):
+                f.seek(size // frac)
+                h.update(f.read(4096))
+            f.seek(3 * (size // 4))
+            h.update(f.read(4096))
     return h.hexdigest()
 
 
@@ -49,22 +60,31 @@ def read_manifest(out_dir: str, shard_id: str) -> dict | None:
 
 
 def shard_is_done(
-    out_dir: str, shard_id: str, input_hash: str, globals_hash: str | None = None
+    out_dir: str,
+    shard_id: str,
+    input_hash: str,
+    globals_hash: str | None = None,
+    extract_hash: str | None = None,
 ) -> bool:
-    """A shard is reusable only if BOTH its own input fingerprint AND the
-    run-global fingerprint (catalog + canonicalization/link params) match.
-    The reference re-resolves ALL edges when inputs change because new
-    inputs can resolve previously-external targets
-    (deps/extractor.py:387-395); our analog: a changed catalog changes
-    the linkmap and canonical mapping for EVERY shard, so shard
-    manifests carry the catalog fingerprint and a mismatch invalidates
-    them all."""
+    """A shard is reusable only if its input fingerprint, the run-global
+    fingerprint (catalog + canonicalization/link params) AND the
+    extraction fingerprint (family plan + stream schema) all match, and
+    its data directory actually exists. The reference re-resolves ALL
+    edges when inputs change because new inputs can resolve
+    previously-external targets (deps/extractor.py:387-395); our analog:
+    a changed catalog changes the linkmap for EVERY shard. The
+    extract_hash check makes ADDING AN EXTRACTOR FAMILY invalidate
+    committed shards (they lack the new family's triples); the
+    existence check covers the commit crash window where the old data
+    dir was renamed aside but the new one not yet promoted."""
     m = read_manifest(out_dir, shard_id)
     if not (m and m.get("status") == "done" and m.get("input_hash") == input_hash):
         return False
     if globals_hash is not None and m.get("globals_hash") != globals_hash:
         return False
-    return True
+    if extract_hash is not None and m.get("extract_hash") != extract_hash:
+        return False
+    return os.path.isdir(shard_output_dir(out_dir, shard_id))
 
 
 def shard_output_dir(out_dir: str, shard_id: str) -> str:
@@ -79,10 +99,18 @@ def commit_shard(
     stats: dict,
 ) -> None:
     """Atomically promote a shard: rename tmp output dir into place, then
-    write the manifest (manifest-last ordering = manifest implies data)."""
+    write the manifest (manifest-last ordering = manifest implies data).
+    An existing committed dir is renamed ASIDE (not rmtree'd) before the
+    promote — a crash between a delete and the promote would leave a
+    done-manifest with no data (silent row loss on read); with the
+    rename-aside, the crash window leaves no final dir and shard_is_done
+    rebuilds. The aside name does NOT start with 'shard=' so readers
+    never pick it up; it is removed after the manifest lands."""
     final = shard_output_dir(out_dir, shard_id)
+    aside = os.path.join(out_dir, f"_old_shard_{shard_id}")
     if os.path.exists(final):
-        shutil.rmtree(final)
+        shutil.rmtree(aside, ignore_errors=True)
+        os.replace(final, aside)
     os.replace(tmp_dir, final)
     os.makedirs(os.path.join(out_dir, "_manifests"), exist_ok=True)
     manifest = {
@@ -97,6 +125,7 @@ def commit_shard(
     with open(tmp_mp, "w") as f:
         json.dump(manifest, f)
     os.replace(tmp_mp, mp)
+    shutil.rmtree(aside, ignore_errors=True)
 
 
 def pending_shards(

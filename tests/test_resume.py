@@ -1,6 +1,8 @@
 """Checkpoint/resume: kill after k shards, re-run, output equals a clean
 run; already-committed shards are skipped (FIXTURES.md F5.4)."""
 
+import os
+
 import pandas as pd
 import pytest
 
@@ -250,3 +252,71 @@ def test_shard_groups_resume_and_equivalence(ray_session, smoke_dir, tmp_path):
     a = read_triples(fine).to_pandas()[key].sort_values(key, kind="mergesort").reset_index(drop=True)
     b = read_triples(grouped).to_pandas()[key].sort_values(key, kind="mergesort").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_crash_consistency_guards(ray_session, smoke_dir, tmp_path):
+    """Round-5 resume-review findings, pinned: (a) a done manifest whose
+    data dir is GONE (the commit crash window) is not 'done' — the shard
+    rebuilds; (b) an extraction-semantics change (extract_hash drift)
+    invalidates committed shards; (c) interior same-size rewrites of a
+    >128 KiB file change the input fingerprint; (d) the saved mention
+    stream carries its own fingerprints and a mismatching stream denies
+    the relink fast path; (e) _index_meta.json writes are atomic and
+    land AFTER the shard loop."""
+    import json
+    import shutil
+
+    from coco_search_ray.pipelines.materialize import run_resumable
+    from coco_search_ray.state.manifest import input_fingerprint, shard_output_dir
+
+    out = str(tmp_path / "kg")
+    run_resumable(smoke_dir, out, concurrency=2)
+
+    # (a) vanished data dir behind a done manifest -> rebuilt, not skipped
+    victim = shard_output_dir(out, "0000")
+    shutil.rmtree(victim)
+    stats = run_resumable(smoke_dir, out, concurrency=2)
+    assert stats["shards_processed"] == 1
+    assert os.path.isdir(victim)
+
+    # (b) extract_hash mismatch (simulating a new extractor family /
+    # stream-version bump) invalidates the shard
+    mpath = os.path.join(out, "_manifests", "0000.json")
+    m = json.load(open(mpath))
+    m["extract_hash"] = "stale"
+    json.dump(m, open(mpath, "w"))
+    stats = run_resumable(smoke_dir, out, concurrency=2)
+    assert stats["shards_processed"] == 1
+
+    # (c) interior rewrite of a >128 KiB file flips the fingerprint
+    big = tmp_path / "big.bin"
+    big.write_bytes(b"a" * 300_000)
+    fp1 = input_fingerprint(str(big))
+    data = bytearray(big.read_bytes())
+    data[150_000] ^= 0xFF  # same size, middle byte flipped
+    big.write_bytes(bytes(data))
+    assert input_fingerprint(str(big)) != fp1
+
+    # (d) a tampered stream sidecar denies the relink fast path: corrupt
+    # it, change the catalog (globals move), expect a FULL rebuild
+    # (shards_relinked == 0) instead of replaying the suspect stream
+    sm = os.path.join(out, "_mentions", "shard=0000", "_stream_meta.json")
+    assert os.path.exists(sm)
+    json.dump({"input_hash": "bogus", "extract_hash": "bogus"}, open(sm, "w"))
+    data_dir = str(tmp_path / "data")
+    shutil.copytree(smoke_dir, data_dir)
+    out2 = str(tmp_path / "kg2")
+    run_resumable(data_dir, out2, concurrency=2)
+    sm2 = os.path.join(out2, "_mentions", "shard=0000", "_stream_meta.json")
+    json.dump({"input_hash": "bogus", "extract_hash": "bogus"}, open(sm2, "w"))
+    import pyarrow.parquet as pq_
+
+    cat = pq_.read_table(os.path.join(data_dir, "catalog.parquet"))
+    pq_.write_table(cat.slice(0, cat.num_rows - 1), os.path.join(data_dir, "catalog.parquet"))
+    stats = run_resumable(data_dir, out2, concurrency=2)
+    assert stats["shards_processed"] == stats["shards_total"]
+    assert stats["shards_relinked"] == stats["shards_total"] - 1  # 0000 rebuilt fully
+
+    # (e) meta is valid JSON and intact after all of the above
+    meta = json.load(open(os.path.join(out2, "_index_meta.json")))
+    assert meta["schema_version"] is not None
