@@ -86,6 +86,11 @@ def brute_force_topk(
     partials = ds.map_batches(_Score, batch_format="pyarrow", concurrency=auto_pool()).to_pandas()
     out_rows = []
     for qi, g in partials.groupby("query_id"):
+        # ranks on the RAW float64 sims (the DuckDB oracle orders by the
+        # raw cosine too, so both engines share any last-ulp BLAS
+        # sensitivity at a 4-dp tie boundary; the gate embeddings sit
+        # well clear of such ties — same margin argument as the pinned
+        # semdedup rounding-boundary test)
         g = g.sort_values(["cos_sim", id_col], ascending=[False, True]).head(k)
         out_rows.append(g)
     merged = pd.concat(out_rows) if out_rows else partials
@@ -121,10 +126,36 @@ def ivf_topk(
     vec_col: str = "embedding",
 ) -> pa.Table:
     """IVF-bucketed approximate top-k: only vectors in the query's nprobe
-    nearest centroid partitions are scored. Recall < 1 by construction."""
-    sample = np.array(
-        ds.limit(sample_size).to_pandas()[vec_col].tolist(), dtype=np.float64
+    nearest centroid partitions are scored. Recall < 1 by construction.
+
+    The k-means sample is HASH-ORDERED, not a layout prefix: ds.limit()
+    returns whatever blocks arrive first, so centroids — and therefore
+    every IVF result — would change with repartitioning, file order and
+    task completion order (no unseeded/order-dependent logic, CLAUDE.md).
+    Instead each block emits its sample_size smallest rows by
+    stable_hash64(id) (a uniform deterministic pseudo-order) and the
+    driver keeps the global smallest — invariant to execution shape,
+    bounded at sample_size rows per block."""
+    from ..functions.hashing import stable_hash64
+
+    def block_sample(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].to_pylist(), dtype=np.int64)
+        h = np.fromiter(
+            (stable_hash64(str(i)) for i in ids), dtype=np.uint64, count=len(ids)
+        )
+        keep = np.lexsort((ids, h))[:sample_size]
+        return pa.table(
+            {"_h": pa.array(h[keep]), id_col: b[id_col].take(pa.array(keep)),
+             vec_col: b[vec_col].take(pa.array(keep))}
+        )
+
+    sdf = (
+        ds.map_batches(block_sample, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["_h", id_col], kind="mergesort")
+        .head(sample_size)
     )
+    sample = np.array(sdf[vec_col].tolist(), dtype=np.float64)
     cent = kmeans_centroids(sample, n_clusters)
     q = _normalize(queries.astype(np.float64))
     probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (nq, nprobe)

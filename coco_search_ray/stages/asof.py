@@ -74,8 +74,12 @@ def asof_join(
     both = lt.union(rt)
 
     # integer columns pick up nulls from the OTHER side's rows in the
-    # union block, which pandas promotes to float64; after the side
-    # filter they are null-free again, so cast back
+    # union block, which pandas promotes to float64; cast back through
+    # the NULLABLE Int64 dtype (plain int64 would (a) crash on a null in
+    # the ORIGINAL data and (b) for right columns be re-promoted to
+    # float64 only in buckets containing an unmatched left row — a
+    # bucket-composition-dependent block schema that breaks the
+    # cross-block concat; Int64 -> Arrow int64 uniformly)
     int_left = [c for c in left_cols if pa.types.is_integer(ltypes[c])]
     int_right = [n for rc, n in right_cols.items() if pa.types.is_integer(rtypes[rc])]
 
@@ -84,10 +88,10 @@ def asof_join(
             ts_col, kind="mergesort"
         )
         for c in int_left:
-            l[c] = l[c].astype("int64")
+            l[c] = l[c].astype("Int64")
         r = df[df["_side"] == 1][[key_col] + out_names].copy()
         for c in int_right:
-            r[c] = r[c].astype("int64")
+            r[c] = r[c].astype("Int64")
         # the right frame's join axis is ITS ts (exported or not via
         # right_cols); reconstruct it for merge_asof ordering. Duplicate
         # (key, ts) right rows need a TOTAL order (every sort needs a

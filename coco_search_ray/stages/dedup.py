@@ -192,10 +192,15 @@ def _verify_against_sets(sets_ref, threshold: float):
 
     def _verify(batch: pa.Table) -> pa.Table:
         sets: dict[int, np.ndarray] = deref_cached(sets_ref)
-        empty = np.empty(0, dtype=np.uint64)
         o_a, o_b, o_j = [], [], []
         for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            j = jaccard_u64(sets.get(a, empty), sets.get(b, empty))
+            # a pair naming an id with no doc row cannot verify — skip,
+            # matching the join path's inner-join semantics (empty-set
+            # placeholders would emit jaccard 1.0 for two MISSING docs,
+            # a result the size-triggered escalation never produces)
+            if a not in sets or b not in sets:
+                continue
+            j = jaccard_u64(sets[a], sets[b])
             if j >= threshold:
                 o_a.append(a)
                 o_b.append(b)
@@ -262,9 +267,16 @@ def verify_pairs_jaccard(
         )
 
     small = docs.map_batches(gather, batch_format="pyarrow").to_pandas()  # O(touched)
-    sets = {
-        int(i): np.asarray(h, dtype=np.uint64) for i, h in zip(small[id_col], small["_h"])
-    }
+    sets: dict[int, np.ndarray] = {}
+    for i, h in zip(small[id_col], small["_h"]):
+        arr = np.asarray(h, dtype=np.uint64)
+        k = int(i)
+        prev = sets.get(k)
+        # duplicate doc ids (malformed but must not be nondeterministic):
+        # keep the lexicographically-smallest hash set, not whichever
+        # block arrived first
+        if prev is None or arr.tobytes() < prev.tobytes():
+            sets[k] = arr
     sets_ref = ray.put(sets)
     n_blocks = max(1, min(len(pdf) // 4096 + 1, auto_pool()[1]))
     pair_blocks = ray.data.from_pandas(np.array_split(pdf.reset_index(drop=True), n_blocks))
@@ -280,7 +292,27 @@ def _verify_via_join(
     hash_fn,
     num_partitions: int,
 ) -> ray.data.Dataset:
-    """Streaming fallback for giant pair sets: re-join texts by id."""
+    """Streaming fallback for giant pair sets: re-join texts by id.
+
+    Candidate pairs proposed by SEVERAL agreeing bands arrive duplicated;
+    the small path drop_duplicates them on the driver, so this path must
+    dedupe too (or callers counting verified pairs would get different
+    answers the day the corpus crosses the size switch). One coarse-
+    bucket shuffle on hash(a): all copies of (a, b) share a, the inner
+    pandas dedupe is exact — never one Ray group per pair."""
+    from ..functions.bucketing import add_key_bucket
+
+    def _dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["a", "b"]).drop(columns=["_bucket"])
+
+    pairs = (
+        pairs.map_batches(
+            lambda b: add_key_bucket(b, "a", max(64, num_partitions)),
+            batch_format="pyarrow",
+        )
+        .groupby("_bucket")
+        .map_groups(_dedupe, batch_format="pandas")
+    )
     docs_a = docs.rename_columns({id_col: "a", text_col: "_text_a"})
     docs_b = docs.rename_columns({id_col: "b", text_col: "_text_b"})
     joined = pairs.join(
@@ -409,9 +441,14 @@ def simhash_candidate_pairs(
         """One output frame per BAND; buckets are sorted runs. Per eligible
         run (2..256 members), Hamming comes from ONE popcount over the
         (run x run) uint64 XOR matrix — no per-pair Python."""
-        d = df[["band_key", id_col, "simhash"]].drop_duplicates(
-            subset=["band_key", id_col]
-        ).sort_values(["band_key", id_col], kind="mergesort")
+        # sort BEFORE the keep-first dedupe, with simhash as the total
+        # tiebreak: a duplicate id carrying two different simhashes (the
+        # very shape a dedup stage must tolerate) would otherwise keep
+        # whichever row the shuffle delivered first — block-arrival-
+        # dependent output (CLAUDE.md: every sort needs a total tiebreak)
+        d = df[["band_key", id_col, "simhash"]].sort_values(
+            ["band_key", id_col, "simhash"], kind="mergesort"
+        ).drop_duplicates(subset=["band_key", id_col])
         keys = d["band_key"].to_numpy()
         ids = d[id_col].to_numpy()
         hashes = d["simhash"].to_numpy(dtype=np.uint64)
@@ -536,10 +573,16 @@ def embedding_neardup_pairs_lsh(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float32)
-            n = np.linalg.norm(vecs, axis=1, keepdims=True)
+            # normalize in float64, SHIP float32 (half the shuffle bytes;
+            # storage truncation costs ~1e-7 in a cosine — far below the
+            # 4-dp output rounding). The per-bucket matmul upcasts back
+            # to f64: f32 ACCUMULATION over many dims (~dim * 2^-24)
+            # exceeds the 4-dp half-ulp and flipped near-threshold pairs
+            # vs the brute path (round-5 review)
+            v64 = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            n = np.linalg.norm(v64, axis=1, keepdims=True)
             n[n == 0] = 1.0
-            vecs = vecs / n
+            vecs = (v64 / n).astype(np.float32)
             o_id, o_t, o_k, o_v = [], [], [], []
             pow2 = 1 << np.arange(self.planes.shape[1], dtype=np.int64)
             for t in range(self.planes.shape[0]):
@@ -559,6 +602,12 @@ def embedding_neardup_pairs_lsh(
             )
 
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        # duplicate ids (malformed input): pick the row with the smallest
+        # vector bytes, not whichever block arrived first — the key check
+        # is cheap and the tiebreak map only runs on actual duplicates
+        if df[id_col].duplicated().any():
+            df = df.assign(_vk=df["nvec"].map(lambda v: np.asarray(v, np.float32).tobytes()))
+            df = df.sort_values([id_col, "_vk"], kind="mergesort").drop(columns=["_vk"])
         rows = df.drop_duplicates(subset=[id_col]).sort_values(id_col)
         ids = rows[id_col].to_numpy()
         if len(ids) < 2 or len(ids) > 512:
@@ -569,7 +618,7 @@ def embedding_neardup_pairs_lsh(
                     "cos_sim": pd.Series(dtype="float64"),
                 }
             )
-        vecs = np.array(rows["nvec"].tolist(), dtype=np.float32)
+        vecs = np.array(rows["nvec"].tolist(), dtype=np.float64)
         sims = vecs @ vecs.T
         o_a, o_b, o_s = [], [], []
         for i in range(len(ids)):
@@ -629,7 +678,11 @@ def embedding_neardup(
         t = pa.concat_tables(
             ray.get(r) for r in ds.to_arrow_refs()
         ).combine_chunks()
-        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float32)
+        # float64: an f32 gather would truncate the broadcast matrix and
+        # make the autoswitch path differ from a direct
+        # embedding_neardup_pairs call with the caller's f64 vectors
+        # (the brute_max doc math already budgets float64)
+        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float64)
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         return embedding_neardup_pairs(ds, vecs, ids, threshold, id_col, vec_col)
     return embedding_neardup_pairs_lsh(
@@ -703,7 +756,14 @@ def semantic_dedup(
         )
 
     def dedup_cluster(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        # duplicate ids (malformed input): order their rows by vector
+        # bytes so the keep-first outcome never depends on block arrival
+        if df[id_col].duplicated().any():
+            df = df.assign(_vk=df[vec_col].map(lambda v: np.asarray(v, np.float64).tobytes()))
+            df = df.sort_values([id_col, "_vk"], kind="mergesort").drop(columns=["_vk"])
+            df = df.reset_index(drop=True)
+        else:
+            df = df.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         x = np.array(df[vec_col].to_list(), dtype=np.float64)
         n = np.linalg.norm(x, axis=1, keepdims=True)
         n[n == 0] = 1.0

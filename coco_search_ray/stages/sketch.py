@@ -169,7 +169,11 @@ def bloom_semi_join(
     result; the bloom only bounds how many rows reach the exact check."""
     bf = bloom_from_values(keys, bits_per_key=bits_per_key)
     bf_ref = ray.put((bf.bits, bf.n_bits, bf.k))
-    exact_ref = ray.put(pa.array(sorted({str(k) for k in keys}), pa.string()))
+    # the exact set must use the SAME stringification as the row side
+    # (Arrow cast), not Python str(): str(True)='True' vs Arrow 'true',
+    # and timestamp formats differ — a mismatch made the exact check
+    # false-NEGATIVE on keys that are genuinely present (round-5 review)
+    exact_ref = ray.put(pc.unique(pc.cast(pa.array(keys), pa.string())))
 
     def semi(b: pa.Table) -> pa.Table:
         bits, n_bits, k = deref_cached(bf_ref)

@@ -77,7 +77,9 @@ def sessionize(
             df.assign(_sid=sid)
             .groupby("_sid", sort=True)
             .agg(
-                user_id=(key_col, "first"),
+                # the key column keeps ITS name (hardcoding 'user_id'
+                # mislabeled sessions for any other key_col)
+                **{key_col: (key_col, "first")},
                 session_start=(ts_col, "min"),
                 session_end=(ts_col, "max"),
                 n_events=(ts_col, "size"),

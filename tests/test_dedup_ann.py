@@ -236,7 +236,12 @@ def test_asof_join_matches_pandas(ray_session):
         allow_exact_matches=False,
     ).sort_values("row_id").reset_index(drop=True)
     cols = ["row_id", "k", "ts", "v", "r_ts", "r_v"]
-    assert got["row_id"].dtype == np.int64
+    # integer columns come back as NULLABLE Int64 uniformly across
+    # buckets (round-5 review: a plain int64 cast produced float64 only
+    # in buckets containing an unmatched left row — a bucket-composition-
+    # dependent schema — and crashed on genuine nulls); values unchanged
+    assert str(got["row_id"].dtype) in ("int64", "Int64")
+    got["row_id"] = got["row_id"].astype("int64")
     pd.testing.assert_frame_equal(got[cols], exp[cols])
 
 
@@ -442,3 +447,55 @@ def test_semdedup_gate_cosines_off_rounding_boundary():
         raw_pairs = grp @ grp.T
         iu = np.triu_indices(len(grp), k=1)
         assert boundary_margin(raw_pairs[iu]) > 100 * drift, f"cluster {c}"
+
+
+def test_distributed_divergence_fixes(ray_session):
+    """Round-5 stage-review findings, pinned: (a) bloom_semi_join is
+    exact for bool keys (Python str(True)='True' vs Arrow 'true' made
+    the exact check false-negative); (b) asof_join keeps a uniform int64
+    schema and survives a genuine null in an int right column (the
+    plain-int64 cast crashed, and NaN-promotion made block schemas
+    bucket-dependent); (c) ivf_topk results are invariant to
+    repartitioning (the old limit() sample was an arrival-order
+    prefix)."""
+    import ray.data
+    from coco_search_ray.stages.ann import ivf_topk
+    from coco_search_ray.stages.asof import asof_join
+    from coco_search_ray.stages.sketch import bloom_semi_join
+
+    # (a) bool keys survive the exact confirmation
+    t = pa.table({"flag": pa.array([True, False, True]), "x": pa.array([1, 2, 3])})
+    out = bloom_semi_join(ray.data.from_arrow(t), "flag", [True]).to_pandas()
+    assert sorted(out["x"]) == [1, 3]
+
+    # (b) nullable int right column: no crash, uniform int64 values
+    left = pd.DataFrame({"k": ["a", "b"], "ts": pd.to_datetime([10, 20], unit="s"), "lv": [1, 2]})
+    right = pa.table(
+        {"k": pa.array(["a", "b"]),
+         "ts": pa.array(pd.to_datetime([5, 15], unit="s"), pa.timestamp("us")),
+         "rv": pa.array([7, None], pa.int64())}
+    )
+    got = asof_join(
+        ray.data.from_pandas(left), ray.data.from_arrow(right),
+        key_col="k", ts_col="ts", left_cols=["lv"], right_cols={"rv": "rv"},
+        num_buckets=4,
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["rv"].tolist()[0] == 7 and pd.isna(got["rv"].tolist()[1])
+
+    # (c) ivf centroids/sample are layout-invariant
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(400, 16))
+    t = pa.table({
+        "vec_id": pa.array(np.arange(400, dtype=np.int64)),
+        "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+    })
+    q = vecs[:2]
+    a = ivf_topk(ray.data.from_arrow(t), q, k=5, n_clusters=4, sample_size=100).to_pandas()
+    b = ivf_topk(
+        ray.data.from_arrow(t).repartition(13), q, k=5, n_clusters=4, sample_size=100
+    ).to_pandas()
+    key = ["query_id", "vec_id", "cos_sim"]
+    pd.testing.assert_frame_equal(
+        a[key].sort_values(key).reset_index(drop=True),
+        b[key].sort_values(key).reset_index(drop=True),
+    )
