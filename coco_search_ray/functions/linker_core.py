@@ -95,11 +95,12 @@ class EntityIndex:
             # FIRST dot (pipelines/kg.py) — a dotted entity_id would
             # silently shift that split and diverge from the oracle's
             # verbatim id. Fail fast instead (round-5 review finding).
-            if "." in eid:
+            if "." in eid or "|" in eid:
                 raise ValueError(
-                    f"catalog entity_id {eid!r} contains '.': dotted ids "
-                    "break the qualified-mention '<root_id>.<tail>' "
-                    "encoding; use a dot-free id scheme"
+                    f"catalog entity_id {eid!r} contains '.' or '|': "
+                    "dotted ids break the qualified-mention "
+                    "'<root_id>.<tail>' encoding and pipes break the "
+                    "'<eid>|<surface>' candidate key; use ids free of both"
                 )
             desc = row.get("description", "") or ""
             forms = [(row["canonical_name"], True)]
@@ -228,7 +229,11 @@ class EntityIndex:
         if acc is None:
             acc = self._kw_acc = np.zeros(self.n_docs, dtype=np.float32)
         touched: list[np.ndarray] = []
-        for t in set(qtoks):
+        # sorted: Python set iteration order varies with PYTHONHASHSEED
+        # across worker processes, and the float32 += accumulation is
+        # non-associative — an unsorted walk could flip a last-ulp
+        # keyword-rank tie between workers (round-5 review)
+        for t in sorted(set(qtoks)):
             p = self.postings.get(t)
             if p is None:
                 continue
@@ -305,14 +310,22 @@ class EntityIndex:
         Results are identical to link() per mention."""
         if not mentions:
             return []
-        prefetch = prefetch_limit(limit)
+        # the CONFIGURED cap, like search()/channel_lists(): the default
+        # cap here silently gave the link path a different candidate
+        # pool than the search path on a non-default prefetch_cap
+        prefetch = prefetch_limit(limit, self.prefetch_cap)
         out: list[LinkResult | None] = []
         # chunk so the (chunk x n_docs) float64 score matrix stays a few
         # MB: every linker on the node hammers its own matrix through
         # argpartition/take passes, and cache-resident chunks are ~16x
         # faster than L3-blowing ones at 32-way parallelism (measured
         # 6.8 s -> 0.43 s per 2.2k mentions on the bench catalog)
-        chunk = max(64, min(len(mentions), max(256, 2_000_000 // max(1, self.n_docs))))
+        # the floor only guards tiny catalogs (where 2M//n_docs would be
+        # huge anyway); for large n_docs the quotient RULES so the matrix
+        # never exceeds ~2M elements — a fixed 256 floor rebuilt a 20 MB
+        # matrix for catalogs just under the IVF threshold (round-5
+        # review; CLAUDE.md cache-sizing lesson)
+        chunk = max(64, min(len(mentions), 2_000_000 // max(1, self.n_docs)))
         if self.ivf_centroids is not None:
             # IVF mode (large catalogs): per-mention cluster probing; the
             # fused decision still runs through the batched kernel below

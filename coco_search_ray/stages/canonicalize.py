@@ -92,7 +92,15 @@ def propose_pairs_local(
     for eids in buckets.values():
         cands |= _pairs_from_bucket(eids, max_bucket)
     surf = {r["entity_id"]: entity_surface_set(r) for r in rows}
-    return sorted(p for p in cands if jaccard(surf[p[0]], surf[p[1]]) >= threshold)
+    # empty-set guard: token-less entities all share the all-MAX MinHash
+    # sentinel signature AND jaccard(empty, empty) == 1.0, so without it
+    # every such entity would merge into one canonical id (round-5
+    # review) — an empty surface set carries no merge evidence
+    return sorted(
+        p
+        for p in cands
+        if surf[p[0]] and surf[p[1]] and jaccard(surf[p[0]], surf[p[1]]) >= threshold
+    )
 
 
 def propose_pairs_ray(
@@ -105,30 +113,45 @@ def propose_pairs_ray(
     import ray.data
     import pandas as pd
 
+    from ..functions.broadcast import deref_cached
+
     hasher = MinHasher(num_perm=64, num_bands=32)
     band_table = _band_rows(rows, hasher)
     surf_ref = ray.put({r["entity_id"]: entity_surface_set(r) for r in rows})
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        pairs = sorted(_pairs_from_bucket(df["entity_id"].tolist(), max_bucket))
-        return pd.DataFrame({"a": [p[0] for p in pairs], "b": [p[1] for p in pairs]})
+    def band_buckets(df: pd.DataFrame) -> pd.DataFrame:
+        # ONE Ray group per BAND (32 groups), the bucket split is an
+        # inner pandas groupby — never one Ray group per near-unique
+        # (band_id, band_hash) key (CLAUDE.md: millions of tiny groups)
+        out_a: list[str] = []
+        out_b: list[str] = []
+        for _bh, g in df.groupby("band_hash", sort=True):
+            for a, b in sorted(_pairs_from_bucket(g["entity_id"].tolist(), max_bucket)):
+                out_a.append(a)
+                out_b.append(b)
+        return pd.DataFrame({"a": out_a, "b": out_b})
 
     def verify(batch: pa.Table) -> pa.Table:
-        surf = ray.get(surf_ref)
+        # worker-cached deref: a plain ray.get would re-deserialize the
+        # whole entity -> surface-set dict per batch (round-5 review)
+        surf = deref_cached(surf_ref)
         keep_a, keep_b = [], []
         for a, b in zip(batch["a"].to_pylist(), batch["b"].to_pylist()):
-            if jaccard(surf[a], surf[b]) >= threshold:
+            # empty-set guard — see propose_pairs_local
+            if surf[a] and surf[b] and jaccard(surf[a], surf[b]) >= threshold:
                 keep_a.append(a)
                 keep_b.append(b)
         return pa.table({"a": pa.array(keep_a, pa.string()), "b": pa.array(keep_b, pa.string())})
 
     ds = ray.data.from_arrow(band_table)
     pairs_ds = (
-        ds.groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        ds.groupby("band_id")
+        .map_groups(band_buckets, batch_format="pandas")
         .map_batches(verify, batch_format="pyarrow")
     )
     out = pairs_ds.to_pandas()
+    if out.empty:  # a zero-pair catalog yields a column-less empty frame
+        return []
     return sorted(set(zip(out["a"], out["b"])))
 
 

@@ -152,17 +152,37 @@ def bfs_distributed(
         visited.setdefault(r, (r, 0))
         frontier[r] = r
 
+    from ..functions.broadcast import deref_cached
+
     edge_small = edge_ds.select_columns([src, dst])
     for depth in range(1, max_depth + 1):
         if not frontier:
             break
-        fset_ref = ray.put(set(frontier))
+        # build the frontier VALUE SET once per round (not per block —
+        # a per-block ray.get + sort + pa.array rebuild was repeated
+        # driver-state reconstruction on the hot scan path), ship via
+        # the worker-cached deref
+        farr_ref = ray.put(pa.array(sorted(frontier)))
 
         def expand(batch: pa.Table) -> pa.Table:
-            fs = ray.get(fset_ref)
-            mask = pc.is_in(batch[src], value_set=pa.array(sorted(fs)))
+            mask = pc.is_in(batch[src], value_set=deref_cached(farr_ref))
             hit = batch.filter(mask)
-            return pa.table({"from": hit[src], "to": hit[dst]})
+            if hit.num_rows == 0:
+                return pa.table(
+                    {"from": pa.array([], pa.string()), "to": pa.array([], pa.string())}
+                )
+            # per-block reduction BEFORE the driver pull: the edge table
+            # is per-occurrence (one row per mention — 44M+ at bench
+            # tier) and the roots are top-degree by construction, so raw
+            # hits are massively duplicated. min(from) per dst preserves
+            # the claim semantics exactly (min of per-block mins == the
+            # global min the sorted claim loop below picks).
+            red = (
+                pa.table({"from": hit[src], "to": hit[dst]})
+                .group_by("to")
+                .aggregate([("from", "min")])
+            )
+            return pa.table({"from": red["from_min"], "to": red["to"]})
 
         hits = edge_small.map_batches(expand, batch_format="pyarrow").to_pandas()
         nxt: dict[str, str] = {}

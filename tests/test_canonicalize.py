@@ -36,3 +36,25 @@ def test_mapping_is_idempotent_projection():
 def test_ray_pairs_match_local(ray_session):
     rows = generate_catalog(100).to_pylist()
     assert propose_pairs_ray(rows) == propose_pairs_local(rows)
+
+
+def test_tokenless_entities_never_merge(ray_session):
+    """Round-5 retrieval-core review: entities whose surface forms
+    enrich to an EMPTY token set share the all-MAX MinHash sentinel and
+    jaccard(empty, empty) == 1.0 — without the empty-set guard every
+    such entity merged into one canonical id. Both paths guarded."""
+    from coco_search_ray.stages.canonicalize import (
+        canonical_mapping,
+        propose_pairs_local,
+        propose_pairs_ray,
+    )
+
+    rows = [
+        {"entity_id": "E1", "canonical_name": "@#$%", "aliases": []},
+        {"entity_id": "E2", "canonical_name": "!!!", "aliases": []},
+        {"entity_id": "E3", "canonical_name": "Payment Service", "aliases": []},
+    ]
+    assert propose_pairs_local(rows) == []
+    assert propose_pairs_ray(rows) == []
+    m = canonical_mapping(rows)
+    assert m == {"E1": "E1", "E2": "E2", "E3": "E3"}

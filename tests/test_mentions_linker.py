@@ -154,3 +154,14 @@ def test_link_many_matches_per_mention_search_ivf():
             assert got == ref, m
     finally:
         linker_core.IVF_THRESHOLD = old
+
+
+def test_pipe_entity_id_fails_fast():
+    """A '|' in entity_id would silently truncate the '<eid>|<surface>'
+    candidate key split (round-5 review) — fail fast like dotted ids."""
+    import pytest as _pytest
+
+    from coco_search_ray.functions.linker_core import EntityIndex
+
+    with _pytest.raises(ValueError, match="'[.]' or '[|]'"):
+        EntityIndex([{"entity_id": "svc|pay", "canonical_name": "X", "aliases": []}])
