@@ -15,9 +15,14 @@ import re
 NAME = "file_paths"
 KIND = "literal"
 PRED = "references_path"
-QUICK = r"(?:^|[\s('\"`])/(?:[A-Za-z0-9._-]+/)+[A-Za-z0-9_-]+\.[A-Za-z0-9]{1,8}"
+# explicit whitespace class: RE2 \s is [\t\n\f\r ] but Python
+# re.ASCII \s also includes \v, so a \v-preceded path would hit in
+# Python while the RE2 candidate mask (and the DuckDB replay) missed
+# it — unsound mask, dropped triple (round-5 review). One class, three
+# engines.
+QUICK = r"(?:^|[ \t\n\r\f('\"`])/(?:[A-Za-z0-9._-]+/)+[A-Za-z0-9_-]+\.[A-Za-z0-9]{1,8}"
 
-_RE = re.compile(r"(?:^|[\s('\"`])(/(?:[A-Za-z0-9._-]+/)+[A-Za-z0-9_-]+\.[A-Za-z0-9]{1,8})", re.ASCII)
+_RE = re.compile(r"(?:^|[ \t\n\r\f('\"`])(/(?:[A-Za-z0-9._-]+/)+[A-Za-z0-9_-]+\.[A-Za-z0-9]{1,8})", re.ASCII)
 
 
 def maybe(text: str) -> bool:

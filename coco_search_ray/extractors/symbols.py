@@ -54,12 +54,20 @@ QUICK = r"\b(?:def|class|function|func|fn|struct)[ \t]"
 
 
 def maybe(text: str) -> bool:
+    """Sound precheck: the rules accept [ \\t] after the keyword, so the
+    gate must too — a space-only check dropped tab-separated
+    definitions on the scalar/sentinel dispatch path while the batch
+    mask and the oracle emitted them (round-5 review)."""
     return (
         "def " in text
+        or "def\t" in text
         or "class " in text
-        or "func" in text  # covers both "func " and "function "
+        or "class\t" in text
+        or "func" in text  # covers "func ", "func\t" and "function"
         or "fn " in text
+        or "fn\t" in text
         or "struct " in text
+        or "struct\t" in text
     )
 
 

@@ -45,7 +45,11 @@ def _family_name_map() -> dict[int, str]:
     return names
 
 
-def kg_index_health(data_dir: str, triples: ray.data.Dataset) -> pd.DataFrame:
+def kg_index_health(
+    data_dir: str,
+    triples: ray.data.Dataset,
+    extractor_dirs: list[str] | None = None,
+) -> pd.DataFrame:
     """(section, key, n, share) health report over a built triple table.
 
     Sections:
@@ -54,10 +58,26 @@ def kg_index_health(data_dir: str, triples: ray.data.Dataset) -> pd.DataFrame:
       link    — linked vs unlinked LINKABLE rows (entity surfaces +
                 qualified roots); share of linkable rows
       turns   — turns with >= 1 linked entity vs without; share of turns
-    """
+
+    ``extractor_dirs``: forward the SAME user extractor directories the
+    build used — the report re-extracts the mention stream, and a worker
+    that never loaded the directory would silently drop the external
+    family's rows from the family/link sections (round-5 review).
+
+    Scale limit (explicit, loud): the link section broadcasts the
+    unique-surface linkmap, the same plan build_kg uses below its
+    _DISTINCT_BROADCAST_MAX escalation. Above that many distinct
+    linkable surfaces this report raises instead of silently
+    materializing a multi-GB driver dict — run it against the persisted
+    mention streams / distributed linkmap instead (run_resumable keeps
+    the streams; pipelines/kg.py:1184 is the escalated plan)."""
     from ..sources.synth import load_catalog, transcript_files
     from ..stages.canonicalize import canonical_mapping
-    from .kg import extract_mentions_ds, unique_mention_linkmap
+    from .kg import (
+        _DISTINCT_BROADCAST_MAX,
+        extract_mentions_ds,
+        unique_mention_linkmap,
+    )
 
     rows: list[tuple[str, str, int]] = []
 
@@ -74,7 +94,9 @@ def kg_index_health(data_dir: str, triples: ray.data.Dataset) -> pd.DataFrame:
     # the pin each would re-run extraction. At extreme scale run the
     # report over the PERSISTED mention-stream files instead
     # (run_resumable keeps them; same schema).
-    stream = extract_mentions_ds(transcript_files(data_dir)).materialize()
+    stream = extract_mentions_ds(
+        transcript_files(data_dir), extractor_dirs=extractor_dirs
+    ).materialize()
 
     def _fam_counts(b: pa.Table) -> pa.Table:
         vc = b["kind_code"].value_counts()
@@ -95,10 +117,36 @@ def kg_index_health(data_dir: str, triples: ray.data.Dataset) -> pd.DataFrame:
     for k, n in zip(fam_df["kind_code"], fam_df["n"]):
         rows.append(("family", fam_names.get(int(k), f"kind_{int(k)}"), int(n)))
 
-    # --- link section: broadcast linkmap classifies rows in map_batches
+    # --- link section: broadcast linkmap classifies rows in map_batches.
+    # Explicit scale guard (round-5 review): count distinct linkable
+    # surfaces with kg's fan-in reduce FIRST — the broadcast plan's
+    # driver dict is only safe below _DISTINCT_BROADCAST_MAX, and a
+    # silent multi-GB driver union at exactly the index sizes a health
+    # report matters for would be worse than a loud documented limit
+    from .kg import _block_unique
+
+    uniq_ds = stream.map_batches(_block_unique, batch_format="pyarrow").materialize()
+    uniq_count = uniq_ds.count()
+    if uniq_count > _DISTINCT_BROADCAST_MAX:
+        reduced = (
+            uniq_ds.repartition(max(1, uniq_ds.num_blocks() // 16))
+            .map_batches(_block_unique, batch_format="pyarrow")
+            .materialize()
+        )
+        uniq_ds, uniq_count = reduced, reduced.count()
+    if uniq_count > _DISTINCT_BROADCAST_MAX:
+        raise RuntimeError(
+            f"kg_index_health: ~{uniq_count} distinct linkable surfaces "
+            "exceed the broadcast-linkmap limit "
+            f"({_DISTINCT_BROADCAST_MAX}); run the report over the "
+            "persisted mention streams with the distributed linkmap "
+            "(pipelines/kg.py escalated branch) instead"
+        )
     catalog = load_catalog(data_dir)
     mapping = canonical_mapping(catalog.to_pylist())
-    linkmap = unique_mention_linkmap(stream, catalog, mapping)
+    linkmap = unique_mention_linkmap(
+        stream, catalog, mapping, uniq_blocks=uniq_ds.to_pandas()
+    )
     keys = pa.array(sorted(linkmap), pa.string())
     vals = pa.array([linkmap[k] for k in keys.to_pylist()], pa.string())
     state_ref = ray.put((keys, vals))

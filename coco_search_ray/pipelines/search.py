@@ -25,17 +25,23 @@ import pyarrow as pa
 from ..functions.linker_core import EntityIndex
 from ..functions.tokenize import has_identifier_pattern
 
-_INDEX_CACHE: dict[int, EntityIndex] = {}
+# id-keyed cache that PINS the table: an id() key alone is only valid
+# while the object is alive — a freed catalog's address can be reused by
+# a different table, silently serving the WRONG index (round-5 review,
+# reproduced). Holding (catalog, idx) keeps the id stable; the identity
+# check makes the contract explicit.
+_INDEX_CACHE: dict[int, tuple[pa.Table, EntityIndex]] = {}
 
 
 def _index_for(catalog: pa.Table) -> EntityIndex:
     key = id(catalog)
-    idx = _INDEX_CACHE.get(key)
-    if idx is None:
-        if len(_INDEX_CACHE) > 8:
-            _INDEX_CACHE.clear()
-        idx = EntityIndex(catalog.to_pylist())
-        _INDEX_CACHE[key] = idx
+    hit = _INDEX_CACHE.get(key)
+    if hit is not None and hit[0] is catalog:
+        return hit[1]
+    if len(_INDEX_CACHE) > 8:
+        _INDEX_CACHE.clear()
+    idx = EntityIndex(catalog.to_pylist())
+    _INDEX_CACHE[key] = (catalog, idx)
     return idx
 
 

@@ -68,24 +68,29 @@ def pred_detailed(triples: ray.data.Dataset) -> "pd.DataFrame":
 
 def turn_qa_status(batch: pa.Table) -> pa.Table:
     """Per-turn QA status over normalized turns: ok_mentions / no_mentions
-    / empty_text (shape: parse_status ok/partial/error/no_grammar)."""
+    / empty_text (shape: parse_status ok/partial/error/no_grammar).
+    Vectorized via the whole-batch mention kernel (pytest-pinned
+    identical to per-turn detect_mentions) — the per-row Python loop
+    this replaces was the one hot-path row loop in the stats pipeline
+    (round-5 review)."""
+    import numpy as np
+
+    from ..functions.mentions import detect_mentions_batch
+
     texts = batch["text"].to_pylist()
-    status = []
-    n_mentions = []
-    for t in texts:
-        if not t:
-            status.append("empty_text")
-            n_mentions.append(0)
-        else:
-            m = detect_mentions(t)
-            status.append("ok_mentions" if m else "no_mentions")
-            n_mentions.append(len(m))
+    counts, _flat = detect_mentions_batch(texts)
+    counts = np.asarray(counts, dtype=np.int32)
+    empty = np.array([not t for t in texts])
+    status = np.where(
+        empty, "empty_text", np.where(counts > 0, "ok_mentions", "no_mentions")
+    )
+    counts = np.where(empty, 0, counts)
     return pa.table(
         {
             "conv_id": batch["conv_id"],
             "turn_idx": batch["turn_idx"],
-            "qa_status": pa.array(status, pa.string()),
-            "n_mentions": pa.array(n_mentions, pa.int32()),
+            "qa_status": pa.array(status.tolist(), pa.string()),
+            "n_mentions": pa.array(counts, pa.int32()),
         }
     )
 

@@ -131,12 +131,24 @@ def _get_snapshot(entity_names=None, literal_specs=None, qualified_specs=None) -
     return snap
 
 
-def kind_code_to_pred(code: int, literal_specs=None) -> str:
-    """Inverse of the kind_code encoding (for stats / literal queries)."""
+def kind_code_to_pred(code: int, literal_specs=None, qualified_specs=None) -> str:
+    """Inverse of the kind_code encoding (for stats / literal queries).
+
+    Codes are PLAN-positional (see module docstring): callers that hold
+    a driver-captured plan must pass BOTH spec lists — decoding a
+    qualified code via this worker's registry snapshot would
+    misattribute the pred when the worker has extra directory-loaded
+    families (the asymmetric literal-only override was a loaded trap,
+    round-5 review)."""
     if code == KIND_ENTITY:
         return "entity"
     if code <= KIND_QUALIFIED_BASE:
-        return _get_snapshot().qualified_preds[KIND_QUALIFIED_BASE - code]
+        qpreds = (
+            [p for _n, p in qualified_specs]
+            if qualified_specs is not None
+            else _get_snapshot().qualified_preds
+        )
+        return qpreds[KIND_QUALIFIED_BASE - code]
     preds = (
         [p for _n, p in literal_specs]
         if literal_specs is not None
