@@ -589,3 +589,196 @@ def test_yaml_ci_families_lockstep_with_duckdb(text):
         got = mod.extract(text)
         assert sorted(set(got)) == sorted(set(duck)), mod.NAME
     con.close()
+
+
+# Fragment-based text: structured shapes (multi-line yaml blocks,
+# reference-link definition tables, code spans) never emerge from a
+# plain char alphabet, so these strategies concatenate adversarial
+# FRAGMENTS — valid forms, truncated forms, case twists, CRLF, unicode
+# — and let hypothesis shuffle them into inputs where the two engines
+# could disagree.
+_MD_FRAGMENTS = st.lists(
+    st.sampled_from(
+        [
+            "[a](docs/x.md)", "[b](https://e.x/p)", "[c](mailto:a@b)",
+            "[d](#only)", "[e](y#frag)", "[f](", "](z)", "[[wiki.page]]",
+            "[[https://w]]", "[[", "]]", "[label][r1]", "[r1][]", "[x][R1]",
+            "[r1]: docs/a.md\n", "[R1]: other/b.md#frag\n",
+            "  [r2]: https://e.x/\n", "[x][r2]", "[r3]: dir/\n", "[y][r3]",
+            "[r1]: second/def.md\n", "[missing][nodef]", "#anchor",
+            "`src/cli.py`", "`not a path`", "`a.py`", "`x.exe`", "`dir/sub/`",
+            "`-flag/x.py`", "`a;b/c.py`", "``", "`",
+            "# src/util/io.py and lib/a.js\n", "// pkg/mod.go\n",
+            "-- db/schema.sql\n", "#dir/noext\n", "  // a/b.unknownext\n",
+            "depends:\n  - docs/a.md\n  - lib/\n", "depends:\n", "depends: x\n",
+            "  - stray\n", "depends:\n\t- tabbed.md \n", "- ", "]:", "][",
+            "\n", "\r\n", " ", "\t", "x", "é", "\xa0", ".", "/", ":",
+        ]
+    ),
+    max_size=25,
+).map("".join)
+
+
+@given(_MD_FRAGMENTS)
+@settings(max_examples=250, deadline=None)
+def test_md_families_lockstep_with_duckdb(text):
+    """The four markdown families (md_links, md_refs, md_code_paths,
+    md_frontmatter) agree with their exact kg_literal_mentions CTE
+    replays on the SET of surfaces — including the md_refs two-pass
+    definition-table resolution (keep-first per case-folded ref ==
+    list_position on the lowered def list) and the md_code_paths
+    _looks_like_path / known-extension gates."""
+    import duckdb
+
+    from coco_search_ray.extractors import md_code_paths, md_frontmatter, md_links, md_refs
+    from coco_search_ray.extractors.md_code_paths import PATH_EXTENSIONS
+
+    exts = ", ".join(f"'{e}'" for e in sorted(PATH_EXTENSIONS))
+    rules = {
+        md_links: (
+            "SELECT list_distinct("
+            " list_filter(list_transform(list_filter("
+            "   regexp_extract_all(text, '\\[[^\\]\\n]{1,80}\\]\\(([^()\\[\\] \\t\\r\\n]{1,200})\\)', 1),"
+            "   x -> NOT regexp_matches(x, '^(https?://|mailto:|#)')),"
+            "  x -> regexp_replace(x, '#.*', '')), x -> x != '')"
+            " || list_filter("
+            "   regexp_extract_all(text, '\\[\\[([^\\[\\]\\n]{1,80})\\]\\]', 1),"
+            "   x -> NOT regexp_matches(x, '^https?://'))) FROM tt"
+        ),
+        md_refs: (
+            "SELECT list_distinct(list_filter(list_transform(list_filter("
+            "  list_transform("
+            "    regexp_extract_all(text, '\\[[^\\]\\n]{1,80}\\]\\[([^\\]\\n]{1,80})\\]', 1)"
+            "    || regexp_extract_all(text, '\\[([^\\]\\n]{1,80})\\]\\[\\]', 1),"
+            "    r -> dtgts[list_position(drefs, lower(r))]"
+            "  ), x -> x IS NOT NULL AND NOT regexp_matches(x, '^(https?://|mailto:|#)')),"
+            "  x -> regexp_replace(x, '#.*', '')), x -> x != ''))"
+            " FROM (SELECT text,"
+            "  list_transform(regexp_extract_all(text,"
+            "   '(?m)^[ \\t]*\\[([^\\]\\n]{1,80})\\]:[ \\t]*([^ \\t\\r\\n]{1,200})', 1), x -> lower(x)) AS drefs,"
+            "  regexp_extract_all(text,"
+            "   '(?m)^[ \\t]*\\[([^\\]\\n]{1,80})\\]:[ \\t]*([^ \\t\\r\\n]{1,200})', 2) AS dtgts"
+            " FROM tt)"
+        ),
+        md_code_paths: (
+            "SELECT list_distinct("
+            " list_filter("
+            "  regexp_extract_all(text, '`([^`\\n]{1,200})`', 1),"
+            "  x -> NOT regexp_matches(x, '[()=+{}\\[\\];|<> ]') AND x NOT LIKE '-%'"
+            f"      AND (contains(x, '/') OR (contains(x, '.')"
+            f"           AND lower(regexp_extract(x, '\\.([^.]*)$', 1)) IN ({exts}))))"
+            " || list_filter("
+            "  flatten(list_transform("
+            "   regexp_extract_all(text, '(?m)^[ \\t]*(?:#|//|--)([^\\n]*)', 1),"
+            "   l -> regexp_extract_all(l, '(?:[A-Za-z0-9_.~-]+/)+[A-Za-z0-9_.-]+'))),"
+            "  x -> NOT regexp_matches(x, '\\.[^/]*$')"
+            f"      OR lower(regexp_extract(x, '\\.([^.]*)$', 1)) IN ({exts}))) FROM tt"
+        ),
+        md_frontmatter: (
+            "SELECT list_distinct(flatten(list_transform("
+            " regexp_extract_all(text, '(?m)^depends:[ \\t]*\\n((?:[ \\t]+-[ \\t]+[^\\n]+\\n?)+)', 1),"
+            " b -> regexp_extract_all(b, '-[ \\t]+([^\\n]*[^ \\t\\r\\n])', 1)))) FROM tt"
+        ),
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TEMP TABLE tt(text VARCHAR)")
+    con.execute("INSERT INTO tt VALUES (?)", [text])
+    for mod, sql in rules.items():
+        duck = con.execute(sql).fetchone()[0]
+        got = mod.extract(text)
+        assert sorted(set(got)) == sorted(set(duck)), mod.NAME
+    con.close()
+
+
+_YAML_CODE_FRAGMENTS = st.lists(
+    st.sampled_from(
+        [
+            "depends_on:\n  - redis\n  - 'db'\n", "depends_on:\n  - \"q\"\n",
+            "depends_on:\n  web:\n    condition: service_healthy\n",
+            "depends_on:\n  a:\n    condition: x\n  b:\n    condition: y\n",
+            "depends_on: [inline]\n", "depends_on:\n", "  - svc\n",
+            "extends:\n  file: base.yml\n  service: core\n",
+            "extends:\n  service: edge\n", "extends: .tpl\n", "service: solo\n",
+            "  condition: started\n",
+            'resource "aws_s3_bucket" "logs" {', 'data "tf_state" "main"',
+            'resource "Short" "x"', 'resource "serviceGate" "y"',
+            'resource "LongPascalName" "z"', 'resource "nounderscore" "w"',
+            'data  "a_b" "c-d"', 'resource "a_b"', '"x_y" "z"',
+            "def f(x):", "def  g (", "class Big(Base):", "class tiny:",
+            "class C {", "function go(", "func main(", "func (s *Server) Run(",
+            "func (s Server) Stop(", "fn new<", "fn run(", "struct Point {",
+            "struct X{", "structX {", "defx(", "the class size: big",
+            "\n", "\r\n", " ", "\t", "x", "é", "\xa0", '"', "'", "-", ":", "(",
+        ]
+    ),
+    max_size=25,
+).map("".join)
+
+
+@given(_YAML_CODE_FRAGMENTS)
+@settings(max_examples=250, deadline=None)
+def test_compose_hcl_symbols_lockstep_with_duckdb(text):
+    """compose_deps, hcl_blocks and the symbols literal family agree
+    with their exact CTE replays (kg_literal_mentions cd/sym,
+    q_hcl_resources incl. the identifier-shape root gate) on the SET of
+    surfaces under adversarial block nesting."""
+    import duckdb
+
+    from coco_search_ray.extractors import compose_deps, hcl_blocks, symbols
+
+    _hcl_rx = (
+        '\\b{kw}[ \\t]+"[A-Za-z_][A-Za-z0-9_]*"[ \\t]+"[A-Za-z_][A-Za-z0-9_-]*"'
+    )
+    _hcl_anch = (
+        '^{kw}[ \\t]+\"([A-Za-z_][A-Za-z0-9_]*)\"[ \\t]+\"([A-Za-z_][A-Za-z0-9_-]*)\"$'
+    )
+    _gate = (
+        "regexp_matches(split_part(x, '.', 1), '[a-zA-Z0-9]+_[a-zA-Z0-9]+')"
+        " OR (length(split_part(x, '.', 1)) >= 6"
+        "     AND regexp_matches(substr(split_part(x, '.', 1), 1, 1), '[a-z]')"
+        "     AND regexp_matches(split_part(x, '.', 1), '[a-z][A-Z]'))"
+        " OR (length(split_part(x, '.', 1)) >= 8"
+        "     AND regexp_matches(split_part(x, '.', 1), '[A-Z][a-z]+[A-Z]'))"
+    )
+    rules = {
+        compose_deps: (
+            "SELECT list_distinct("
+            " flatten(list_transform("
+            "  regexp_extract_all(text, '\\bdepends_on:[ \\t]*\\n((?:[ \\t]+-[ \\t]+[^\\n]+\\n?)+)', 1),"
+            "  b -> regexp_extract_all(b, '-[ \\t]+[''\"]?([A-Za-z0-9._-]+)', 1)))"
+            " || flatten(list_transform("
+            "  regexp_extract_all(text, '\\bdepends_on:[ \\t]*\\n((?:[ \\t]+[A-Za-z0-9._-]+:[ \\t]*\\n[ \\t]+condition:[^\\n]+\\n?)+)', 1),"
+            "  b -> regexp_extract_all(b, '([A-Za-z0-9._-]+):[ \\t]*\\n', 1)))"
+            " || regexp_extract_all(text, '\\bextends:[ \\t]*\\n(?:[ \\t]+file:[^\\n]*\\n)?[ \\t]+service:[ \\t]*[''\"]?([A-Za-z0-9._-]+)', 1)"
+            ") FROM tt"
+        ),
+        hcl_blocks: (
+            "SELECT list_filter(list_distinct("
+            " list_transform(regexp_extract_all(text, '" + _hcl_rx.format(kw="resource") + "'),"
+            "  x -> regexp_replace(x, '" + _hcl_anch.format(kw="resource") + "', '\\1.\\2'))"
+            " || list_transform(regexp_extract_all(text, '" + _hcl_rx.format(kw="data") + "'),"
+            "  x -> regexp_replace(x, '" + _hcl_anch.format(kw="data") + "', '\\1.\\2'))"
+            "), x -> " + _gate + ") FROM tt"
+        ),
+        symbols: (
+            "SELECT list_distinct("
+            " regexp_extract_all(text, '\\bdef[ \\t]+([A-Za-z_][A-Za-z0-9_]*)\\(', 1)"
+            " || regexp_extract_all(text, '\\bclass[ \\t]+([A-Za-z_][A-Za-z0-9_]*)[ \\t]*[:({]', 1)"
+            " || regexp_extract_all(text, '\\bfunction[ \\t]+([A-Za-z_][A-Za-z0-9_]*)\\(', 1)"
+            " || regexp_extract_all(text, '\\bfunc[ \\t]+([A-Za-z_][A-Za-z0-9_]*)\\(', 1)"
+            " || list_transform("
+            "      regexp_extract_all(text, '\\bfunc[ \\t]+\\([A-Za-z_][A-Za-z0-9_]*[ \\t]+\\*?[A-Za-z_][A-Za-z0-9_]*\\)[ \\t]+[A-Za-z_][A-Za-z0-9_]*\\('),"
+            "      x -> regexp_replace(x, '^\\bfunc[ \\t]+\\([A-Za-z_][A-Za-z0-9_]*[ \\t]+\\*?([A-Za-z_][A-Za-z0-9_]*)\\)[ \\t]+([A-Za-z_][A-Za-z0-9_]*)\\($', '\\1.\\2'))"
+            " || regexp_extract_all(text, '\\bfn[ \\t]+([A-Za-z_][A-Za-z0-9_]*)[(<]', 1)"
+            " || regexp_extract_all(text, '\\bstruct[ \\t]+([A-Za-z_][A-Za-z0-9_]*)[ \\t]*\\{', 1)"
+            ") FROM tt"
+        ),
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TEMP TABLE tt(text VARCHAR)")
+    con.execute("INSERT INTO tt VALUES (?)", [text])
+    for mod, sql in rules.items():
+        duck = con.execute(sql).fetchone()[0]
+        got = mod.extract(text)
+        assert sorted(set(got)) == sorted(set(duck)), mod.NAME
+    con.close()
