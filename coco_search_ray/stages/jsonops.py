@@ -53,12 +53,11 @@ def extract_json_field(
     """Append ``out`` = json_extract(col, '$.key')::sql_type.
 
     Missing keys / malformed JSON yield null (DuckDB json_extract
-    semantics — the oracle inherits them verbatim)."""
-    if batch.num_rows == 0:
-        empty = pa.array(
-            [], pa.int64() if sql_type.upper() == "BIGINT" else pa.float64()
-        )
-        return batch.append_column(out, empty)
+    semantics — the oracle inherits them verbatim). Empty batches run
+    through the same SQL so the appended column's type matches the
+    non-empty blocks for ANY sql_type (a hand-mapped empty array only
+    covered BIGINT/DOUBLE and would diverge the block schemas on e.g.
+    VARCHAR)."""
     con = _con()
     src = batch.select([col])
     con.register("_json_batch", src)

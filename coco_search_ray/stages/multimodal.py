@@ -437,11 +437,22 @@ def media_values(ds, concurrency=None, batch_size: int = 64, frame_stride: int =
 class ImageResizeActor:
     """Actor-pool stage: decode -> nearest-neighbor resize -> re-encode.
     Non-image rows pass through unchanged (their payload is not an
-    image). Deterministic: index-grid sampling, no interpolation."""
+    image). Deterministic: index-grid sampling, no interpolation.
+
+    Container dispatch mirrors MediaDecodeActor._one: the payload is
+    magic-sniffed, real P6 PPM decodes via decode_ppm and everything
+    else goes through the injected decode_fn — generate_media_table
+    (std_formats=True), the documented mixed-format input, interleaves
+    PPM with IMG1 and a fake-only decode would assert on the PPM rows."""
 
     def __init__(self, out_w: int = 16, out_h: int = 16, decode_fn=fake_decode):
         self.out_w, self.out_h = out_w, out_h
         self.decode = decode_fn
+
+    def _decode_image(self, payload: bytes) -> np.ndarray:
+        if sniff_format(payload) == "ppm":
+            return decode_ppm(payload)
+        return self.decode(payload)
 
     def _resize(self, img: np.ndarray) -> np.ndarray:
         ys = np.linspace(0, img.shape[0] - 1, self.out_h).astype(int)
@@ -458,7 +469,7 @@ class ImageResizeActor:
                 o_w.append(0)
                 o_h.append(0)
                 continue
-            img = self._resize(self.decode(p))
+            img = self._resize(self._decode_image(p))
             o_payload.append(encode_fake_image(img))
             o_w.append(self.out_w)
             o_h.append(self.out_h)

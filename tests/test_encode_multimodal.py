@@ -165,3 +165,48 @@ def test_media_resize_and_frame_sample(ray_session):
         len(list(iter_fake_video_frames(p))[::2]) for p in vids["payload"]
     )
     assert len(frames) == expect
+
+def test_resize_handles_mixed_container_formats(ray_session):
+    """resize_images over the std_formats table (PPM interleaved with
+    IMG1 — the same input q_media_features uses): every image row must
+    resize regardless of container, mirroring MediaDecodeActor's sniff
+    dispatch (a fake-only decode asserted on the PPM rows)."""
+    import ray.data
+    from coco_search_ray.stages.multimodal import (
+        fake_decode,
+        generate_media_table,
+        resize_images,
+        sniff_format,
+    )
+
+    t = generate_media_table(24, std_formats=True)
+    kinds = t["kind"].to_pylist()
+    fmts = {sniff_format(p.as_py()) for p, k in zip(t["payload"], kinds) if k == "image"}
+    assert fmts == {"ppm", "img1"}  # the mix is real or the test is vacuous
+
+    resized = resize_images(ray.data.from_arrow(t), out_w=8, out_h=8).to_pandas()
+    img = resized[resized["kind"] == "image"]
+    assert (img["width"] == 8).all() and (img["height"] == 8).all()
+    for p in img["payload"]:
+        assert fake_decode(p).shape == (8, 8, 3)  # re-encoded IMG1 either way
+
+
+def test_extract_json_field_empty_batch_keeps_sql_type(ray_session):
+    """The appended column's type on an EMPTY batch must match the
+    non-empty blocks for ANY sql_type (the old hand-mapped empty array
+    only covered BIGINT/DOUBLE: a VARCHAR extraction produced float64
+    on empty blocks and string elsewhere — a block-schema divergence)."""
+    import pyarrow as pa
+    from coco_search_ray.stages.jsonops import extract_json_field
+
+    strs = pa.table({"props": pa.array(['{"k": "a"}', "{}"], pa.string())})
+    nums = pa.table({"props": pa.array(['{"k": 3}', "{}"], pa.string())})
+    for full, sql_type, want in [(strs, "VARCHAR", pa.string()),
+                                 (nums, "BIGINT", pa.int64()),
+                                 (nums, "DOUBLE", pa.float64())]:
+        got_full = extract_json_field(full, "props", "k", "v", sql_type)
+        got_empty = extract_json_field(full.slice(0, 0), "props", "k", "v", sql_type)
+        assert got_full.schema.field("v").type == want
+        assert got_empty.schema.field("v").type == want
+    out = extract_json_field(strs, "props", "k", "v", "VARCHAR")
+    assert out["v"].to_pylist() == ['"a"', None]
