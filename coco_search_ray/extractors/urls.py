@@ -14,7 +14,11 @@ KIND = "literal"
 PRED = "links_to"
 QUICK = r"https?://"
 
-_RE = re.compile(r"https?://[^\s\"'<>\)\]]+", re.ASCII)
+# explicit whitespace class: the DuckDB replay's RE2 [^\s...] lets a URL
+# run THROUGH a vertical tab (RE2 \s = [ \t\n\r\f]); Python re.ASCII \s
+# would stop at it (round-5 lockstep-fuzz finding). One class, both
+# engines.
+_RE = re.compile(r"https?://[^ \t\n\r\f\"'<>\)\]]+", re.ASCII)
 
 
 def maybe(text: str) -> bool:

@@ -244,10 +244,11 @@ def jaccard_u64(a: np.ndarray, b: np.ndarray) -> float:
 
 # ASCII-whitespace normalization shared by every shingle/ngram domain:
 # the DuckDB oracles replay it as trim(regexp_replace(lower(text),
-# '\\s+', ' ', 'g')) under RE2 ASCII \\s — Python str.split() would also
-# collapse Unicode whitespace (NBSP, U+2028...) and silently change the
-# shingle sets on non-ASCII text (round-5 review finding).
-_ASCII_WS = re.compile(r"[ \t\n\r\f\v]+")
+# '\\s+', ' ', 'g')) under RE2 \\s = [ \t\n\r\f] — Python str.split()
+# would also collapse Unicode whitespace (NBSP, U+2028...), and Python
+# re.ASCII \\s would also collapse \v, silently changing the shingle
+# sets (round-5 review findings). One explicit class, both engines.
+_ASCII_WS = re.compile(r"[ \t\n\r\f]+")
 
 
 def _norm_ws(text: str) -> str:

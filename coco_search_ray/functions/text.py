@@ -15,8 +15,11 @@ import re
 # both sides of every token-domain oracle share the same alphabet even if
 # documents gain accented/CJK text (ADVICE r02)
 _TOKEN_RE = re.compile(r"\w+", re.ASCII)
-_PUNCT_RE = re.compile(r"[^\w\s]", re.ASCII)
-_BPEISH_RE = re.compile(r"\w+|[^\w\s]", re.ASCII)
+# explicit whitespace class: the gate oracle's RE2 [^\w\s] treats \v as
+# punctuation (RE2 \s = [ \t\n\r\f]); Python re.ASCII \s would not
+# (round-5 lockstep-fuzz finding). One explicit class, both engines.
+_PUNCT_RE = re.compile(r"[^\w \t\n\r\f]", re.ASCII)
+_BPEISH_RE = re.compile(r"\w+|[^\w \t\n\r\f]", re.ASCII)
 
 # tiny per-language stopword lists for the heuristic language-ID
 _LANG_STOPWORDS: dict[str, frozenset[str]] = {

@@ -1160,8 +1160,10 @@ def _extract_typescript(text: str) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 _CSS_NAME = r"[A-Za-z_-][A-Za-z0-9_-]*"
-_CSS_CLASS = re.compile(r"(?:^|[\s,{}/])\.(" + _CSS_NAME + r")[^{;]*\{")
-_CSS_ID = re.compile(r"(?:^|[\s,{}/])#(" + _CSS_NAME + r")[^{;]*\{")
+# explicit whitespace class (repo convention: RE2 \s = [ \t\n\r\f], no
+# \v — keeps every scanner aligned with the RE2/DuckDB-facing kernels)
+_CSS_CLASS = re.compile(r"(?:^|[ \t\n\r\f,{}/])\.(" + _CSS_NAME + r")[^{;]*\{")
+_CSS_ID = re.compile(r"(?:^|[ \t\n\r\f,{}/])#(" + _CSS_NAME + r")[^{;]*\{")
 _CSS_TAG = re.compile(r"(?:^|[\n,}])[ \t]*(" + _CSS_NAME + r")[ \t]*\{")
 _CSS_KEYFRAMES = re.compile(r"@keyframes[ \t]+(" + _CSS_NAME + r")")
 _CSS_MEDIA = re.compile(r"@media[ \t]*(\([^)\n]*\))")

@@ -1,0 +1,196 @@
+"""Lockstep fuzz (hypothesis, duckdb in-process) for the textops/blocks
+kernels — the same guard the extractor families carry: the pure Python
+kernel vs an EXACT replay of its gate-oracle SQL on arbitrary input.
+The fixed gate data (synth docs) can never exercise re-vs-RE2-vs-DuckDB
+edge shapes (CRLF lines, 7-hash headings, fence-inside-fence, non-ASCII
+letters, NBSP); these fuzzers can.
+
+Kernels covered (gate pairs in pipelines/queries.py):
+- stages/blocks.doc_blocks        <-> Q_DOC_BLOCK_HIERARCHY_SQL line rules
+- functions/text.detect_language  <-> Q_DOC_LANGID_SQL decision CASE
+- functions/text.quality_features <-> Q_DOC_QUALITY_SQL ratio exprs
+- functions/text.token_count      <-> Q_DOC_STATS_SQL token rule
+"""
+
+import duckdb
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from coco_search_ray.functions.text import (
+    detect_language,
+    quality_features,
+    token_count,
+)
+from coco_search_ray.stages.blocks import doc_blocks
+
+# ---------------------------------------------------------------- blocks
+
+# line-shaped strategy: the classifier is a per-line state machine, so
+# build docs from lines that hit every rule boundary (fences, headings
+# at depths 1/6/7, list items, blanks, CR-terminated lines, prose)
+_LINE = st.one_of(
+    st.just(""),
+    st.just("```"),
+    st.just("```python"),
+    st.sampled_from(["# h1", "## h2", "###### h6", "####### too-deep",
+                     "#nospace", "# ", "#", "- item", "-nospace", "- "]),
+    st.text(alphabet="ab# `-é\t\r", max_size=8),
+)
+_DOC = st.lists(_LINE, max_size=12).map("\n".join)
+
+_BLOCKS_SQL = r"""
+WITH l AS (
+  SELECT generate_subscripts(string_split(text, chr(10)), 1) - 1 AS line_no,
+         unnest(string_split(text, chr(10))) AS line
+  FROM tt
+), f AS (
+  SELECT line_no, line,
+         CASE WHEN line LIKE '```%' THEN 1 ELSE 0 END AS is_fence
+  FROM l
+), g AS (
+  SELECT *,
+         coalesce(sum(is_fence) OVER (
+           ORDER BY line_no
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS fences_before
+  FROM f
+), c AS (
+  SELECT line_no,
+         CASE WHEN is_fence = 1 THEN 'fence'
+              WHEN fences_before % 2 = 1 THEN 'code'
+              WHEN line = '' THEN 'blank'
+              WHEN regexp_matches(line, '^#{1,6} ') THEN 'heading'
+              WHEN line LIKE '- %' THEN 'list_item'
+              ELSE 'text' END AS block_type,
+         CASE WHEN is_fence = 0 AND fences_before % 2 = 0 AND regexp_matches(line, '^#{1,6} ')
+              THEN regexp_extract(line, '^(#{1,6}) (.*)$', 2) END AS h_title,
+         CASE WHEN is_fence = 0 AND fences_before % 2 = 0 AND regexp_matches(line, '^#{1,6} ')
+              THEN length(regexp_extract(line, '^(#{1,6}) (.*)$', 1)) END AS h_depth
+  FROM g
+)
+SELECT line_no, block_type,
+       coalesce(last_value(h_title IGNORE NULLS) OVER (
+         ORDER BY line_no
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), '') AS heading,
+       coalesce(last_value(h_depth IGNORE NULLS) OVER (
+         ORDER BY line_no
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS depth
+FROM c ORDER BY line_no
+"""
+
+
+@given(_DOC)
+@settings(max_examples=250, deadline=None)
+def test_doc_blocks_lockstep_with_duckdb(text):
+    """doc_blocks' per-line (block_type, heading, depth) equals the
+    Q_DOC_BLOCK_HIERARCHY_SQL classifier replay, line by line."""
+    batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array([text], pa.string())})
+    out = doc_blocks(batch).to_pylist()
+    got = [(r["line_no"], r["block_type"], r["heading"], r["depth"]) for r in out]
+
+    con = duckdb.connect()
+    con.execute("CREATE TEMP TABLE tt(text VARCHAR)")
+    con.execute("INSERT INTO tt VALUES (?)", [text])
+    if not text:
+        # the pipeline skips empty docs; the gate SQL filters text <> ''
+        assert got == []
+        con.close()
+        return
+    want = [(r[0], r[1], r[2], int(r[3])) for r in con.execute(_BLOCKS_SQL).fetchall()]
+    con.close()
+    assert got == want
+
+
+# ------------------------------------------------------- langid / quality
+
+_STOPWORDS = (
+    "the and of to a in is it you that was for on are with as i his they be at "
+    "der die und den von zu das mit sich des auf ist im dem nicht ein "
+    "le de la et les des en un du une que est pour qui dans par "
+    "el y los se del las por con no una su"
+).split()
+
+# word-shaped strategy: stopword hits drive the langid decision, so draw
+# tokens from the stopword union plus noise words (incl. non-ASCII and
+# punctuation-glued shapes), joined by assorted whitespace
+_WORD = st.one_of(
+    st.sampled_from(_STOPWORDS),
+    st.text(alphabet="abcdéfXY01_.,;", min_size=1, max_size=6),
+)
+_WORDS_TEXT = st.lists(_WORD, max_size=40).map(" ".join)
+
+_LANGID_SQL = r"""
+WITH w AS (
+  SELECT list_transform(list_slice(regexp_extract_all(coalesce(text, ''), '\w+'), 1, 200),
+                        x -> lower(x)) AS words
+  FROM tt
+), h AS (
+  SELECT len(words) AS nw,
+    len(list_filter(words, x -> x IN ('der','die','und','in','den','von','zu','das','mit','sich','des','auf','ist','im','dem','nicht','ein'))) AS de,
+    len(list_filter(words, x -> x IN ('the','and','of','to','a','in','is','it','you','that','was','for','on','are','with','as','i','his','they','be','at'))) AS en,
+    len(list_filter(words, x -> x IN ('de','la','que','el','en','y','a','los','se','del','las','un','por','con','no','una','su'))) AS es,
+    len(list_filter(words, x -> x IN ('le','de','la','et','les','des','en','un','du','une','que','est','pour','qui','dans','par'))) AS fr
+  FROM w
+)
+SELECT CASE
+  WHEN nw = 0 OR greatest(de, en, es, fr) < 2 THEN 'und'
+  WHEN de = greatest(de, en, es, fr) THEN 'de'
+  WHEN en = greatest(de, en, es, fr) THEN 'en'
+  WHEN es = greatest(de, en, es, fr) THEN 'es'
+  ELSE 'fr'
+END FROM h
+"""
+
+
+@given(_WORDS_TEXT)
+@settings(max_examples=300, deadline=None)
+def test_detect_language_lockstep_with_duckdb(text):
+    con = duckdb.connect()
+    con.execute("CREATE TEMP TABLE tt(text VARCHAR)")
+    con.execute("INSERT INTO tt VALUES (?)", [text])
+    want = con.execute(_LANGID_SQL).fetchone()[0]
+    con.close()
+    assert detect_language(text) == want
+
+
+_QUALITY_SQL = r"""
+WITH f AS (
+  SELECT length(text) AS n_chars,
+         regexp_extract_all(text, '\w+') AS words,
+         len(regexp_extract_all(text, '[^\w\s]')) AS n_punct
+  FROM tt
+)
+SELECT
+  CASE WHEN n_chars > 0 THEN n_punct::DOUBLE / n_chars ELSE 0 END,
+  CASE WHEN len(words) > 0 THEN len(list_filter(words, x -> lower(x) IN ('the','and','of','to','a','in','is','it','you','that','was','for','on','are','with','as','i','his','they','be','at')))::DOUBLE / len(words) ELSE 0 END,
+  CASE WHEN len(words) > 0 THEN list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words) ELSE 0 END,
+  len(words)
+FROM f
+"""
+
+# quality text mixes words, ASCII + non-ASCII punctuation/whitespace —
+# the \w/\s ASCII-vs-Unicode seam the r05 re.ASCII sweep aligned; \x0b
+# (vertical tab) pins the RE2-vs-re.ASCII \s gap (RE2 counts it as
+# punctuation in [^\w\s] — the r05 finding this fuzzer's first run
+# missed because its alphabet had no \v)
+_QUALITY_TEXT = st.text(alphabet="the and é ß.,!?#\t\r\n\x0b\xa0abcXY01_", max_size=200)
+
+
+@given(_QUALITY_TEXT)
+@settings(max_examples=300, deadline=None)
+def test_quality_features_lockstep_with_duckdb(text):
+    """punct/stopword/mean-word-len ratios (and the token count) are
+    bit-identical to the oracle SQL: both sides divide exact integer
+    tallies, so no float tolerance is needed."""
+    con = duckdb.connect()
+    con.execute("CREATE TEMP TABLE tt(text VARCHAR)")
+    con.execute("INSERT INTO tt VALUES (?)", [text])
+    punct, stop, mwl, nw = con.execute(_QUALITY_SQL).fetchone()
+    con.close()
+    f = quality_features(text)
+    assert f["punct_ratio"] == punct
+    assert f["stopword_ratio"] == stop
+    assert f["mean_word_len"] == mwl
+    assert token_count(text) == nw
+    assert f["n_words"] == float(nw)
