@@ -3340,6 +3340,73 @@ _REP_DUP_FRAC = 0.55
 _REP_BIGRAM_FRAC = 0.20
 
 
+def _repetition_metrics(df: pd.DataFrame) -> pd.DataFrame:
+    """Per-batch repetition partials (module-level so the lockstep fuzz
+    can drive the REAL kernel against the oracle SQL's per-doc replay)."""
+    words = df["text"].fillna("").str.findall(r"[A-Za-z0-9_]+")
+    ex = df[["doc_id", "lang"]].copy()
+    n_docs = len(df)
+    nw = words.str.len().to_numpy(dtype=np.int64) if n_docs else np.zeros(0, np.int64)
+    ex["n_words"] = nw
+    # ONE factorize over the batch's flattened words; everything
+    # below runs on int codes (the extraction ordinal trick) — no
+    # per-row Python loop. Word identity == code identity, and the
+    # old "w1 w2" string key == the (code1, code2) pair key because
+    # words contain no spaces, so counts are bit-identical.
+    allw = (
+        np.concatenate(words.to_numpy())
+        if n_docs and nw.sum()
+        else np.zeros(0, dtype=object)
+    )
+    codes, uniques = pd.factorize(allw)
+    codes = codes.astype(np.int64)
+    K = np.int64(max(len(uniques), 1))
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), nw)
+    # distinct words per doc: unique (doc, code) ordinals per doc
+    upairs = np.unique(doc_idx * K + codes)
+    ex["n_uniq"] = (
+        np.bincount(upairs // K, minlength=n_docs).astype(np.int64)
+        if len(upairs)
+        else np.zeros(n_docs, np.int64)
+    )
+    # top bigram count per doc: consecutive code-pair ordinals,
+    # pairs crossing doc boundaries masked out; sorted uniques give
+    # per-doc runs for one maximum.reduceat
+    topbg = np.zeros(n_docs, dtype=np.int64)
+    if len(codes) >= 2:
+        same = doc_idx[:-1] == doc_idx[1:]
+        if same.any():
+            # two-step ordinal: pair code first (< K^2 <= W^2, safe),
+            # then doc*P + pair (< n_docs*W, safe) — the naive
+            # doc*K^2 key can overflow int64 on huge batches
+            pairs = codes[:-1][same] * K + codes[1:][same]
+            pcodes, puniq = pd.factorize(pairs)
+            P = np.int64(max(len(puniq), 1))
+            keys = doc_idx[:-1][same] * P + pcodes.astype(np.int64)
+            ukeys, counts = np.unique(keys, return_counts=True)
+            docs = ukeys // P
+            starts = np.flatnonzero(np.r_[True, docs[1:] != docs[:-1]])
+            topbg[docs[starts]] = np.maximum.reduceat(counts, starts)
+    ex["top_bigram"] = topbg
+    dup_frac = np.where(
+        ex["n_words"] > 0, 1.0 - ex["n_uniq"] / ex["n_words"], 0.0
+    )
+    bg_frac = np.where(
+        ex["n_words"] >= 2, ex["top_bigram"] * 2.0 / ex["n_words"], 0.0
+    )
+    ex["flagged"] = (
+        (dup_frac > _REP_DUP_FRAC) | (bg_frac > _REP_BIGRAM_FRAC)
+    ).astype("int64")
+    g = ex.groupby("lang", sort=True).agg(
+        n_docs=("doc_id", "size"),
+        n_flagged=("flagged", "sum"),
+        sum_words=("n_words", "sum"),
+        sum_uniq=("n_uniq", "sum"),
+        sum_top_bigram=("top_bigram", "sum"),
+    )
+    return g.reset_index()
+
+
 def q_doc_repetition(sf_dir: str) -> pd.DataFrame:
     """Per-language repetition report over documents: duplicate-word
     fraction (1 - distinct/total) and top-bigram mass (2 * occurrences
@@ -3350,72 +3417,7 @@ def q_doc_repetition(sf_dir: str) -> pd.DataFrame:
     (Gopher-style); each doc is one row, so per-batch pandas computes
     complete docs and only the tiny per-lang partials shuffle."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
-
-    def metrics(df: pd.DataFrame) -> pd.DataFrame:
-        words = df["text"].fillna("").str.findall(r"[A-Za-z0-9_]+")
-        ex = df[["doc_id", "lang"]].copy()
-        n_docs = len(df)
-        nw = words.str.len().to_numpy(dtype=np.int64) if n_docs else np.zeros(0, np.int64)
-        ex["n_words"] = nw
-        # ONE factorize over the batch's flattened words; everything
-        # below runs on int codes (the extraction ordinal trick) — no
-        # per-row Python loop. Word identity == code identity, and the
-        # old "w1 w2" string key == the (code1, code2) pair key because
-        # words contain no spaces, so counts are bit-identical.
-        allw = (
-            np.concatenate(words.to_numpy())
-            if n_docs and nw.sum()
-            else np.zeros(0, dtype=object)
-        )
-        codes, uniques = pd.factorize(allw)
-        codes = codes.astype(np.int64)
-        K = np.int64(max(len(uniques), 1))
-        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), nw)
-        # distinct words per doc: unique (doc, code) ordinals per doc
-        upairs = np.unique(doc_idx * K + codes)
-        ex["n_uniq"] = (
-            np.bincount(upairs // K, minlength=n_docs).astype(np.int64)
-            if len(upairs)
-            else np.zeros(n_docs, np.int64)
-        )
-        # top bigram count per doc: consecutive code-pair ordinals,
-        # pairs crossing doc boundaries masked out; sorted uniques give
-        # per-doc runs for one maximum.reduceat
-        topbg = np.zeros(n_docs, dtype=np.int64)
-        if len(codes) >= 2:
-            same = doc_idx[:-1] == doc_idx[1:]
-            if same.any():
-                # two-step ordinal: pair code first (< K^2 <= W^2, safe),
-                # then doc*P + pair (< n_docs*W, safe) — the naive
-                # doc*K^2 key can overflow int64 on huge batches
-                pairs = codes[:-1][same] * K + codes[1:][same]
-                pcodes, puniq = pd.factorize(pairs)
-                P = np.int64(max(len(puniq), 1))
-                keys = doc_idx[:-1][same] * P + pcodes.astype(np.int64)
-                ukeys, counts = np.unique(keys, return_counts=True)
-                docs = ukeys // P
-                starts = np.flatnonzero(np.r_[True, docs[1:] != docs[:-1]])
-                topbg[docs[starts]] = np.maximum.reduceat(counts, starts)
-        ex["top_bigram"] = topbg
-        dup_frac = np.where(
-            ex["n_words"] > 0, 1.0 - ex["n_uniq"] / ex["n_words"], 0.0
-        )
-        bg_frac = np.where(
-            ex["n_words"] >= 2, ex["top_bigram"] * 2.0 / ex["n_words"], 0.0
-        )
-        ex["flagged"] = (
-            (dup_frac > _REP_DUP_FRAC) | (bg_frac > _REP_BIGRAM_FRAC)
-        ).astype("int64")
-        g = ex.groupby("lang", sort=True).agg(
-            n_docs=("doc_id", "size"),
-            n_flagged=("flagged", "sum"),
-            sum_words=("n_words", "sum"),
-            sum_uniq=("n_uniq", "sum"),
-            sum_top_bigram=("top_bigram", "sum"),
-        )
-        return g.reset_index()
-
-    parts = ds.map_batches(metrics, batch_format="pandas").to_pandas()
+    parts = ds.map_batches(_repetition_metrics, batch_format="pandas").to_pandas()
     out = parts.groupby("lang", sort=True).sum().reset_index()
     return out.astype(
         {

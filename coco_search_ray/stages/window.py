@@ -42,6 +42,39 @@ def tumbling_agg(
     )
 
 
+def session_frame(
+    df: pd.DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_s: int = 1800,
+) -> pd.DataFrame:
+    """Pure per-bucket session kernel (module-level so the lockstep fuzz
+    can drive the REAL kernel against a DuckDB window-function replay).
+    Fully vectorized over the (key, ts)-sorted frame: a session break is
+    a key change OR a strictly-over-gap step (matching the oracle's
+    ``ts - lag(ts) > INTERVAL gap SECOND``), sessions are one cumsum,
+    stats one pandas groupby."""
+    df = df.sort_values([key_col, ts_col], kind="mergesort")
+    new_key = df[key_col].ne(df[key_col].shift())
+    gap = df[ts_col].diff().dt.total_seconds()
+    sid = (new_key | (gap > gap_s)).cumsum()
+    out = (
+        df.assign(_sid=sid)
+        .groupby("_sid", sort=True)
+        .agg(
+            # the key column keeps ITS name (hardcoding 'user_id'
+            # mislabeled sessions for any other key_col)
+            **{key_col: (key_col, "first")},
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+            n_events=(ts_col, "size"),
+        )
+        .reset_index(drop=True)
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    return out
+
+
 def sessionize(
     ds: ray.data.Dataset,
     key_col: str = "user_id",
@@ -69,25 +102,7 @@ def sessionize(
         return add_key_bucket(b, key_col, num_buckets)
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values([key_col, ts_col], kind="mergesort")
-        new_key = df[key_col].ne(df[key_col].shift())
-        gap = df[ts_col].diff().dt.total_seconds()
-        sid = (new_key | (gap > gap_s)).cumsum()
-        out = (
-            df.assign(_sid=sid)
-            .groupby("_sid", sort=True)
-            .agg(
-                # the key column keeps ITS name (hardcoding 'user_id'
-                # mislabeled sessions for any other key_col)
-                **{key_col: (key_col, "first")},
-                session_start=(ts_col, "min"),
-                session_end=(ts_col, "max"),
-                n_events=(ts_col, "size"),
-            )
-            .reset_index(drop=True)
-        )
-        out["n_events"] = out["n_events"].astype("int64")
-        return out
+        return session_frame(df, key_col=key_col, ts_col=ts_col, gap_s=gap_s)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")

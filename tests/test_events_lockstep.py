@@ -1,0 +1,192 @@
+"""Lockstep fuzz (hypothesis, duckdb in-process) for the event-window
+and repetition kernels — the REAL module-level kernels vs exact DuckDB
+replays of their gate-oracle SQL. The fixed gate data (synth events /
+documents) never exercises pre-epoch timestamps, exact-gap boundaries,
+or pathological word repetition; these fuzzers do.
+
+Kernels covered (gate pairs in pipelines/queries.py):
+- stages/window.add_tumbling_bucket <-> Q_EVENTS_TUMBLING_SQL's
+  `epoch_us(ts) // N` (Arrow pc.divide truncates toward zero; DuckDB
+  integer // must match on NEGATIVE pre-epoch buckets)
+- stages/window.session_frame       <-> Q_EVENTS_SESSIONS_SQL's
+  lag/interval gap rule (strict >, exact-1800s gaps, duplicate ts)
+- pipelines/queries._repetition_metrics <-> Q_DOC_REPETITION_SQL's
+  per-doc dup-word / top-bigram replay (the factorize+reduceat kernel
+  vs the unnest+group SQL, including the flag-threshold comparisons)
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from coco_search_ray.pipelines.queries import (
+    Q_DOC_REPETITION_SQL,
+    _repetition_metrics,
+)
+from coco_search_ray.stages.window import add_tumbling_bucket, session_frame
+
+# ONE in-process connection for all examples: connect() per example is
+# the dominant cost at fuzz volume (register/unregister is cheap)
+_CON = duckdb.connect()
+
+# ------------------------------------------------------------- tumbling
+
+_HOUR_US = 3_600_000_000
+# boundary-heavy microsecond timestamps: exact bucket edges +/- 1 us,
+# plus arbitrary offsets, on BOTH sides of the epoch (pre-epoch is where
+# floor-vs-truncate integer division diverges)
+_TS_US = st.one_of(
+    st.builds(
+        lambda k, d: k * _HOUR_US + d,
+        st.integers(min_value=-4, max_value=4),
+        st.sampled_from([-1, 0, 1]),
+    ),
+    st.integers(min_value=-4 * _HOUR_US, max_value=4 * _HOUR_US),
+)
+
+
+@given(st.lists(_TS_US, min_size=1, max_size=30))
+@settings(max_examples=150, deadline=None)
+def test_tumbling_bucket_lockstep_with_duckdb(ts_list):
+    """hour_bucket from the REAL Arrow kernel == DuckDB's
+    `epoch_us(ts) // 3600000000` row by row, pre-epoch included."""
+    tbl = pa.table({"ts": pa.array(ts_list, pa.timestamp("us"))})
+    got = add_tumbling_bucket(tbl)["hour_bucket"].to_pylist()
+    _CON.register("tt", tbl)
+    want = [
+        r[0]
+        for r in _CON.execute(
+            "SELECT (epoch_us(ts) // 3600000000) FROM tt"
+        ).fetchall()
+    ]
+    _CON.unregister("tt")
+    assert got == want, (ts_list, got, want)
+
+
+# ------------------------------------------------------------- sessions
+
+_GAP_US = 1_800_000_000  # 30 min in us — the oracle's INTERVAL 1800 SECOND
+# per-event timestamps drawn so consecutive sorted events land exactly
+# AT the gap (no break: strict >), 1 us over (break), and duplicated
+_SESS_TS = st.one_of(
+    st.builds(
+        lambda k, d: k * _GAP_US + d,
+        st.integers(min_value=0, max_value=3),
+        st.sampled_from([-1, 0, 1]),
+    ),
+    st.integers(min_value=0, max_value=3 * _GAP_US),
+)
+_EVENTS = st.lists(
+    st.tuples(st.sampled_from(["u1", "u2"]), _SESS_TS), min_size=1, max_size=25
+)
+
+_SESSIONS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 1800 SECOND OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM tt
+), sess AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@given(_EVENTS)
+@settings(max_examples=120, deadline=None)
+def test_session_frame_lockstep_with_duckdb(events):
+    """Full session rows from the REAL per-bucket kernel == the oracle's
+    lag/interval window replay (same strict-> gap rule), including
+    duplicate timestamps and gaps exactly at/one-us-past 1800 s."""
+    df = pd.DataFrame(
+        {
+            "user_id": [u for u, _ in events],
+            "ts": pd.array(
+                np.array([t for _, t in events], dtype="datetime64[us]")
+            ),
+        }
+    )
+    got = session_frame(df).sort_values(
+        ["user_id", "session_start"], kind="mergesort"
+    )
+    got_rows = [
+        (r.user_id, r.session_start.to_datetime64(), r.session_end.to_datetime64(), r.n_events)
+        for r in got.itertuples()
+    ]
+    _CON.register("tt", pa.Table.from_pandas(df, preserve_index=False))
+    want_rows = [
+        (u, np.datetime64(s, "us"), np.datetime64(e, "us"), n)
+        for u, s, e, n in _CON.execute(_SESSIONS_SQL).fetchall()
+    ]
+    _CON.unregister("tt")
+    assert got_rows == want_rows, (events, got_rows, want_rows)
+
+
+# ----------------------------------------------------------- repetition
+
+# word-repetition-heavy docs: tiny vocab so duplicate words and repeated
+# bigrams actually occur, separators mixing word-breaking punctuation
+# with word-merging empty joins, plus empty/None texts
+_REP_WORD = st.sampled_from(["a", "b", "aa", "b_1", "x9", "a"])
+_REP_SEP = st.sampled_from([" ", "\n", ".", "-", ", ", ""])
+_REP_TEXT = st.one_of(
+    st.none(),
+    st.just(""),
+    st.builds(
+        lambda ws, sep: sep.join(ws),
+        st.lists(_REP_WORD, min_size=0, max_size=20),
+        _REP_SEP,
+    ),
+)
+_REP_DOCS = st.lists(
+    st.tuples(_REP_TEXT, st.sampled_from(["en", "de"])), min_size=1, max_size=12
+)
+
+
+@given(_REP_DOCS)
+@settings(max_examples=80, deadline=None)
+def test_repetition_metrics_lockstep_with_duckdb(docs):
+    """Per-language partials from the REAL factorize+reduceat kernel ==
+    the gate SQL run verbatim over the same frame — integer sums are
+    exact, and the dup/bigram flag thresholds use identical float op
+    order on both sides."""
+    df = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(len(docs))],
+            "text": [t for t, _ in docs],
+            "lang": [lg for _, lg in docs],
+        }
+    )
+    got = (
+        _repetition_metrics(df)
+        .sort_values("lang")
+        .reset_index(drop=True)
+        .astype(
+            {
+                c: "int64"
+                for c in (
+                    "n_docs",
+                    "n_flagged",
+                    "sum_words",
+                    "sum_uniq",
+                    "sum_top_bigram",
+                )
+            }
+        )
+    )
+    _CON.register("documents", pa.Table.from_pandas(df, preserve_index=False))
+    want = _CON.execute(Q_DOC_REPETITION_SQL).fetchdf()
+    _CON.unregister("documents")
+    want = want.sort_values("lang").reset_index(drop=True)[got.columns]
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
