@@ -84,36 +84,57 @@ def asof_join(
     int_right = [n for rc, n in right_cols.items() if pa.types.is_integer(rtypes[rc])]
 
     def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        l = df[df["_side"] == 0][[key_col, ts_col] + left_cols].sort_values(
-            ts_col, kind="mergesort"
+        return asof_frame(
+            df, key_col, ts_col, left_cols, out_names, int_left, int_right,
+            allow_exact,
         )
-        for c in int_left:
-            l[c] = l[c].astype("Int64")
-        r = df[df["_side"] == 1][[key_col] + out_names].copy()
-        for c in int_right:
-            r[c] = r[c].astype("Int64")
-        # the right frame's join axis is ITS ts (exported or not via
-        # right_cols); reconstruct it for merge_asof ordering. Duplicate
-        # (key, ts) right rows need a TOTAL order (every sort needs a
-        # total tiebreak): sort by value columns too, keep the last — the
-        # winner is then data-determined, never block-arrival-determined.
-        r["_rts"] = df[df["_side"] == 1][ts_col].values
-        r = r.sort_values(["_rts"] + out_names, kind="mergesort").drop_duplicates(
-            subset=[key_col, "_rts"], keep="last"
-        )
-        out = pd.merge_asof(
-            l.rename(columns={ts_col: "_lts"}).sort_values("_lts", kind="mergesort"),
-            r,
-            left_on="_lts",
-            right_on="_rts",
-            by=key_col,
-            direction="backward",
-            allow_exact_matches=allow_exact,
-        )
-        # merge_asof with an EMPTY left still emits correctly-typed right
-        # columns (r carries the dtypes), so every bucket — including
-        # left-free ones — produces the same block schema
-        out = out.rename(columns={"_lts": ts_col}).drop(columns=["_rts"])
-        return out
 
     return both.groupby("_bucket").map_groups(per_bucket, batch_format="pandas")
+
+
+def asof_frame(
+    df: pd.DataFrame,
+    key_col: str,
+    ts_col: str,
+    left_cols: list[str],
+    out_names: list[str],
+    int_left: list[str],
+    int_right: list[str],
+    allow_exact: bool = False,
+) -> pd.DataFrame:
+    """Pure per-bucket as-of kernel over the tagged union frame
+    (_side 0 = left, 1 = right; right contributions already renamed to
+    ``out_names``). Module-level so the lockstep fuzz can drive the REAL
+    kernel against DuckDB's native ASOF JOIN — an independent
+    implementation, not a replay."""
+    l = df[df["_side"] == 0][[key_col, ts_col] + left_cols].sort_values(
+        ts_col, kind="mergesort"
+    )
+    for c in int_left:
+        l[c] = l[c].astype("Int64")
+    r = df[df["_side"] == 1][[key_col] + out_names].copy()
+    for c in int_right:
+        r[c] = r[c].astype("Int64")
+    # the right frame's join axis is ITS ts (exported or not via
+    # right_cols); reconstruct it for merge_asof ordering. Duplicate
+    # (key, ts) right rows need a TOTAL order (every sort needs a
+    # total tiebreak): sort by value columns too, keep the last — the
+    # winner is then data-determined, never block-arrival-determined.
+    r["_rts"] = df[df["_side"] == 1][ts_col].values
+    r = r.sort_values(["_rts"] + out_names, kind="mergesort").drop_duplicates(
+        subset=[key_col, "_rts"], keep="last"
+    )
+    out = pd.merge_asof(
+        l.rename(columns={ts_col: "_lts"}).sort_values("_lts", kind="mergesort"),
+        r,
+        left_on="_lts",
+        right_on="_rts",
+        by=key_col,
+        direction="backward",
+        allow_exact_matches=allow_exact,
+    )
+    # merge_asof with an EMPTY left still emits correctly-typed right
+    # columns (r carries the dtypes), so every bucket — including
+    # left-free ones — produces the same block schema
+    out = out.rename(columns={"_lts": ts_col}).drop(columns=["_rts"])
+    return out

@@ -190,3 +190,118 @@ def test_repetition_metrics_lockstep_with_duckdb(docs):
     _CON.unregister("documents")
     want = want.sort_values("lang").reset_index(drop=True)[got.columns]
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# ----------------------------------------------------------------- asof
+
+# purchases/clicks over two users with boundary-heavy timestamps:
+# exact-tie (purchase.ts == click.ts must NOT match: strict before),
+# duplicate (user, ts) clicks (kernel keeps max-by-value; the oracle
+# pre-dedupes with max(value)), and integer-valued floats so no
+# rounding enters the comparison
+_ASOF_TS = st.builds(
+    lambda k, d: k * 1_000_000 + d,
+    st.integers(min_value=0, max_value=5),
+    st.sampled_from([-1, 0, 1]),
+)
+_PURCHASES = st.lists(
+    st.tuples(st.sampled_from(["u1", "u2"]), _ASOF_TS, st.integers(0, 9)),
+    min_size=0,
+    max_size=12,
+)
+_CLICKS = st.lists(
+    st.tuples(st.sampled_from(["u1", "u2"]), _ASOF_TS, st.integers(0, 9)),
+    min_size=0,
+    max_size=12,
+)
+
+_ASOF_SQL = """
+WITH c AS (SELECT user_id, ts, max(value) AS value
+           FROM clicks GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
+       c.ts AS click_ts, c.value AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
+ORDER BY p.event_id
+"""
+
+
+@given(_PURCHASES, _CLICKS)
+@settings(max_examples=150, deadline=None)
+def test_asof_frame_lockstep_with_duckdb(purchases, clicks):
+    """The REAL per-bucket merge_asof kernel (strict-before, dup-(key,ts)
+    right rows resolved to max value) == DuckDB's NATIVE ASOF LEFT JOIN
+    with the oracle's max(value) pre-dedup — an independent
+    implementation, not a SQL replay of the kernel."""
+    from coco_search_ray.stages.asof import asof_frame
+
+    lp = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _ in purchases],
+            "ts": pd.array(
+                np.array([t for _, t, _ in purchases], dtype="datetime64[us]")
+            ),
+            "event_id": pd.array(range(len(purchases)), dtype="float64"),
+            "purchase_value": [float(v) for _, _, v in purchases],
+            "click_ts": pd.array(
+                np.full(len(purchases), np.datetime64("NaT"), dtype="datetime64[us]")
+            ),
+            "click_value": np.full(len(purchases), np.nan),
+            "_side": np.zeros(len(purchases), dtype=np.int8),
+        }
+    )
+    rc = pd.DataFrame(
+        {
+            "user_id": [u for u, _, _ in clicks],
+            "ts": pd.array(
+                np.array([t for _, t, _ in clicks], dtype="datetime64[us]")
+            ),
+            "event_id": np.full(len(clicks), np.nan),
+            "purchase_value": np.full(len(clicks), np.nan),
+            "click_ts": pd.array(
+                np.array([t for _, t, _ in clicks], dtype="datetime64[us]")
+            ),
+            "click_value": [float(v) for _, _, v in clicks],
+            "_side": np.ones(len(clicks), dtype=np.int8),
+        }
+    )
+    union = pd.concat([lp, rc], ignore_index=True)
+    got = asof_frame(
+        union,
+        key_col="user_id",
+        ts_col="ts",
+        left_cols=["event_id", "purchase_value"],
+        out_names=["click_ts", "click_value"],
+        int_left=["event_id"],
+        int_right=[],
+    )
+    got = (
+        got.sort_values("event_id")
+        .reset_index(drop=True)[
+            ["event_id", "user_id", "ts", "purchase_value", "click_ts", "click_value"]
+        ]
+        .astype({"event_id": "int64"})
+    )
+    # explicit Arrow schemas: an EMPTY draw would otherwise type
+    # user_id float64 and break the SQL join
+    p = pa.table(
+        {
+            "event_id": pa.array(range(len(purchases)), pa.int64()),
+            "user_id": pa.array([u for u, _, _ in purchases], pa.string()),
+            "ts": pa.array([t for _, t, _ in purchases], pa.timestamp("us")),
+            "value": pa.array([float(v) for _, _, v in purchases], pa.float64()),
+        }
+    )
+    c = pa.table(
+        {
+            "user_id": pa.array([u for u, _, _ in clicks], pa.string()),
+            "ts": pa.array([t for _, t, _ in clicks], pa.timestamp("us")),
+            "value": pa.array([float(v) for _, _, v in clicks], pa.float64()),
+        }
+    )
+    _CON.register("p", p)
+    _CON.register("clicks", c)
+    want = _CON.execute(_ASOF_SQL).fetchdf()
+    _CON.unregister("p")
+    _CON.unregister("clicks")
+    want = want.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
