@@ -24,8 +24,44 @@ _SPACE = 16**_HEX_DIGITS
 
 
 def split_bucket(value) -> int:
-    """Uniform bucket in [0, 16^12) from md5 of the stringified id."""
+    """Uniform bucket in [0, 16^12) from md5 of the stringified id —
+    the scalar SPEC; batches use the vectorized ``md5_buckets``."""
     return int(hashlib.md5(str(value).encode()).hexdigest()[:_HEX_DIGITS], 16)
+
+
+_CON = None
+
+
+def _con():
+    global _CON
+    if _CON is None:
+        import duckdb
+
+        _CON = duckdb.connect()
+        _CON.execute("SET preserve_insertion_order = true")
+    return _CON
+
+
+def md5_buckets(ids: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Vectorized md5 buckets for a whole id column — DuckDB as the
+    batch kernel (the jsonops pattern): the EXACT expression the splits
+    and quota oracles run, so kernel and oracle share the engine's md5
+    and stringification semantics by construction. ~2x the per-row
+    hashlib loop, and a NULL id yields NaN -> assigned to the last
+    split / never sampled, matching the SQL's NULL CASE fall-through
+    (the hashlib path hashed the string 'None' instead — a latent
+    parity divergence). 16^12 < 2^53, so float64 buckets are exact."""
+    con = _con()
+    t = pa.table({"v": ids})
+    con.register("_split_batch", t)
+    try:
+        out = con.execute(
+            "SELECT ('0x' || substr(md5(v::VARCHAR), 1, 12))::UBIGINT AS b "
+            "FROM _split_batch"
+        ).arrow()
+    finally:
+        con.unregister("_split_batch")
+    return out["b"].to_numpy(zero_copy_only=False).astype(np.float64)
 
 
 def assign_splits(
@@ -44,7 +80,9 @@ def assign_splits(
     cuts = np.cumsum([fractions[k] for k in labels]) * _SPACE
 
     def tag(b: pa.Table) -> pa.Table:
-        buckets = np.array([split_bucket(v) for v in b[id_col].to_pylist()], dtype=np.float64)
+        buckets = md5_buckets(b[id_col])
+        # NaN (null id) searchsorts past the end -> clamped to the last
+        # label, matching the oracle's CASE fall-through on NULL
         idx = np.searchsorted(cuts, buckets, side="right")
         idx = np.minimum(idx, len(labels) - 1)  # guard the exact top edge
         return b.append_column(out_col, pa.array([labels[i] for i in idx], pa.string()))
@@ -68,9 +106,9 @@ def quota_sample(
     shuffle — a stateless streaming filter."""
 
     def keep(b: pa.Table) -> pa.Table:
-        buckets = np.array(
-            [split_bucket(v) for v in b[id_col].to_pylist()], dtype=np.float64
-        )
+        # NaN (null id) compares false -> never sampled, matching the
+        # oracle's NULL CASE
+        buckets = md5_buckets(b[id_col])
         rts = np.array(
             [rates.get(g, default_rate) for g in b[group_col].to_pylist()],
             dtype=np.float64,

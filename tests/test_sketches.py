@@ -4,6 +4,8 @@ no-false-negative guarantee, and the exact-result semi-join."""
 import numpy as np
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 
 def test_hll_accuracy_and_merge():
@@ -169,3 +171,30 @@ def test_cms_heavy_hitters_exact(ray_session):
     out = cms_heavy_hitters(ds, "user", phi=phi).to_pandas()
     got = dict(zip(out["user"], out["n_events"]))
     assert got == {f"hot{i}": 200 + i for i in range(20)}  # EXACT counts
+
+
+@given(
+    st.lists(
+        st.one_of(
+            st.text(max_size=20),
+            st.integers(min_value=-(2**62), max_value=2**62),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_md5_buckets_lockstep_with_scalar_spec(ids):
+    """The vectorized DuckDB bucket kernel == the documented scalar md5
+    rule for every id (unicode strings and int64s): the engine's
+    ::VARCHAR stringification must agree with Python str() on the id
+    types the pipeline accepts."""
+    from coco_search_ray.stages.split import md5_buckets, split_bucket
+
+    if all(isinstance(v, int) for v in ids):
+        arr = pa.array(ids, pa.int64())
+    else:
+        arr = pa.array([str(v) for v in ids], pa.string())
+    got = md5_buckets(arr)
+    want = np.array([float(split_bucket(v)) for v in arr.to_pylist()])
+    assert np.array_equal(got, want), (ids, got, want)
