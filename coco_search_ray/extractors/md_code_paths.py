@@ -28,6 +28,8 @@ from __future__ import annotations
 
 import re
 
+from ..functions.hashing import _ASCII_LOWER
+
 NAME = "md_code_paths"
 KIND = "literal"
 PRED = "references_code"
@@ -60,7 +62,9 @@ def _ext_ok(p: str) -> bool:
     (markdown.py:388-391)."""
     if not _LAST_DOT.search(p):
         return True
-    return p.rsplit(".", 1)[-1].lower() in PATH_EXTENSIONS
+    # explicit ASCII lower — matches the oracles' translate() and the
+    # Arrow kernel's ascii_lower; see hashing._ASCII_LOWER (round-5)
+    return p.rsplit(".", 1)[-1].translate(_ASCII_LOWER) in PATH_EXTENSIONS
 
 
 def _looks_like_path(s: str) -> bool:
@@ -71,7 +75,7 @@ def _looks_like_path(s: str) -> bool:
     if "/" in s:
         return True
     if "." in s:
-        return s.rsplit(".", 1)[-1].lower() in PATH_EXTENSIONS
+        return s.rsplit(".", 1)[-1].translate(_ASCII_LOWER) in PATH_EXTENSIONS
     return False
 
 

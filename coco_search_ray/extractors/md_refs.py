@@ -37,6 +37,7 @@ NAME = "md_refs"
 KIND = "literal"
 PRED = "references_doc"
 
+from ..functions.hashing import _ASCII_LOWER
 from .md_links import clean_target
 
 _DEF = re.compile(
@@ -57,7 +58,9 @@ def extract(text: str) -> list[str]:
     clean_target, deduped keep-first; unresolved refs excluded."""
     defs: dict[str, str] = {}
     for m in _DEF.finditer(text):
-        key = m.group(1).lower()
+        # explicit ASCII case-fold (one table, three engines): Python
+        # str.lower() and DuckDB lower() disagree on 'İ' (round-5)
+        key = m.group(1).translate(_ASCII_LOWER)
         if key not in defs:
             defs[key] = m.group(2)
     if not defs:
@@ -65,7 +68,7 @@ def extract(text: str) -> list[str]:
     hits: list[tuple[int, int, str]] = []
     for ri, (rx, grp) in enumerate(((_USE_FULL, 2), (_USE_COLLAPSED, 1))):
         for m in rx.finditer(text):
-            hits.append((m.start(), ri, m.group(grp).lower()))
+            hits.append((m.start(), ri, m.group(grp).translate(_ASCII_LOWER)))
     hits.sort()
     out: list[str] = []
     seen: set[str] = set()

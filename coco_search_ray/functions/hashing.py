@@ -242,17 +242,26 @@ def jaccard_u64(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 0.0
 
 
-# ASCII-whitespace normalization shared by every shingle/ngram domain:
-# the DuckDB oracles replay it as trim(regexp_replace(lower(text),
-# '\\s+', ' ', 'g')) under RE2 \\s = [ \t\n\r\f] — Python str.split()
-# would also collapse Unicode whitespace (NBSP, U+2028...), and Python
-# re.ASCII \\s would also collapse \v, silently changing the shingle
-# sets (round-5 review findings). One explicit class, both engines.
+# ASCII-whitespace + ASCII-lowercase normalization shared by every
+# shingle/ngram domain: the DuckDB oracles replay it as
+# trim(regexp_replace(translate(text, 'A..Z', 'a..z'), '\\s+', ' ',
+# 'g'), ' ') under RE2 \\s = [ \t\n\r\f]. Every piece is EXPLICIT
+# because the engines' built-ins all disagree at the edges: Python
+# str.split() collapses Unicode whitespace (NBSP, U+2028...), Python
+# re.ASCII \\s collapses \v where RE2 does not, and Python str.lower()
+# diverges from DuckDB's utf8proc lower() on 44 codepoints (U+0130 'İ'
+# -> 'i'+combining-dot vs 'i', plus 43 newer-Unicode letters DuckDB's
+# table predates) — reachable on real Turkish text and silently
+# changing shingle sets (round-5 review + lockstep-fuzz findings).
+# One explicit class + one explicit 26-char table, both engines.
 _ASCII_WS = re.compile(r"[ \t\n\r\f]+")
+_ASCII_LOWER = str.maketrans(
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+)
 
 
 def _norm_ws(text: str) -> str:
-    return _ASCII_WS.sub(" ", text.lower()).strip(" ")
+    return _ASCII_WS.sub(" ", text.translate(_ASCII_LOWER)).strip(" ")
 
 
 def _split_words(text: str) -> list[str]:

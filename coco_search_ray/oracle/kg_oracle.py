@@ -27,14 +27,14 @@ _VALID_ROLES = {"user", "assistant", "tool", "system"}
 
 def _normalize_tool(tool: str | None) -> str:
     """Mirror stages/normalize.py EXACTLY by routing through the same
-    Arrow kernels: Python str.lower()/strip() use full Unicode case
-    mapping ('İ'.lower() -> 'i' + combining dot) while utf8_lower is
-    utf8proc's simple mapping ('i') — a Python reimplementation would
-    diverge from the pipeline (and from the SQL, which reads the
-    Arrow-normalized exported stream) on such tools."""
+    Arrow kernels (now the explicit ASCII trim set + ascii_lower the
+    pipeline uses): Python str.lower()/strip() use full Unicode case
+    mapping ('İ'.lower() -> 'i' + combining dot) and Unicode whitespace
+    — a Python reimplementation would diverge from the pipeline (and
+    from the SQL, which replays the same explicit set) on such tools."""
     if tool is None:
         return ""
-    t = pc.utf8_lower(pc.utf8_trim_whitespace(pa.scalar(tool))).as_py()
+    t = pc.ascii_lower(pc.utf8_trim(pa.scalar(tool), characters=" \t\n\r\f\v")).as_py()
     return "" if t == "none" else t
 
 

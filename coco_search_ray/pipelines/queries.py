@@ -840,7 +840,9 @@ def q_doc_minhash_neardup(sf_dir: str) -> pd.DataFrame:
 # checks LSH recall AND the union-find, not just the aggregation
 Q_DOC_MINHASH_NEARDUP_SQL = r"""
 WITH RECURSIVE d AS (
-  SELECT doc_id, trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'), ' ') AS t FROM documents
+  -- explicit ASCII lower: Python str.lower() and DuckDB lower()
+  -- disagree on 44 codepoints (U+0130 ...) — see hashing._norm_ws
+  SELECT doc_id, trim(regexp_replace(translate(coalesce(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'), ' ') AS t FROM documents
 ), sh AS (
   SELECT doc_id, list_distinct([substr(t, i, 5) for i in range(1, greatest(length(t) - 3, 2))]) AS s FROM d
 ), sizes AS (
@@ -984,7 +986,7 @@ def q_doc_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
 # independent brute-force word-3-gram Jaccard (unnest join intersection)
 Q_DOC_NGRAM_JACCARD_SQL = r"""
 WITH d AS (
-  SELECT doc_id, string_split(trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g'), ' '), ' ') AS w FROM documents
+  SELECT doc_id, string_split(trim(regexp_replace(translate(coalesce(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'), ' '), ' ') AS w FROM documents
 ), sh AS (
   -- short-doc convention mirrors word_ngram_hashes: 0 words -> empty
   -- set, 1-2 words -> ONE gram (the whole text; the kernel's fold-hash
@@ -1426,12 +1428,15 @@ def kg_normalized_turns(sf_dir: str):
 
 KG_NORMALIZED_TURNS_SQL = f"""
 SELECT conv_id, turn_idx,
-       CASE WHEN lower(trim(role)) IN ('user','assistant','tool','system')
-            THEN lower(trim(role)) ELSE 'other' END AS role,
+       -- explicit ASCII trim set + 26-char translate: DuckDB's default
+       -- trim strips Zs spaces (NBSP) but not tab/newline, and lower()
+       -- lags Arrow on 43 newer-Unicode letters (round-5 finding)
+       CASE WHEN translate(trim(role, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN ('user','assistant','tool','system')
+            THEN translate(trim(role, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') ELSE 'other' END AS role,
        text,
        CASE WHEN tool IS NULL THEN ''
-            WHEN lower(trim(tool)) = 'none' THEN ''
-            ELSE lower(trim(tool)) END AS tool,
+            WHEN translate(trim(tool, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') = 'none' THEN ''
+            ELSE translate(trim(tool, ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') END AS tool,
        ts,
        conv_id || '#' || turn_idx AS turn_uid
 FROM read_parquet('{_SYNTH_CORRECTNESS}/transcripts-*.parquet')
@@ -1825,13 +1830,13 @@ WITH t AS (
     list_transform(
       regexp_extract_all(text, '\\[[^\\]\n]{{1,80}}\\]\\[([^\\]\n]{{1,80}})\\]', 1)
       || regexp_extract_all(text, '\\[([^\\]\n]{{1,80}})\\]\\[\\]', 1),
-      r -> dtgts[list_position(drefs, lower(r))]
+      r -> dtgts[list_position(drefs, translate(r, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))]
     ), x -> x IS NOT NULL AND NOT regexp_matches(x, '^(https?://|mailto:|#)')),
     x -> regexp_replace(x, '#.*', '')), x -> x != ''
   ))) AS n
   FROM (
     SELECT text,
-      list_transform(regexp_extract_all(text, '(?m)^[ \t]*\\[([^\\]\n]{{1,80}})\\]:[ \t]*([^ \t\r\n]{{1,200}})', 1), x -> lower(x)) AS drefs,
+      list_transform(regexp_extract_all(text, '(?m)^[ \t]*\\[([^\\]\n]{{1,80}})\\]:[ \t]*([^ \t\r\n]{{1,200}})', 1), x -> translate(x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS drefs,
       regexp_extract_all(text, '(?m)^[ \t]*\\[([^\\]\n]{{1,80}})\\]:[ \t]*([^ \t\r\n]{{1,200}})', 2) AS dtgts
     FROM t
   )
@@ -1843,7 +1848,7 @@ WITH t AS (
       regexp_extract_all(text, '`([^`\n]{{1,200}})`', 1),
       x -> NOT regexp_matches(x, '[()=+{{}}\\[\\];|<> ]') AND x NOT LIKE '-%'
            AND (contains(x, '/') OR (contains(x, '.')
-                AND lower(regexp_extract(x, '\\.([^.]*)$', 1)) IN ({_MCP_EXT_IN})))
+                AND translate(regexp_extract(x, '\\.([^.]*)$', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN ({_MCP_EXT_IN})))
     )
     || list_filter(
       flatten(list_transform(
@@ -1851,7 +1856,7 @@ WITH t AS (
         l -> regexp_extract_all(l, '(?:[A-Za-z0-9_.~-]+/)+[A-Za-z0-9_.-]+')
       )),
       x -> NOT regexp_matches(x, '\\.[^/]*$')
-           OR lower(regexp_extract(x, '\\.([^.]*)$', 1)) IN ({_MCP_EXT_IN})
+           OR translate(regexp_extract(x, '\\.([^.]*)$', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN ({_MCP_EXT_IN})
     )
   )) AS n FROM t
 ), mfm AS (
@@ -3046,11 +3051,14 @@ REGISTRY.update({"q_hcl_resources": (q_hcl_resources, Q_HCL_RESOURCES_SQL)})
 _DECON_N = 3
 import re  # noqa: E402  (tail-of-module operator section)
 _DECON_SPLIT = re.compile(r"[^a-z0-9_]+", re.ASCII)
+# explicit ASCII lower (see functions/hashing._ASCII_LOWER): only
+# U+0130 'İ' can otherwise leak an ASCII 'i' into the word stream
+from ..functions.hashing import _ASCII_LOWER as _ASCII_LOWER_TABLE  # noqa: E402
 _DECON_BENCH_SOURCE = "src0"  # the held-out "benchmark" slice
 
 
 def _doc_ngram_set(text: str) -> set[str]:
-    ws = [w for w in _DECON_SPLIT.split((text or "").lower()) if w]
+    ws = [w for w in _DECON_SPLIT.split((text or "").translate(_ASCII_LOWER_TABLE)) if w]
     return {" ".join(ws[i : i + _DECON_N]) for i in range(len(ws) - _DECON_N + 1)}
 
 
@@ -3117,7 +3125,7 @@ def q_doc_decontaminate(sf_dir: str) -> pd.DataFrame:
 Q_DOC_DECONTAMINATE_SQL = f"""
 WITH w AS (
   SELECT doc_id, source,
-         list_filter(string_split_regex(lower(coalesce(text, '')), '[^a-z0-9_]+'), x -> x != '') AS ws
+         list_filter(string_split_regex(translate(coalesce(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9_]+'), x -> x != '') AS ws
   FROM documents
 ), n AS (
   SELECT doc_id, source,
@@ -3784,14 +3792,14 @@ WITH t AS (
   FROM t
 ), defs AS (
   -- keep-first per case-folded ref within a turn (extract()'s dict)
-  SELECT rid, lower(refs[i]) AS ref, tgts[i] AS target
+  SELECT rid, translate(refs[i], 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS ref, tgts[i] AS target
   FROM (SELECT rid, refs, tgts, unnest(generate_series(1, len(refs))) AS i FROM dl)
-  QUALIFY row_number() OVER (PARTITION BY rid, lower(refs[i]) ORDER BY i) = 1
+  QUALIFY row_number() OVER (PARTITION BY rid, translate(refs[i], 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') ORDER BY i) = 1
 ), uses AS (
-  SELECT rid, lower(unnest(
+  SELECT rid, translate(unnest(
       regexp_extract_all(text, '\\[[^\\]\n]{{1,80}}\\]\\[([^\\]\n]{{1,80}})\\]', 1)
       || regexp_extract_all(text, '\\[([^\\]\n]{{1,80}})\\]\\[\\]', 1)
-  )) AS ref FROM t
+  ), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS ref FROM t
 ), resolved AS (
   -- per-turn deduped resolved targets, cleaned per md_links.clean_target
   -- (http/mailto/pure-anchor skipped, #fragment stripped, empty dropped)
@@ -3844,7 +3852,9 @@ def q_md_code_paths(sf_dir: str) -> pd.DataFrame:
         m = b["mention"]
         parts = pc.extract_regex(m, r"\.(?P<ext>[^./]*)$")
         parts = parts.combine_chunks() if isinstance(parts, pa.ChunkedArray) else parts
-        ext = pc.utf8_lower(pc.fill_null(pc.struct_field(parts, "ext"), ""))
+        # ascii_lower: Arrow utf8_lower and DuckDB lower() disagree on 43
+        # newer-Unicode letters; the contract is explicit ASCII (round-5)
+        ext = pc.ascii_lower(pc.fill_null(pc.struct_field(parts, "ext"), ""))
         return pa.table({"ext": ext, "ref": m})
 
     # consumed twice (refs + distinct groupby): pin the tiny parse result
@@ -3872,7 +3882,7 @@ WITH t AS (
       regexp_extract_all(text, '`([^`\n]{{1,200}})`', 1),
       x -> NOT regexp_matches(x, '[()=+{{}}\\[\\];|<> ]') AND x NOT LIKE '-%'
            AND (contains(x, '/') OR (contains(x, '.')
-                AND lower(regexp_extract(x, '\\.([^.]*)$', 1)) IN ({_MCP_EXT_IN})))
+                AND translate(regexp_extract(x, '\\.([^.]*)$', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN ({_MCP_EXT_IN})))
     )
     || list_filter(
       flatten(list_transform(
@@ -3880,11 +3890,11 @@ WITH t AS (
         l -> regexp_extract_all(l, '(?:[A-Za-z0-9_.~-]+/)+[A-Za-z0-9_.-]+')
       )),
       x -> NOT regexp_matches(x, '\\.[^/]*$')
-           OR lower(regexp_extract(x, '\\.([^.]*)$', 1)) IN ({_MCP_EXT_IN})
+           OR translate(regexp_extract(x, '\\.([^.]*)$', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN ({_MCP_EXT_IN})
     )
   )) AS ref FROM t
 ), p AS (
-  SELECT lower(regexp_extract(ref, '\\.([^./]*)$', 1)) AS ext, ref FROM refs
+  SELECT translate(regexp_extract(ref, '\\.([^./]*)$', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS ext, ref FROM refs
 )
 SELECT ext, count(*)::BIGINT AS n_refs, count(DISTINCT ref)::BIGINT AS n_paths
 FROM p GROUP BY ext

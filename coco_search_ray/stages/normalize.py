@@ -32,13 +32,18 @@ def normalize_turns(batch: pa.Table, with_uid: bool = True) -> pa.Table:
         batch = batch.filter(valid)
     cols = {"conv_id": batch["conv_id"], "turn_idx": batch["turn_idx"]}
     if "role" in names:  # pruned away on the KG hot path (never consumed)
-        role = pc.utf8_lower(pc.utf8_trim_whitespace(batch["role"]))
+        # explicit ASCII trim set + ASCII lower: Arrow utf8_trim_whitespace
+        # strips \t/\n where DuckDB's default trim does not (it strips Zs
+        # spaces like NBSP instead), and utf8_lower diverges from DuckDB
+        # lower() on 43 newer-Unicode letters — the oracle replays the same
+        # explicit set + 26-char translate (round-5 finding)
+        role = pc.ascii_lower(pc.utf8_trim(batch["role"], characters=" \t\n\r\f\v"))
         # unexpected roles -> "other" (skip-and-log semantics: bad records
         # are normalized, never dropped silently; reference flow.py:446-448)
         role_ok = pc.is_in(role, value_set=pa.array(sorted(_VALID_ROLES)))
         cols["role"] = pc.if_else(role_ok, role, pa.scalar("other"))
 
-    tool = pc.utf8_lower(pc.utf8_trim_whitespace(batch["tool"]))
+    tool = pc.ascii_lower(pc.utf8_trim(batch["tool"], characters=" \t\n\r\f\v"))
     tool = pc.if_else(pc.is_valid(tool), tool, pa.scalar(""))
     tool = pc.if_else(pc.equal(tool, pa.scalar("none")), pa.scalar(""), tool)
 

@@ -305,3 +305,43 @@ def test_asof_frame_lockstep_with_duckdb(purchases, clicks):
     _CON.unregister("clicks")
     want = want.sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+# -------------------------------------------------------- decontaminate
+
+# the n-gram domain seam: Python str.lower() + re.ASCII split vs
+# DuckDB's utf8proc lower() + RE2 split — non-ASCII uppercase letters
+# whose lowercase IS ascii (Kelvin sign, İ, ﬁ ligature) are where the
+# two engines could disagree about which [a-z0-9_] runs survive
+_DECON_TEXT = st.text(
+    alphabet="ab c1_ÉİKﬁ.,\t\n\x0b\xa0-", max_size=80
+)
+
+
+@given(_DECON_TEXT)
+@settings(max_examples=200, deadline=None)
+def test_doc_ngram_set_lockstep_with_duckdb(text):
+    """The REAL decontamination n-gram kernel == the oracle SQL's
+    per-doc n-gram list (same width constant, generated from it)."""
+    from coco_search_ray.pipelines.queries import _DECON_N, _doc_ngram_set
+
+    got = sorted(_doc_ngram_set(text))
+    _CON.register("tt", pa.table({"text": pa.array([text], pa.string())}))
+    want = _CON.execute(
+        f"""
+        WITH w AS (
+          SELECT list_filter(string_split_regex(
+                             translate(coalesce(text, ''),
+                               'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                               'abcdefghijklmnopqrstuvwxyz'),
+                             '[^a-z0-9_]+'), x -> x != '') AS ws
+          FROM tt
+        )
+        SELECT list_sort(list_distinct(list_transform(
+          range(1, greatest(len(ws) - {_DECON_N - 2}, 1)),
+          i -> array_to_string(list_slice(ws, i, i + {_DECON_N - 1}), ' ')
+        ))) FROM w
+        """
+    ).fetchone()[0]
+    _CON.unregister("tt")
+    assert got == want, (repr(text), got, want)

@@ -38,6 +38,39 @@ def test_normalize_handles_nulls_and_bad_roles():
     assert out["tool"].to_pylist()[1] == ""  # null tool -> empty
 
 
+def test_normalize_trim_lower_lockstep_with_oracle_sql():
+    """Role/tool normalization is an EXPLICIT contract: ASCII trim set
+    (" \t\n\r\f\v") + 26-char ASCII lower — lockstep with the exact
+    KG_NORMALIZED_TURNS_SQL expression on the shapes where the engines'
+    built-ins disagree (tab/NBSP padding, 'İ', Ⱟ)."""
+    import duckdb
+
+    from coco_search_ray.stages.normalize import normalize_turns
+
+    probes = ["Bash\t", " USER ", "user\xa0", "\nTOOL", "none", "NONE\x0b",
+              "İstanbul", "Ⱟx", "", "api"]
+    rows = [("c1", i, "user", "t", tool) for i, tool in enumerate(probes)]
+    got = normalize_turns(_turns_table(rows))["tool"].to_pylist()
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            "SELECT CASE WHEN t IS NULL THEN '' WHEN x = 'none' THEN ''"
+            " ELSE x END FROM (SELECT ? AS t,"
+            " translate(trim(?, ' ' || chr(9) || chr(10) || chr(13) ||"
+            " chr(12) || chr(11)), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+            " 'abcdefghijklmnopqrstuvwxyz') AS x)",
+            [tool, tool],
+        ).fetchone()[0]
+        for tool in probes
+    ]
+    con.close()
+    assert got == want, (got, want)
+    # the NBSP-padded tool is KEPT padded on both sides (explicit ASCII
+    # set; DuckDB's default trim would have stripped it, Arrow's
+    # utf8_trim_whitespace would have stripped the tab)
+    assert got[2] == "user\xa0"
+
+
 def test_extract_handles_nulls_and_unicode():
     from coco_search_ray.stages.extract import extract_mention_rows
     from coco_search_ray.stages.normalize import normalize_turns

@@ -508,4 +508,8 @@ def test_input_contract_guards():
 
     from coco_search_ray.oracle.kg_oracle import _normalize_tool
 
-    assert _normalize_tool("İ") == "i"  # Arrow simple mapping, not 'i̇'
+    # explicit ASCII-lower contract (round-5): 'İ' is untouched — NOT
+    # Python's 'i̇' and NOT utf8proc's 'i'; ASCII trim set keeps NBSP
+    assert _normalize_tool("İ") == "İ"
+    assert _normalize_tool(" BASH\t") == "bash"
+    assert _normalize_tool("x\xa0") == "x\xa0"

@@ -463,9 +463,15 @@ def test_shingle_normalization_is_ascii_ws():
 
     from coco_search_ray.functions.hashing import _norm_ws, char_shingles
 
-    for t in ["A \t B", "aaaaa\xa0bbbbb", "x y", "  pad  ", "", "\xa0"]:
+    # İstanbul pins the ASCII-lower contract: Python str.lower('İ') is
+    # 'i'+combining-dot while DuckDB lower() gives 'i' — so BOTH engines
+    # use an explicit 26-char translate instead (round-5 finding)
+    for t in ["A \t B", "aaaaa\xa0bbbbb", "x y", "  pad  ", "", "\xa0",
+              "İstanbul PAYMENT", "Ⱟx Y"]:
         duck = duckdb.execute(
-            r"SELECT trim(regexp_replace(lower(?), '\s+', ' ', 'g'), ' ')", [t]
+            r"SELECT trim(regexp_replace(translate(?,"
+            r" 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),"
+            r" '\s+', ' ', 'g'), ' ')", [t]
         ).fetchone()[0]
         assert _norm_ws(t) == duck, repr(t)
     assert char_shingles("aaaaa\xa0bbbbb") != char_shingles("aaaaa bbbbb")
@@ -615,6 +621,10 @@ _MD_FRAGMENTS = st.lists(
             "depends:\n  - docs/a.md\n  - lib/\n", "depends:\n", "depends: x\n",
             "  - stray\n", "depends:\n\t- tabbed.md \n", "- ", "]:", "][",
             "\n", "\r\n", " ", "\t", "x", "é", "\xa0", ".", "/", ":",
+            # İ pins the ASCII-lower contract: str.lower('İ') is
+            # 'i'+combining-dot while DuckDB lower() is 'i' — both
+            # sides now use an explicit translate (round-5 finding)
+            "[İref][]", "[İref]: tr/i.md\n", "[i̇ref]: tr/j.md\n",
         ]
     ),
     max_size=25,
@@ -652,12 +662,12 @@ def test_md_families_lockstep_with_duckdb(text):
             "  list_transform("
             "    regexp_extract_all(text, '\\[[^\\]\\n]{1,80}\\]\\[([^\\]\\n]{1,80})\\]', 1)"
             "    || regexp_extract_all(text, '\\[([^\\]\\n]{1,80})\\]\\[\\]', 1),"
-            "    r -> dtgts[list_position(drefs, lower(r))]"
+            "    r -> dtgts[list_position(drefs, translate(r, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))]"
             "  ), x -> x IS NOT NULL AND NOT regexp_matches(x, '^(https?://|mailto:|#)')),"
             "  x -> regexp_replace(x, '#.*', '')), x -> x != ''))"
             " FROM (SELECT text,"
             "  list_transform(regexp_extract_all(text,"
-            "   '(?m)^[ \\t]*\\[([^\\]\\n]{1,80})\\]:[ \\t]*([^ \\t\\r\\n]{1,200})', 1), x -> lower(x)) AS drefs,"
+            "   '(?m)^[ \\t]*\\[([^\\]\\n]{1,80})\\]:[ \\t]*([^ \\t\\r\\n]{1,200})', 1), x -> translate(x, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS drefs,"
             "  regexp_extract_all(text,"
             "   '(?m)^[ \\t]*\\[([^\\]\\n]{1,80})\\]:[ \\t]*([^ \\t\\r\\n]{1,200})', 2) AS dtgts"
             " FROM tt)"
@@ -668,13 +678,13 @@ def test_md_families_lockstep_with_duckdb(text):
             "  regexp_extract_all(text, '`([^`\\n]{1,200})`', 1),"
             "  x -> NOT regexp_matches(x, '[()=+{}\\[\\];|<> ]') AND x NOT LIKE '-%'"
             f"      AND (contains(x, '/') OR (contains(x, '.')"
-            f"           AND lower(regexp_extract(x, '\\.([^.]*)$', 1)) IN ({exts}))))"
+            f"           AND translate(regexp_extract(x, '\\.([^.]*)$', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN ({exts}))))"
             " || list_filter("
             "  flatten(list_transform("
             "   regexp_extract_all(text, '(?m)^[ \\t]*(?:#|//|--)([^\\n]*)', 1),"
             "   l -> regexp_extract_all(l, '(?:[A-Za-z0-9_.~-]+/)+[A-Za-z0-9_.-]+'))),"
             "  x -> NOT regexp_matches(x, '\\.[^/]*$')"
-            f"      OR lower(regexp_extract(x, '\\.([^.]*)$', 1)) IN ({exts}))) FROM tt"
+            f"      OR translate(regexp_extract(x, '\\.([^.]*)$', 1), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') IN ({exts}))) FROM tt"
         ),
         md_frontmatter: (
             "SELECT list_distinct(flatten(list_transform("
