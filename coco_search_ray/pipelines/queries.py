@@ -80,6 +80,7 @@ _SYNTH_CORRECTNESS = "/tmp/coco_synth/correctness"  # sources/synth._TIER_ROOT d
 
 
 from ..functions.numeric import round_df_half_away as _round_half_away
+from ..functions.numeric import vec_matrix
 
 
 def _round2(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
@@ -1052,7 +1053,7 @@ def q_embedding_neardup(sf_dir: str) -> pd.DataFrame:
     """All cosine >= 0.4 pairs, brute-force (SQL-checkable self-join)."""
     t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     ds = ray.data.from_arrow(t)
-    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+    vecs = vec_matrix(t["embedding"], dtype=np.float32)
     ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
     return dedup.embedding_neardup_pairs(ds, vecs, ids, threshold=0.4).to_pandas()
 
@@ -3592,9 +3593,7 @@ def q_embedding_semdedup(sf_dir: str) -> pd.DataFrame:
 
     t = pq.read_table(_t(sf_dir, "embeddings"), columns=["vec_id", "embedding"])
     order = pc.sort_indices(t["vec_id"])
-    sample = np.array(
-        pc.take(t["embedding"], order).slice(0, 2000).to_pylist(), dtype=np.float64
-    )
+    sample = vec_matrix(pc.take(t["embedding"], order).slice(0, 2000))
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     flags, cents = semantic_dedup(ds, sample, threshold=0.9, n_clusters=8)
     if tier_for_sf_dir(sf_dir) == "correctness":

@@ -21,7 +21,7 @@ import ray
 import ray.data
 
 from ..functions.concurrency import auto_pool
-from ..functions.numeric import round_half_away
+from ..functions.numeric import round_half_away, vec_matrix
 from ..functions.broadcast import localize
 
 
@@ -66,7 +66,7 @@ def brute_force_topk(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-            vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+            vecs = _normalize(vec_matrix(batch[vec_col]))
             sims = self.q @ vecs.T  # (nq, batch)
             o_q, o_id, o_s = [], [], []
             for qi in range(sims.shape[0]):
@@ -171,7 +171,7 @@ def ivf_topk(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-            vecs = _normalize(np.array(batch[vec_col].to_pylist(), dtype=np.float64))
+            vecs = _normalize(vec_matrix(batch[vec_col]))
             assign = np.argmax(vecs @ self.cent.T, axis=1)  # (batch,)
             sims = self.q @ vecs.T
             o_q, o_id, o_s = [], [], []

@@ -41,7 +41,7 @@ from ..functions.hashing import (
     popcount64,
     word_ngram_hashes,
 )
-from ..functions.numeric import round_half_away
+from ..functions.numeric import round_half_away, vec_matrix
 from .canonicalize import union_find
 
 
@@ -525,7 +525,7 @@ def embedding_neardup_pairs(
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             bids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-            vecs = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            vecs = vec_matrix(batch[vec_col])
             n = np.linalg.norm(vecs, axis=1, keepdims=True)
             n[n == 0] = 1.0
             vecs = vecs / n
@@ -579,7 +579,7 @@ def embedding_neardup_pairs_lsh(
             # to f64: f32 ACCUMULATION over many dims (~dim * 2^-24)
             # exceeds the 4-dp half-ulp and flipped near-threshold pairs
             # vs the brute path (round-5 review)
-            v64 = np.array(batch[vec_col].to_pylist(), dtype=np.float64)
+            v64 = vec_matrix(batch[vec_col])
             n = np.linalg.norm(v64, axis=1, keepdims=True)
             n[n == 0] = 1.0
             vecs = (v64 / n).astype(np.float32)
@@ -682,7 +682,7 @@ def embedding_neardup(
         # make the autoswitch path differ from a direct
         # embedding_neardup_pairs call with the caller's f64 vectors
         # (the brute_max doc math already budgets float64)
-        vecs = np.array(t[vec_col].to_pylist(), dtype=np.float64)
+        vecs = vec_matrix(t[vec_col])
         ids = np.asarray(t[id_col].to_pylist(), dtype=np.int64)
         return embedding_neardup_pairs(ds, vecs, ids, threshold, id_col, vec_col)
     return embedding_neardup_pairs_lsh(
@@ -741,7 +741,7 @@ def semantic_dedup(
 
     def assign(b: pa.Table) -> pa.Table:
         c = deref_cached(cents_ref, localize_arrays=True)
-        x = np.array(b[vec_col].to_pylist(), dtype=np.float64)
+        x = vec_matrix(b[vec_col])
         n = np.linalg.norm(x, axis=1, keepdims=True)
         n[n == 0] = 1.0
         # half-AWAY rounding to mirror DuckDB's round() (np.round is

@@ -22,6 +22,8 @@ own batch — no shared state, fuses with neighboring task stages.
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 
 _CON = None
@@ -43,6 +45,13 @@ def _ident(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
+# key splices into the JSON path literal and sql_type into the cast —
+# neither position is quotable, so fail loudly on anything outside the
+# shapes this operator supports (user-extension surface: loud guards)
+_KEY_RE = re.compile(r"^[A-Za-z0-9_.-]+$", re.ASCII)
+_TYPE_RE = re.compile(r"^[A-Za-z0-9_ ()\[\],]+$", re.ASCII)
+
+
 def extract_json_field(
     batch: pa.Table,
     col: str,
@@ -58,6 +67,11 @@ def extract_json_field(
     non-empty blocks for ANY sql_type (a hand-mapped empty array only
     covered BIGINT/DOUBLE and would diverge the block schemas on e.g.
     VARCHAR)."""
+    if not _KEY_RE.match(key):
+        raise ValueError(f"extract_json_field: unsupported key {key!r} "
+                         "(expected [A-Za-z0-9_.-]+; nested paths use '.')")
+    if not _TYPE_RE.match(sql_type):
+        raise ValueError(f"extract_json_field: unsupported sql_type {sql_type!r}")
     con = _con()
     src = batch.select([col])
     con.register("_json_batch", src)
