@@ -845,7 +845,15 @@ WITH RECURSIVE d AS (
   -- disagree on 44 codepoints (U+0130 ...) — see hashing._norm_ws
   SELECT doc_id, trim(regexp_replace(translate(coalesce(text, ''), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+', ' ', 'g'), ' ') AS t FROM documents
 ), sh AS (
-  SELECT doc_id, list_distinct([substr(t, i, 5) for i in range(1, greatest(length(t) - 3, 2))]) AS s FROM d
+  -- empty-normalized docs (all-whitespace text) have NO shingles, like
+  -- char_shingles' empty set — a bare comprehension yields [''] and
+  -- would pair every pair of such docs at jaccard 1.0 (lockstep-fuzz
+  -- finding; the 1 <= len < 5 short-doc case matches without a guard:
+  -- substr(t, 1, 5) = t on both sides)
+  SELECT doc_id,
+    CASE WHEN t = '' THEN []
+         ELSE list_distinct([substr(t, i, 5) for i in range(1, greatest(length(t) - 3, 2))])
+    END AS s FROM d
 ), sizes AS (
   SELECT doc_id, len(s) AS l FROM sh
 ), ex AS (

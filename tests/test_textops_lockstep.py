@@ -194,3 +194,98 @@ def test_quality_features_lockstep_with_duckdb(text):
     assert f["mean_word_len"] == mwl
     assert token_count(text) == nw
     assert f["n_words"] == float(nw)
+
+
+# ------------------------------------------- shingles / ngrams / chunks
+
+# the shingle/ngram domains share _norm_ws (explicit ASCII lower +
+# ASCII-whitespace collapse); the alphabet hits every seam the engines
+# disagree on elsewhere: İ/Ⱟ (case tables), NBSP (Zs non-whitespace
+# here), \x0b (RE2 \s excludes it), CR/FF, a combining accent, and
+# multi-byte letters that make substr codepoint-vs-byte honest
+_SHINGLE_TEXT = st.text(
+    alphabet="ab cİⱧK\xa0\t\n\r\x0c\x0b́é_0.", max_size=40
+)
+
+
+@given(_SHINGLE_TEXT)
+@settings(max_examples=300, deadline=None)
+def test_char_shingles_lockstep_with_duckdb(text):
+    """char_shingles == the minhash oracle's shingle CTE (incl. the
+    empty-normalized guard and the short-doc whole-text convention)."""
+    from coco_search_ray.functions.hashing import char_shingles
+
+    got = sorted(char_shingles(text))
+    con = duckdb.connect()
+    want = con.execute(
+        r"""
+        WITH d AS (
+          SELECT trim(regexp_replace(translate(coalesce(?, ''),
+                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+                 '\s+', ' ', 'g'), ' ') AS t
+        )
+        SELECT list_sort(CASE WHEN t = '' THEN []
+          ELSE list_distinct([substr(t, i, 5) for i in range(1, greatest(length(t) - 3, 2))])
+        END) FROM d
+        """,
+        [text],
+    ).fetchone()[0]
+    con.close()
+    assert got == want, (repr(text), got, want)
+
+
+@given(_SHINGLE_TEXT)
+@settings(max_examples=300, deadline=None)
+def test_word_ngrams_lockstep_with_duckdb(text):
+    """word_ngrams == the ngram-jaccard oracle's gram CTE (0 words ->
+    empty, 1-2 words -> one whole-text gram, else sliding 3-grams)."""
+    from coco_search_ray.functions.hashing import word_ngrams
+
+    got = sorted(word_ngrams(text))
+    con = duckdb.connect()
+    want = con.execute(
+        r"""
+        WITH d AS (
+          SELECT string_split(trim(regexp_replace(translate(coalesce(?, ''),
+                   'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+                 '\s+', ' ', 'g'), ' '), ' ') AS w
+        )
+        SELECT list_sort(CASE WHEN len(w) = 1 AND w[1] = '' THEN []
+          WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+          ELSE list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)])
+        END) FROM d
+        """,
+        [text],
+    ).fetchone()[0]
+    con.close()
+    assert got == want, (repr(text), got, want)
+
+
+@given(st.text(alphabet="abé👨́ \n\xa0", max_size=30).map(lambda t: t * 12))
+@settings(max_examples=150, deadline=None)
+def test_chunk_fixed_lockstep_with_duckdb(text):
+    """chunk_documents_fixed's (ord, start, end, text) rows == the
+    Q_DOC_CHUNKS_FIXED_SQL substr replay — pins Python slicing and
+    DuckDB substr to the same codepoint offsets on multi-byte text."""
+    from coco_search_ray.stages.chunking import chunk_documents_fixed
+
+    batch = pa.table({"doc_id": pa.array([1], pa.int64()),
+                      "text": pa.array([text], pa.string())})
+    out = chunk_documents_fixed(batch).to_pylist()
+    got = [(r["chunk_ord"], r["start"], r["end"], r["chunk_text"]) for r in out]
+    con = duckdb.connect()
+    want = [
+        (int(r[0]), int(r[1]), int(r[2]), r[3])
+        for r in con.execute(
+            """
+            WITH c AS (SELECT ? AS text, length(?) AS L),
+            x AS (SELECT text, L, unnest([s for s in range(0, L, 140)]) AS start FROM c)
+            SELECT (start // 140)::BIGINT, start, least(start + 200, L),
+                   substr(text, start + 1, least(200, L - start))
+            FROM x ORDER BY 1
+            """,
+            [text, text],
+        ).fetchall()
+    ]
+    con.close()
+    assert got == want, (repr(text[:40]), got[:2], want[:2])
