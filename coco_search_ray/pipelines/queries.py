@@ -308,14 +308,19 @@ FROM ranked WHERE rn <= 3
 
 
 def q_order_price_quantiles(sf_dir: str) -> pd.DataFrame:
-    """Exact per-group quantiles (median / p90) — numpy linear
-    interpolation inside few coarse groups; DuckDB quantile_cont uses the
-    same definition, making the oracle exact."""
+    """Exact per-group DISCRETE quantiles (median / p90) — both engines
+    select an ACTUAL data value (numpy method='inverted_cdf' == DuckDB
+    quantile_disc, 8000-trial lockstep-fuzzed), so the comparison is
+    exact by construction. Interpolating quantiles (np.quantile linear
+    vs quantile_cont) were abandoned: the two lerp formulas disagree in
+    the last ulp ~20% of the time, and with 2-dp prices the gate medians
+    land EXACTLY on .xx5 half-away boundaries (measured margin 0.0) —
+    the hash match relied on bit-identical float ops."""
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
 
     def q(df: pd.DataFrame) -> pd.DataFrame:
         x = df["o_totalprice"].to_numpy(dtype=np.float64)
-        # quantiles over non-null values only (DuckDB quantile_cont
+        # quantiles over non-null values only (DuckDB quantile_disc
         # skips NULLs; a None -> NaN would poison np.quantile), while
         # n_orders counts every row like count(*)
         xq = x[~np.isnan(x)]
@@ -323,8 +328,12 @@ def q_order_price_quantiles(sf_dir: str) -> pd.DataFrame:
             {
                 "o_orderpriority": [df["o_orderpriority"].iloc[0]],
                 "n_orders": [len(x)],
-                "median_price": [np.quantile(xq, 0.5) if len(xq) else np.nan],
-                "p90_price": [np.quantile(xq, 0.9) if len(xq) else np.nan],
+                "median_price": [
+                    np.quantile(xq, 0.5, method="inverted_cdf") if len(xq) else np.nan
+                ],
+                "p90_price": [
+                    np.quantile(xq, 0.9, method="inverted_cdf") if len(xq) else np.nan
+                ],
             }
         )
 
@@ -339,8 +348,8 @@ def q_order_price_quantiles(sf_dir: str) -> pd.DataFrame:
 
 Q_ORDER_PRICE_QUANTILES_SQL = """
 SELECT o_orderpriority, count(*) AS n_orders,
-       round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
-       round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price
+       round(quantile_disc(o_totalprice, 0.5), 2) AS median_price,
+       round(quantile_disc(o_totalprice, 0.9), 2) AS p90_price
 FROM orders GROUP BY o_orderpriority
 """
 

@@ -198,3 +198,31 @@ def test_md5_buckets_lockstep_with_scalar_spec(ids):
     got = md5_buckets(arr)
     want = np.array([float(split_bucket(v)) for v in arr.to_pylist()])
     assert np.array_equal(got, want), (ids, got, want)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False).map(
+            lambda v: round(v, 2)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([0.1, 0.5, 0.9, 0.99]),
+)
+@settings(max_examples=400, deadline=None)
+def test_discrete_quantile_lockstep_with_duckdb(xs, q):
+    """np.quantile(method='inverted_cdf') == DuckDB quantile_disc — the
+    q_order_price_quantiles contract. Discrete quantiles select an
+    ACTUAL data value, so equality is exact (no lerp): the interpolating
+    pair (np linear / quantile_cont) was measured to disagree in the
+    last ulp in ~20% of trials while the gate medians sit EXACTLY on
+    .xx5 rounding boundaries (2-dp prices) — that contract was a latent
+    hash flip and was replaced by this one."""
+    import duckdb
+
+    a = float(np.quantile(np.array(xs, dtype=np.float64), q, method="inverted_cdf"))
+    b = duckdb.execute(
+        "SELECT quantile_disc(x, ?) FROM (SELECT unnest(?) AS x)", [q, xs]
+    ).fetchone()[0]
+    assert a == b, (xs, q, a, b)

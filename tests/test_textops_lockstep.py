@@ -289,3 +289,39 @@ def test_chunk_fixed_lockstep_with_duckdb(text):
     ]
     con.close()
     assert got == want, (repr(text[:40]), got[:2], want[:2])
+
+
+# ----------------------------------------------------------- pii scrub
+
+# fragments that compose URL/email near-misses: scheme stubs, TLD-less
+# hosts, the URL charset's stop chars, %-encodings, adjacent matches
+_PII_FRAG = st.sampled_from([
+    "https://a.b/c?d=1", "http://x", "https://", "http:/nope",
+    "a@b.co", "a.b@c-d.e.fr", "@x.y", "a@b", "a@b.c", "x%2B@d.io",
+    " ", "\n", "\t", ")", "]", "'", '"', "<", ">", "é", "\xa0",
+    "a", ".", "-", "_", "%", "+", "@", "1",
+])
+
+
+@given(st.lists(_PII_FRAG, max_size=20).map("".join))
+@settings(max_examples=300, deadline=None)
+def test_pii_scrub_lockstep_with_duckdb(text):
+    """The Arrow replace_substring_regex scrub == the oracle's nested
+    regexp_replace 'g' (same RE2 patterns, same URL-then-EMAIL order)."""
+    import pyarrow.compute as pc
+
+    from coco_search_ray.pipelines.queries import _PII_EMAIL, _PII_URL
+
+    t = pc.replace_substring_regex(
+        pa.array([text], pa.string()), pattern=_PII_URL, replacement="[URL]"
+    )
+    got = pc.replace_substring_regex(
+        t, pattern=_PII_EMAIL, replacement="[EMAIL]"
+    )[0].as_py()
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT regexp_replace(regexp_replace(?, ?, '[URL]', 'g'), ?, '[EMAIL]', 'g')",
+        [text, _PII_URL, _PII_EMAIL],
+    ).fetchone()[0]
+    con.close()
+    assert got == want, (repr(text), repr(got), repr(want))
