@@ -325,3 +325,67 @@ def test_pii_scrub_lockstep_with_duckdb(text):
     ).fetchone()[0]
     con.close()
     assert got == want, (repr(text), repr(got), repr(want))
+
+
+# ------------------------------------------------------- parse QA detail
+
+# delimiter-position arithmetic is replayed in SQL via reverse/strpos
+# codepoint math: multi-byte chars before the error delimiter make the
+# codepoint-vs-byte contract honest; CRLF exercises the line counter
+_QA_TEXT = st.text(alphabet='ab"`()\n\ré👩 \xa0', max_size=30)
+
+
+@given(st.lists(_QA_TEXT | st.none(), min_size=1, max_size=8))
+@settings(max_examples=200, deadline=None)
+def test_parse_qa_detail_lockstep_with_duckdb(texts):
+    """parse_qa_detail's per-row (status, error_pos, error_line) equals
+    the Q_PARSE_QA_DETAIL_SQL rule replay row by row."""
+    from coco_search_ray.pipelines.stats import parse_qa_detail
+
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    out = parse_qa_detail(batch).to_pylist()
+    got = [(r["doc_id"], r["parse_status"], r["error_pos"], r["error_line"]) for r in out]
+
+    con = duckdb.connect()
+    con.register("dd", batch)
+    want = [
+        (int(r[0]), r[1], int(r[2]), int(r[3]))
+        for r in con.execute(
+            """
+            WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM dd), c AS (
+              SELECT doc_id, text,
+                length(text) - length(replace(text, '"', '')) AS nq,
+                length(text) - length(replace(text, chr(96), '')) AS nb,
+                length(text) - length(replace(text, '(', '')) AS no,
+                length(text) - length(replace(text, ')', '')) AS nc
+              FROM d
+            ), s AS (
+              SELECT *,
+                CASE WHEN length(text) = 0 THEN 'empty_text'
+                     WHEN nq % 2 = 1 THEN 'unbalanced_quote'
+                     WHEN nb % 2 = 1 THEN 'unbalanced_backtick'
+                     WHEN no <> nc THEN 'unbalanced_paren'
+                     ELSE 'ok' END AS parse_status
+              FROM c
+            ), e AS (
+              SELECT doc_id, parse_status, text,
+                CASE WHEN parse_status = 'unbalanced_quote' THEN length(text) - strpos(reverse(text), '"')
+                     WHEN parse_status = 'unbalanced_backtick' THEN length(text) - strpos(reverse(text), chr(96))
+                     WHEN parse_status = 'unbalanced_paren' AND no > nc THEN length(text) - strpos(reverse(text), '(')
+                     WHEN parse_status = 'unbalanced_paren' THEN strpos(text, ')') - 1
+                     ELSE -1 END AS error_pos
+              FROM s
+            )
+            SELECT doc_id, parse_status, error_pos,
+                   CASE WHEN error_pos >= 0
+                        THEN length(substr(text, 1, error_pos))
+                             - length(replace(substr(text, 1, error_pos), chr(10), '')) + 1
+                        ELSE 0 END AS error_line
+            FROM e ORDER BY doc_id
+            """
+        ).fetchall()
+    ]
+    con.unregister("dd")
+    con.close()
+    assert got == want, (texts, got, want)
