@@ -46,7 +46,13 @@ def bfs_local(
 ) -> pd.DataFrame:
     """Batch BFS with a shared visited set (reference deps/query.py:296-421
     batch shape). Returns (root, node, depth) rows; depth = first-reach
-    level. Deterministic: neighbors expanded in sorted order."""
+    level. Deterministic claim rule: each level expands frontier nodes in
+    SORTED order, so a node first reached at depth d from several
+    frontier nodes is claimed by the MINIMAL from-node — the same rule
+    bfs_distributed's min(from) reduction and the SQL oracle's
+    row_number() OVER (ORDER BY e.s) implement. (Expanding in discovery
+    order instead diverged from both on diamond shapes where discovery
+    order != node order — lockstep-fuzz finding.)"""
     adj = _adjacency(edges, reverse)
     out_root: list[str] = []
     out_node: list[str] = []
@@ -64,7 +70,7 @@ def bfs_local(
     while frontier and depth < max_depth:
         depth += 1
         nxt: list[tuple[str, str]] = []
-        for root, node in frontier:
+        for root, node in sorted(frontier, key=lambda rn: rn[1]):
             for nb in adj.get(node, ()):  # sorted
                 if nb not in visited:
                     visited.add(nb)
@@ -186,6 +192,12 @@ def bfs_distributed(
 
         hits = edge_small.map_batches(expand, batch_format="pyarrow").to_pandas()
         nxt: dict[str, str] = {}
+        if hits.empty:
+            # a round with NO frontier-touching edges: to_pandas() of
+            # all-empty blocks returns a column-less frame — indexing
+            # hits["from"] crashed every sparse graph that exhausted
+            # before max_depth (lockstep-fuzz finding)
+            break
         for f, t in sorted(zip(hits["from"], hits["to"])):
             if t not in visited:
                 root = frontier[f]

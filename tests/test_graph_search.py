@@ -51,9 +51,38 @@ def test_bfs_distributed_matches_local(ray_session, edges):
     for reverse in (False, True):
         loc = bfs_local(edges, ["a", "e", "g"], reverse=reverse)
         dist = bfs_distributed(eds, ["a", "e", "g"], reverse=reverse)
-        # root attribution of same-depth ties is implementation-defined;
-        # (node, depth) sets must agree
-        assert set(zip(loc["node"], loc["depth"])) == set(zip(dist["node"], dist["depth"]))
+        # FULL row parity including root attribution: both branches claim
+        # a same-depth multi-parent node by the MINIMAL from-node (the
+        # SQL oracle's rule), so (root, node, depth) must agree exactly
+        assert sorted(map(tuple, loc.itertuples(index=False))) == sorted(
+            map(tuple, dist.itertuples(index=False))
+        )
+
+
+def test_bfs_diamond_claim_rule_and_sparse_exhaustion(ray_session):
+    """Two round-5 lockstep findings pinned:
+    - a node first reached at the same depth from two roots is claimed
+      by the MINIMAL from-node on BOTH branches (bfs_local expanded in
+      discovery order before — here z was discovered first, so n went
+      to R1 while the SQL/distributed min(from) rule says a -> R2);
+    - a frontier that exhausts before max_depth (sparse graph) crashed
+      bfs_distributed: to_pandas() of an all-empty round loses columns."""
+    import pandas as pd
+    import ray.data
+
+    from coco_search_ray.stages.graph import bfs_distributed, bfs_local
+
+    edges = pd.DataFrame(
+        {"subj": ["R1", "R2", "z", "a"], "obj": ["z", "a", "n", "n"]}
+    )
+    loc = bfs_local(edges, ["R1", "R2"])
+    dist = bfs_distributed(ray.data.from_pandas(edges), ["R1", "R2"])
+    assert sorted(map(tuple, loc.itertuples(index=False))) == sorted(
+        map(tuple, dist.itertuples(index=False))
+    )
+    n_claim = loc[loc["node"] == "n"]
+    assert list(n_claim["root"]) == ["R2"] and list(n_claim["depth"]) == [2]
+    # exhaustion at depth 2 << max_depth=5: must terminate, not KeyError
 
 
 def test_search_exact_canonical_top1(smoke_catalog):
@@ -129,3 +158,59 @@ def test_pagerank_matches_local_reference(ray_session):
     ).reset_index(drop=True)
     assert got["entity"].tolist() == exp["entity"].tolist()
     assert np.allclose(got["rank"], exp["rank"])
+
+
+def _sql_rule_bfs(edge_pairs, roots, max_depth=5):
+    """Pure replay of the _kg_bfs_sql unrolled-CTE rule: per level, a
+    not-yet-seen node reached from the frontier is claimed by the root
+    of the MINIMAL from-node (row_number OVER (PARTITION BY t ORDER BY
+    s) = 1), depth = first-reach level."""
+    out = {}
+    cur = {}
+    for r in sorted(set(roots)):
+        out[r] = (r, 0)
+        cur[r] = r
+    for d in range(1, max_depth + 1):
+        if not cur:
+            break
+        cand = {}
+        for s, t in edge_pairs:
+            if s in cur and t not in out:
+                cand.setdefault(t, []).append(s)
+        nxt = {}
+        for t, ss in cand.items():
+            root = cur[min(ss)]
+            out[t] = (root, d)
+            nxt[t] = root
+        cur = nxt
+    return sorted((root, node, depth) for node, (root, depth) in out.items())
+
+
+import hypothesis.strategies as _st
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+
+_NODE = _st.sampled_from(list("abcdefgh"))
+
+
+@_given(
+    _st.lists(_st.tuples(_NODE, _NODE), max_size=24),
+    _st.lists(_NODE, min_size=1, max_size=3),
+    _st.booleans(),
+)
+@_settings(max_examples=300, deadline=None)
+def test_bfs_local_lockstep_with_sql_rule(pairs, roots, reverse):
+    """bfs_local == the SQL oracle's min-from claim rule on arbitrary
+    small graphs (duplicate edges, self-loops, cycles, diamonds,
+    unreachable roots, early exhaustion)."""
+    import pandas as pd
+
+    from coco_search_ray.stages.graph import bfs_local
+
+    edges = pd.DataFrame(pairs, columns=["subj", "obj"]) if pairs else pd.DataFrame(
+        {"subj": [], "obj": []}
+    )
+    got = sorted(map(tuple, bfs_local(edges, roots, reverse=reverse).itertuples(index=False)))
+    eff = [(t, s) for s, t in pairs] if reverse else pairs
+    want = _sql_rule_bfs(eff, roots)
+    assert got == want, (pairs, roots, reverse, got, want)
