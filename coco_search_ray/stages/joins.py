@@ -33,6 +33,14 @@ def broadcast_join(
     class _Merge:
         def __init__(self):
             sm = ray.get(small_ref).to_pandas()
+            # SQL join semantics: NULL keys never match. pandas merge
+            # matches None AND NaN left keys against a None index row
+            # (measured), so a null key on the broadcast side would
+            # fabricate matches for every null-keyed batch row. Dropping
+            # nulls here restores SQL for every `how`: inner then drops
+            # null-keyed batch rows (no index hit), left keeps them with
+            # null right columns.
+            sm = sm[sm[right_key].notna()]
             self.small = sm.set_index(right_key, drop=(right_key != left_key))
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:

@@ -191,3 +191,35 @@ def test_cli_unknown_query_suggests_near_matches(capsys):
         main(["query", "--name", "q_hcl_resurces", "--sf", "/nonexistent"])
     err = capsys.readouterr().err
     assert "q_hcl_resources" in err and "did you mean" in err
+
+
+def test_broadcast_join_null_keys_never_match(ray_session):
+    """SQL join semantics on NULL keys: pandas merge matches None AND
+    NaN left keys against a None row in the broadcast index (measured),
+    fabricating matches SQL would never produce. The broadcast side
+    drops null keys, so inner joins drop null-keyed rows and left joins
+    keep them with null right columns — exactly DuckDB."""
+    import duckdb
+    import pyarrow as pa
+    import ray.data
+
+    from coco_search_ray.stages.joins import broadcast_join
+
+    left = pa.table({"k": pa.array(["a", None, "b"]), "x": pa.array([1, 2, 3])})
+    small = pa.table({"k": pa.array(["a", None]), "y": pa.array([10, 20])})
+    con = duckdb.connect()
+    con.register("left_t", left)
+    con.register("small_t", small)
+    for how in ("inner", "left"):
+        got = (
+            broadcast_join(ray.data.from_arrow(left), small, "k", "k", how=how)
+            .to_pandas()
+            .sort_values("x")
+            .reset_index(drop=True)
+        )
+        want = con.execute(
+            f"SELECT l.k, l.x, r.y FROM left_t l {how.upper()} JOIN small_t r ON l.k = r.k ORDER BY l.x"
+        ).df()
+        assert got["x"].tolist() == want["x"].tolist(), (how, got, want)
+        assert got["y"].fillna(-1).tolist() == want["y"].fillna(-1).tolist(), how
+    con.close()
