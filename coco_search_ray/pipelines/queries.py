@@ -2485,8 +2485,14 @@ def q_glob_filter(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+# ESCAPE '\' is load-bearing even though this pattern has no backslash:
+# glob_to_like escapes literal %/_ as \%/\_, and Arrow match_like (like
+# Postgres, the reference engine) treats backslash as the DEFAULT escape
+# while DuckDB LIKE has NO default escape char — without the clause any
+# glob containing a literal % or _ diverges pipeline-vs-oracle
+# (lockstep-fuzzed in test_properties.test_glob_filter_matches_duckdb).
 Q_GLOB_FILTER_SQL = r"""
-SELECT c_custkey, c_name FROM customer WHERE c_name ILIKE 'Customer%1_'
+SELECT c_custkey, c_name FROM customer WHERE c_name ILIKE 'Customer%1_' ESCAPE '\'
 """
 
 

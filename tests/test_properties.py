@@ -794,3 +794,46 @@ def test_compose_hcl_symbols_lockstep_with_duckdb(text):
         got = mod.extract(text)
         assert sorted(set(got)) == sorted(set(duck)), mod.NAME
     con.close()
+
+
+_GLOB_CHARS = st.text(alphabet="aB#. %_*?\\", min_size=0, max_size=12)
+_GLOB_ROWS = st.lists(
+    st.one_of(st.none(), st.text(alphabet="aAbB#. %_?*\\", min_size=0, max_size=12)),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(_GLOB_CHARS, _GLOB_ROWS)
+@settings(max_examples=200, deadline=None)
+def test_glob_filter_matches_duckdb_ilike_escape(glob, rows):
+    """Lockstep fuzz for the glob operator's cross-engine escape seam:
+    filter_glob (Arrow match_like, backslash = default escape, the
+    Postgres/reference semantics) must keep exactly the rows DuckDB's
+    ``ILIKE pattern ESCAPE '\\'`` keeps — DuckDB LIKE has NO default
+    escape char, which is why Q_GLOB_FILTER_SQL spells the clause.
+    Covers literal %/_ in the glob (escaped by glob_to_like), embedded
+    backslashes (pass through raw, act as escapes on both engines),
+    NULL rows (dropped on both sides) and ASCII case folding."""
+    import duckdb
+    import pyarrow as pa
+    from hypothesis import assume
+
+    from coco_search_ray.functions.globs import filter_glob, glob_to_like
+
+    like = glob_to_like(glob)
+    # a dangling trailing escape is a documented caller-owned edge:
+    # Postgres and DuckDB raise, Arrow reads it as a literal (globs.py)
+    assume(not (len(like) - len(like.rstrip("\\"))) % 2)
+    batch = pa.table({"s": pa.array(rows, pa.string())})
+    got = filter_glob(batch, "s", glob)["s"].to_pylist()
+    con = duckdb.connect()
+    con.register("tt", batch)
+    duck = [
+        r[0]
+        for r in con.execute(
+            "SELECT s FROM tt WHERE s ILIKE ? ESCAPE '\\'", [like]
+        ).fetchall()
+    ]
+    con.close()
+    assert got == duck, (glob, like)
