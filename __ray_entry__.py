@@ -43,6 +43,11 @@ _SNAPSHOT_PRIORITY = [
     "q_md_code_paths", "q_md_frontmatter", "q_turn_symbols", "q_gitlab_includes",
     "q_helm_templates", "q_doc_repetition", "q_pii_scrub",
     "q_doc_quota_sample", "q_embedding_semdedup",
+    # contracts changed in round 5 (discrete quantiles; glob ESCAPE
+    # oracle) — keep them inside the recorded window; the two queries
+    # they displace (q_ann_topk, q_embedding_neardup) are green in the
+    # r03+r04 snapshots and unchanged
+    "q_order_price_quantiles", "q_glob_filter",
     # never in a driver snapshot before round 4 (r03 verdict list)
     "kg_qualified_mentions", "kg_pagerank", "kg_pmi_pairs", "kg_top_objects",
     "kg_pred_detailed", "kg_context_window", "kg_reach_impact",
