@@ -167,19 +167,24 @@ def bloom_semi_join(
     """Rows of ``ds`` whose key is in ``keys`` — bloom prefilter (compact
     broadcast) then exact isin verification on the survivors. Exact
     result; the bloom only bounds how many rows reach the exact check."""
-    bf = bloom_from_values(keys, bits_per_key=bits_per_key)
+    # ALL FOUR sides — bloom build, bloom probe, exact set, exact probe —
+    # must share ONE stringification (Arrow cast), not Python str():
+    # str(True)='True' vs Arrow 'true', str(np.float32(0.1))='0.1' vs the
+    # widened Python float, and timestamp formats differ. The exact check
+    # was aligned in an earlier round-5 review; the bloom sides hashed
+    # Python str() until this one — a mismatch there is a false NEGATIVE
+    # that drops a genuinely-present key BEFORE the exact check can save
+    # it, silently breaking the exact-result contract.
+    keys_str = pc.cast(pa.array(keys), pa.string())
+    bf = bloom_from_values(keys_str.to_pylist(), bits_per_key=bits_per_key)
     bf_ref = ray.put((bf.bits, bf.n_bits, bf.k))
-    # the exact set must use the SAME stringification as the row side
-    # (Arrow cast), not Python str(): str(True)='True' vs Arrow 'true',
-    # and timestamp formats differ — a mismatch made the exact check
-    # false-NEGATIVE on keys that are genuinely present (round-5 review)
-    exact_ref = ray.put(pc.unique(pc.cast(pa.array(keys), pa.string())))
+    exact_ref = ray.put(pc.unique(keys_str))
 
     def semi(b: pa.Table) -> pa.Table:
         bits, n_bits, k = deref_cached(bf_ref)
         f = BloomFilter.__new__(BloomFilter)
         f.bits, f.n_bits, f.k = bits, n_bits, k
-        vals = [str(v) for v in b[key_col].to_pylist()]
+        vals = pc.cast(b[key_col], pa.string()).to_pylist()
         mask = f.contains_hashes(hashes_of_strings(vals))
         cand = b.filter(pa.array(mask))
         if cand.num_rows == 0:

@@ -468,6 +468,16 @@ def test_distributed_divergence_fixes(ray_session):
     out = bloom_semi_join(ray.data.from_arrow(t), "flag", [True]).to_pandas()
     assert sorted(out["x"]) == [1, 3]
 
+    # (a2) the BLOOM sides share the exact check's Arrow stringification:
+    # a float32 column probed with Python str() hashed the widened repr
+    # ('0.10000000149011612') while the bloom held str(0.1)='0.1' — a
+    # false NEGATIVE that dropped the row before the exact check ran
+    tf = pa.table(
+        {"v": pa.array([0.1, 0.5, 0.25], pa.float32()), "x": pa.array([1, 2, 3])}
+    )
+    out = bloom_semi_join(ray.data.from_arrow(tf), "v", [0.1, 0.25]).to_pandas()
+    assert sorted(out["x"]) == [1, 3]
+
     # (b) nullable int right column: no crash, uniform int64 values
     left = pd.DataFrame({"k": ["a", "b"], "ts": pd.to_datetime([10, 20], unit="s"), "lv": [1, 2]})
     right = pa.table(
