@@ -44,12 +44,17 @@ _SNAPSHOT_PRIORITY = [
     "q_helm_templates", "q_doc_repetition", "q_pii_scrub",
     "q_doc_quota_sample", "q_embedding_semdedup",
     # contracts changed in round 5 (discrete quantiles; glob ESCAPE
-    # oracle) — keep them inside the recorded window; the two queries
-    # they displace (q_ann_topk, q_embedding_neardup) are green in the
-    # r03+r04 snapshots and unchanged
+    # oracle; the EXACT-CENTS money-sum contract over every float money
+    # aggregate + the heavy-hitters zero-survivor schema fix) — keep them
+    # inside the recorded window; the queries they displace (q_ann_topk,
+    # q_embedding_neardup, kg_tree, kg_impact, kg_reach_tree,
+    # kg_context_coverage, kg_pmi_pairs, kg_top_objects) are green in the
+    # r03/r04 snapshots and unchanged
     "q_order_price_quantiles", "q_glob_filter",
+    "q_revenue_by_segment", "q_nation_customers", "q_part_revenue_by_brand",
+    "q_supplier_balance", "q_events_user_stats", "q_events_heavy_hitters",
     # never in a driver snapshot before round 4 (r03 verdict list)
-    "kg_qualified_mentions", "kg_pagerank", "kg_pmi_pairs", "kg_top_objects",
+    "kg_qualified_mentions", "kg_pagerank",
     "kg_pred_detailed", "kg_context_window", "kg_reach_impact",
     "kg_top_tools_salted", "q_lineitem_filter_scan", "q_events_distinct_users",
     "q_orders_monthly", "q_events_sliding", "q_region_revenue",
@@ -58,8 +63,7 @@ _SNAPSHOT_PRIORITY = [
     "q_events_props_stats",
     # flagship-adjacent stats + headline bench pipelines
     "kg_triples_by_pred", "kg_top_entities", "kg_qa_summary",
-    "kg_normalized_turns", "kg_literal_mentions", "kg_tree", "kg_impact",
-    "kg_context_coverage", "kg_reach_tree",
+    "kg_normalized_turns", "kg_literal_mentions",
     "q1_pricing_summary", "q_orders_by_priority", "q_events_tumbling",
     "q_doc_minhash_neardup", "q_ann_topk", "q_embedding_neardup",
     "q_doc_exact_dedup", "q_doc_simhash_pairs", "q_doc_fingerprint_overlap",

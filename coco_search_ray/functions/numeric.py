@@ -64,3 +64,67 @@ def vec_matrix(col, dtype=np.float64) -> np.ndarray:
             flat = col.flatten()
             return np.asarray(flat).astype(dtype, copy=True).reshape(n, int(widths[0]))
     return np.array(col.to_pylist(), dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# Exact fixed-point money aggregation (the discrete-quantile move applied
+# to SUM/AVG): 2-decimal money stored as float64 is summed as int64 CENTS
+# on BOTH engines, so the comparison is exact by construction. Float sums
+# are ill-conditioned for a hash gate — accumulation order differs between
+# Ray's block-parallel Sum and DuckDB's scan order, the error grows as
+# sqrt(n)*ulp(total), and a 4-decimal product sum (price*(1-disc)) lands
+# EXACTLY on .xx5 half-away boundaries, where the last ulp decides the
+# rounded value (observed: q1 sum_disc_price flipped 2697140231.62/.63 at
+# sf0.1 while green at sf0.01).
+# ---------------------------------------------------------------------------
+
+
+def cents_i64(arr):
+    """Exact int64 cents from a 2-decimal money column stored as float64.
+
+    SQL mirror: ``CAST(round(col*100) AS BIGINT)``. Rounding-mode
+    differences (Arrow half-even vs DuckDB half-away) are irrelevant
+    because genuine 2dp data lands within ~1e-8 of an integer after *100
+    — and that contract is GUARDED: any value more than 0.01 away from an
+    integer (i.e. real 3+-decimal data, where the two modes and the two
+    engines could quantize differently) raises instead of silently
+    diverging from the oracle. Nulls propagate (both engines' SUM skips
+    them). int64 envelope: +-9.2e16 cents = +-$9.2e14 per group sum.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    scaled = pc.multiply(arr, pa.scalar(100.0))
+    dev = pc.max(pc.abs(pc.subtract(scaled, pc.round(scaled))))
+    if dev.as_py() is not None and dev.as_py() > 0.01:
+        raise ValueError(
+            f"cents_i64: column is not 2-decimal fixed-point (max deviation "
+            f"{dev.as_py():.6f} cents from an integer) — the exact-cents "
+            "contract would quantize differently from the SQL mirror"
+        )
+    return pc.cast(pc.round(scaled), pa.int64())
+
+
+def e2_dollars(sums) -> np.ndarray:
+    """Exact dollars from int64 cent sums: one correctly-rounded division
+    shared by both engines. SQL mirror: ``S::BIGINT / 100.0``."""
+    return np.asarray(sums, dtype=np.int64) / 100.0
+
+
+def e4_round2_pos(sums) -> np.ndarray:
+    """Half-away-2dp dollars from NONNEGATIVE exact e4 (hundredth-of-cent)
+    integer sums, all in integer arithmetic: ``(s + 50) // 100 / 100.0``.
+
+    Positive-domain by contract (prices and (1-discount) are nonnegative)
+    and GUARDED: DuckDB's ``//`` truncates toward zero while Python's
+    floors, so a negative sum would silently diverge — raise instead.
+    SQL mirror: ``((S::BIGINT + 50) // 100) / 100.0``.
+    """
+    v = np.asarray(sums, dtype=np.int64)
+    if (v < 0).any():
+        raise ValueError(
+            "e4_round2_pos: negative e4 sum — the integer-division rounding "
+            "contract is positive-domain (DuckDB // truncates, Python // "
+            "floors); use a signed variant with an abs/CASE mirror instead"
+        )
+    return ((v + 50) // 100) / 100.0

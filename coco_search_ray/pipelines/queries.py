@@ -79,6 +79,7 @@ _EXP = f"{_EXPORT_ROOT}/sf0.01"  # the gate tier's export dir (SQL side)
 _SYNTH_CORRECTNESS = "/tmp/coco_synth/correctness"  # sources/synth._TIER_ROOT default
 
 
+from ..functions.numeric import cents_i64, e2_dollars, e4_round2_pos
 from ..functions.numeric import round_df_half_away as _round_half_away
 from ..functions.numeric import vec_matrix
 
@@ -95,7 +96,15 @@ def _round2(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
 
 def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
     """Grouped aggregate with column-pruned scan + vectorized derivation
-    (the canonical map_batches -> groupby().aggregate() shape)."""
+    (the canonical map_batches -> groupby().aggregate() shape).
+
+    Money sums run on the EXACT-CENTS contract (functions/numeric.py
+    cents_i64/e2_dollars/e4_round2_pos): float sums flip .xx5 rounding
+    boundaries between Ray's block order and DuckDB's scan order once
+    groups are large enough (observed at sf0.1: sum_disc_price
+    2697140231.63 vs .62 — the true e4 sum sits exactly on the half).
+    sum_qty / avg_qty stay float: quantities are small integers, whose
+    float sums are EXACT at any block order."""
     ds = _read(
         sf_dir,
         "lineitem",
@@ -105,14 +114,17 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
 
     def derive(b: pa.Table) -> pa.Table:
         b = b.filter(pc.less_equal(b["l_shipdate"], cutoff))
-        disc_price = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        price_e2 = cents_i64(b["l_extendedprice"])
+        disc_e2 = cents_i64(b["l_discount"])
+        # price*(1-disc) in exact hundredths-of-a-cent (e4) integers
+        disc_price_e4 = pc.multiply(price_e2, pc.subtract(pa.scalar(100, pa.int64()), disc_e2))
         return pa.table(
             {
                 "l_returnflag": b["l_returnflag"],
                 "l_linestatus": b["l_linestatus"],
                 "l_quantity": b["l_quantity"],
-                "l_extendedprice": b["l_extendedprice"],
-                "disc_price": disc_price,
+                "base_e2": price_e2,
+                "disc_e4": disc_price_e4,
             }
         )
 
@@ -121,21 +133,30 @@ def q1_pricing_summary(sf_dir: str) -> pd.DataFrame:
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("base_e2", alias_name="base_e2"),
+            Sum("disc_e4", alias_name="disc_e4"),
             Mean("l_quantity", alias_name="avg_qty"),
             Count(alias_name="count_order"),
         )
         .to_pandas()
     )
-    return _round2(out, ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"])
+    out["sum_base_price"] = e2_dollars(out.pop("base_e2"))
+    out["sum_disc_price"] = e4_round2_pos(out.pop("disc_e4"))
+    out = _round2(out, ["sum_qty", "avg_qty"])
+    return out[
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+         "sum_disc_price", "avg_qty", "count_order"]
+    ]
 
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2)                          AS sum_qty,
-       round(sum(l_extendedprice), 2)                     AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+       -- exact-cents contract (numeric.cents_i64 mirrors CAST(round(x*100) AS BIGINT))
+       sum(CAST(round(l_extendedprice*100) AS BIGINT))::BIGINT / 100.0 AS sum_base_price,
+       ((sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT + 50) // 100) / 100.0
+                                                          AS sum_disc_price,
        round(avg(l_quantity), 2)                          AS avg_qty,
        count(*)                                           AS count_order
 FROM lineitem
@@ -145,39 +166,68 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_revenue_by_segment(sf_dir: str) -> pd.DataFrame:
-    """Broadcast join (customer is the small dimension side) + groupby."""
+    """Broadcast join (customer is the small dimension side) + groupby.
+    Revenue on the exact-cents contract (see q1_pricing_summary)."""
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     customer = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_mktsegment"])
-    joined = broadcast_join(orders, customer, "o_custkey", "c_custkey")
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": b["o_custkey"], "price_e2": cents_i64(b["o_totalprice"])}
+        )
+
+    joined = broadcast_join(
+        orders.map_batches(to_cents, batch_format="pyarrow"), customer, "o_custkey", "c_custkey"
+    )
     out = (
         joined.groupby("c_mktsegment")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        .aggregate(Count(alias_name="n_orders"), Sum("price_e2", alias_name="price_e2"))
         .to_pandas()
     )
-    return _round2(out, ["revenue"])
+    out["revenue"] = e2_dollars(out.pop("price_e2"))
+    return out
 
 
 Q_REVENUE_BY_SEGMENT_SQL = """
-SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+SELECT c_mktsegment, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice*100) AS BIGINT))::BIGINT / 100.0 AS revenue
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_mktsegment
 """
 
 
 def q_nation_customers(sf_dir: str) -> pd.DataFrame:
+    """avg over money runs on exact cent sums (sum int64 cents, ONE
+    division per group on identical integers both sides — float-sum
+    accumulation order can flip the .xx5 half-away boundary)."""
     customer = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
     nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
-    joined = broadcast_join(customer, nation, "c_nationkey", "n_nationkey")
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"c_nationkey": b["c_nationkey"], "bal_e2": cents_i64(b["c_acctbal"])}
+        )
+
+    joined = broadcast_join(
+        customer.map_batches(to_cents, batch_format="pyarrow"), nation, "c_nationkey", "n_nationkey"
+    )
     out = (
         joined.groupby("n_name")
-        .aggregate(Count(alias_name="n_customers"), Mean("c_acctbal", alias_name="avg_acctbal"))
+        .aggregate(Count(alias_name="n_customers"), Sum("bal_e2", alias_name="bal_e2"))
         .to_pandas()
     )
+    # (cents / n) / 100.0: two correctly-rounded float ops on identical
+    # integers -> bit-identical doubles on both engines, THEN half-away
+    out["avg_acctbal"] = (
+        out.pop("bal_e2").to_numpy(dtype=np.int64) / out["n_customers"].to_numpy(dtype=np.int64)
+    ) / 100.0
     return _round2(out, ["avg_acctbal"])
 
 
 Q_NATION_CUSTOMERS_SQL = """
-SELECT n_name, count(*) AS n_customers, round(avg(c_acctbal), 2) AS avg_acctbal
+SELECT n_name, count(*) AS n_customers,
+       round((sum(CAST(round(c_acctbal*100) AS BIGINT))::BIGINT / count(*)) / 100.0, 2)
+           AS avg_acctbal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
@@ -189,22 +239,29 @@ def q_orders_by_priority(sf_dir: str) -> pd.DataFrame:
     lineitem = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def rev(b: pa.Table) -> pa.Table:
-        r = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return pa.table({"l_orderkey": b["l_orderkey"], "revenue": r})
+        # exact e4 (hundredths-of-a-cent) revenue — see q1_pricing_summary
+        r = pc.multiply(
+            cents_i64(b["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), cents_i64(b["l_discount"])),
+        )
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev_e4": r})
 
     lineitem = lineitem.map_batches(rev, batch_format="pyarrow")
     joined = hash_join(orders, lineitem, on="o_orderkey", right_on="l_orderkey")
     out = (
         joined.groupby("o_orderpriority")
-        .aggregate(Count(alias_name="n_items"), Sum("revenue", alias_name="revenue"))
+        .aggregate(Count(alias_name="n_items"), Sum("rev_e4", alias_name="rev_e4"))
         .to_pandas()
     )
-    return _round2(out, ["revenue"])
+    out["revenue"] = e4_round2_pos(out.pop("rev_e4"))
+    return out
 
 
 Q_ORDERS_BY_PRIORITY_SQL = """
 SELECT o_orderpriority, count(*) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       ((sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT + 50) // 100) / 100.0
+           AS revenue
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 GROUP BY o_orderpriority
 """
@@ -230,25 +287,33 @@ def q_part_revenue_by_brand(sf_dir: str) -> pd.DataFrame:
     part = pq.read_table(_t(sf_dir, "part"), columns=["p_partkey", "p_brand"])
 
     def rev(b: pa.Table) -> pa.Table:
-        r = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        return pa.table({"l_partkey": b["l_partkey"], "revenue": r, "l_quantity": b["l_quantity"]})
+        # exact e4 revenue — see q1_pricing_summary
+        r = pc.multiply(
+            cents_i64(b["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), cents_i64(b["l_discount"])),
+        )
+        return pa.table({"l_partkey": b["l_partkey"], "rev_e4": r, "l_quantity": b["l_quantity"]})
 
     joined = broadcast_join(lineitem.map_batches(rev, batch_format="pyarrow"), part, "l_partkey", "p_partkey")
     out = (
         joined.groupby("p_brand")
         .aggregate(
             Count(alias_name="n_items"),
-            Sum("revenue", alias_name="revenue"),
+            Sum("rev_e4", alias_name="rev_e4"),
             Sum("l_quantity", alias_name="sum_qty"),
         )
         .to_pandas()
     )
-    return _round2(out, ["revenue", "sum_qty"])
+    out["revenue"] = e4_round2_pos(out.pop("rev_e4"))
+    out = _round2(out, ["sum_qty"])
+    return out[["p_brand", "n_items", "revenue", "sum_qty"]]
 
 
 Q_PART_REVENUE_SQL = """
 SELECT p_brand, count(*) AS n_items,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       ((sum(CAST(round(l_extendedprice*100) AS BIGINT)
+             * (100 - CAST(round(l_discount*100) AS BIGINT)))::BIGINT + 50) // 100) / 100.0
+           AS revenue,
        round(sum(l_quantity), 2) AS sum_qty
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY p_brand
@@ -357,7 +422,12 @@ FROM orders GROUP BY o_orderpriority
 def q_lineitem_bloom_semi_join(sf_dir: str) -> pd.DataFrame:
     """Bloom-prefiltered semi-join: lineitems of expensive orders. The
     bloom bit array broadcasts compactly and prunes; exact isin on the
-    survivors makes the RESULT exact — hence a plain semi-join oracle."""
+    survivors makes the RESULT exact — hence a plain semi-join oracle.
+
+    sum_price stays a float sum (not the exact-cents contract): groups
+    are line-items-per-ORDER, bounded ~7 at any corpus size, so the
+    accumulation error (~1e-10) can never reach the 0.005 half-away
+    margin that 2dp-exact true sums guarantee."""
     from ..stages.sketch import bloom_semi_join
 
     orders = pq.read_table(_t(sf_dir, "orders"), columns=["o_orderkey", "o_totalprice"])
@@ -426,6 +496,14 @@ def q_events_heavy_hitters(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", ["user_id"])
     out = cms_heavy_hitters(ds, "user_id", phi=0.0075).to_pandas()
+    if out.empty and len(out.columns) == 0:
+        # a zero-survivor run (10x the users -> nobody holds 0.75% of
+        # events) comes back as a column-less empty frame (Ray empty
+        # datasets lose their schema — the bfs_distributed lesson);
+        # rebuild the typed empty so astype/hash see the contract schema
+        out = pd.DataFrame(
+            {"user_id": pd.Series([], dtype="int64"), "n_events": pd.Series([], dtype="int64")}
+        )
     return out.astype({"user_id": "int64", "n_events": "int64"})
 
 
@@ -441,25 +519,36 @@ HAVING count(*) >= CAST(ceil(0.0075 * (SELECT count(*) FROM events)) AS BIGINT)
 
 
 def q_supplier_balance(sf_dir: str) -> pd.DataFrame:
+    """Balance sum on exact cents (negative balances are fine on the e2
+    path: /100.0 needs no integer-division rounding); min/max stay float
+    (no accumulation, order-independent)."""
     supplier = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
     nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_name"])
-    joined = broadcast_join(supplier, nation, "s_nationkey", "n_nationkey")
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return b.append_column("bal_e2", cents_i64(b["s_acctbal"]))
+
+    joined = broadcast_join(
+        supplier.map_batches(to_cents, batch_format="pyarrow"), nation, "s_nationkey", "n_nationkey"
+    )
     out = (
         joined.groupby("n_name")
         .aggregate(
             Count(alias_name="n_suppliers"),
-            Sum("s_acctbal", alias_name="total_acctbal"),
+            Sum("bal_e2", alias_name="bal_e2"),
             Min("s_acctbal", alias_name="min_acctbal"),
             Max("s_acctbal", alias_name="max_acctbal"),
         )
         .to_pandas()
     )
-    return _round2(out, ["total_acctbal", "min_acctbal", "max_acctbal"])
+    out["total_acctbal"] = e2_dollars(out.pop("bal_e2"))
+    out = _round2(out, ["min_acctbal", "max_acctbal"])
+    return out[["n_name", "n_suppliers", "total_acctbal", "min_acctbal", "max_acctbal"]]
 
 
 Q_SUPPLIER_BALANCE_SQL = """
 SELECT n_name, count(*) AS n_suppliers,
-       round(sum(s_acctbal), 2) AS total_acctbal,
+       sum(CAST(round(s_acctbal*100) AS BIGINT))::BIGINT / 100.0 AS total_acctbal,
        round(min(s_acctbal), 2) AS min_acctbal,
        round(max(s_acctbal), 2) AS max_acctbal
 FROM supplier JOIN nation ON s_nationkey = n_nationkey
@@ -473,9 +562,18 @@ GROUP BY n_name
 
 
 def q_events_tumbling(sf_dir: str) -> pd.DataFrame:
+    """Event values are 2dp fixed-point -> sum as exact cents (convert
+    BEFORE the generic tumbling stage; its Sum is dtype-agnostic)."""
     ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
-    out = window.tumbling_agg(ds, size_s=3600).to_pandas()
-    return _round2(out, ["sum_value"])
+
+    def to_cents(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["value"]).append_column("value", cents_i64(b["value"]))
+
+    out = window.tumbling_agg(
+        ds.map_batches(to_cents, batch_format="pyarrow"), size_s=3600
+    ).to_pandas()
+    out["sum_value"] = e2_dollars(out.pop("sum_value"))
+    return out
 
 
 Q_EVENTS_TUMBLING_SQL = """
@@ -483,7 +581,8 @@ Q_EVENTS_TUMBLING_SQL = """
 -- pc.divide on int64 microseconds (floor() would diverge on pre-epoch
 -- timestamps: -30min floors to bucket -1 but truncates to bucket 0)
 SELECT (epoch_us(ts) // 3600000000) AS hour_bucket, event_type,
-       count(*) AS n_events, round(sum(value), 2) AS sum_value
+       count(*) AS n_events,
+       sum(CAST(round(value*100) AS BIGINT))::BIGINT / 100.0 AS sum_value
 FROM events GROUP BY 1, 2
 """
 
@@ -493,23 +592,27 @@ def q_events_user_stats(sf_dir: str) -> pd.DataFrame:
 
     def flag(b: pa.Table) -> pa.Table:
         is_p = pc.cast(pc.equal(b["event_type"], pa.scalar("purchase")), pa.int64())
-        return pa.table({"user_id": b["user_id"], "value": b["value"], "is_purchase": is_p})
+        return pa.table(
+            {"user_id": b["user_id"], "val_e2": cents_i64(b["value"]), "is_purchase": is_p}
+        )
 
     out = (
         ds.map_batches(flag, batch_format="pyarrow")
         .groupby("user_id")
         .aggregate(
             Count(alias_name="n_events"),
-            Sum("value", alias_name="sum_value"),
+            Sum("val_e2", alias_name="val_e2"),
             Sum("is_purchase", alias_name="n_purchases"),
         )
         .to_pandas()
     )
-    return _round2(out, ["sum_value"])
+    out["sum_value"] = e2_dollars(out.pop("val_e2"))
+    return out[["user_id", "n_events", "sum_value", "n_purchases"]]
 
 
 Q_EVENTS_USER_STATS_SQL = """
-SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value,
+SELECT user_id, count(*) AS n_events,
+       sum(CAST(round(value*100) AS BIGINT))::BIGINT / 100.0 AS sum_value,
        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchases
 FROM events GROUP BY user_id
 """
@@ -2610,20 +2713,22 @@ def q_orders_monthly(sf_dir: str) -> pd.DataFrame:
         y = pc.year(b["o_orderdate"])
         m = pc.month(b["o_orderdate"])
         ym = pc.add(pc.multiply(pc.cast(y, pa.int64()), pa.scalar(100, pa.int64())), pc.cast(m, pa.int64()))
-        return pa.table({"year_month": ym, "o_totalprice": b["o_totalprice"]})
+        return pa.table({"year_month": ym, "price_e2": cents_i64(b["o_totalprice"])})
 
     out = (
         ds.map_batches(month, batch_format="pyarrow")
         .groupby("year_month")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        .aggregate(Count(alias_name="n_orders"), Sum("price_e2", alias_name="price_e2"))
         .to_pandas()
     )
-    return _round2(out, ["revenue"])
+    out["revenue"] = e2_dollars(out.pop("price_e2"))
+    return out
 
 
 Q_ORDERS_MONTHLY_SQL = """
 SELECT (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS year_month,
-       count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice*100) AS BIGINT))::BIGINT / 100.0 AS revenue
 FROM orders GROUP BY 1
 """
 
@@ -2640,30 +2745,31 @@ def q_events_sliding(sf_dir: str) -> pd.DataFrame:
         step1 = pc.add(step, pa.scalar(1, pa.int64()))
         import pyarrow as _pa
 
+        val_e2 = cents_i64(b["value"]).combine_chunks()
         return _pa.table(
             {
                 "window_id": _pa.concat_arrays(
                     [pc.cast(step, pa.int64()).combine_chunks(), pc.cast(step1, pa.int64()).combine_chunks()]
                 ),
-                "value": _pa.concat_arrays(
-                    [b["value"].combine_chunks(), b["value"].combine_chunks()]
-                ),
+                "val_e2": _pa.concat_arrays([val_e2, val_e2]),
             }
         )
 
     out = (
         ds.map_batches(explode, batch_format="pyarrow")
         .groupby("window_id")
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .aggregate(Count(alias_name="n_events"), Sum("val_e2", alias_name="val_e2"))
         .to_pandas()
     )
-    return _round2(out, ["sum_value"])
+    out["sum_value"] = e2_dollars(out.pop("val_e2"))
+    return out
 
 
 Q_EVENTS_SLIDING_SQL = """
-WITH e AS (SELECT (epoch(ts) * 1000000)::BIGINT // 1800000000 AS s, value FROM events),
-x AS (SELECT s AS window_id, value FROM e UNION ALL SELECT s + 1 AS window_id, value FROM e)
-SELECT window_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+WITH e AS (SELECT (epoch(ts) * 1000000)::BIGINT // 1800000000 AS s,
+                  CAST(round(value*100) AS BIGINT) AS val_e2 FROM events),
+x AS (SELECT s AS window_id, val_e2 FROM e UNION ALL SELECT s + 1 AS window_id, val_e2 FROM e)
+SELECT window_id, count(*) AS n_events, sum(val_e2)::BIGINT / 100.0 AS sum_value
 FROM x GROUP BY window_id
 """
 
@@ -2709,19 +2815,28 @@ def q_region_revenue(sf_dir: str) -> pd.DataFrame:
     customer = pq.read_table(_t(sf_dir, "customer"), columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(_t(sf_dir, "nation"), columns=["n_nationkey", "n_regionkey"])
     region = pq.read_table(_t(sf_dir, "region"), columns=["r_regionkey", "r_name"])
-    j = broadcast_join(orders, customer, "o_custkey", "c_custkey")
+    def to_cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": b["o_custkey"], "price_e2": cents_i64(b["o_totalprice"])}
+        )
+
+    j = broadcast_join(
+        orders.map_batches(to_cents, batch_format="pyarrow"), customer, "o_custkey", "c_custkey"
+    )
     j = broadcast_join(j, nation, "c_nationkey", "n_nationkey")
     j = broadcast_join(j, region, "n_regionkey", "r_regionkey")
     out = (
         j.groupby("r_name")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        .aggregate(Count(alias_name="n_orders"), Sum("price_e2", alias_name="price_e2"))
         .to_pandas()
     )
-    return _round2(out, ["revenue"])
+    out["revenue"] = e2_dollars(out.pop("price_e2"))
+    return out
 
 
 Q_REGION_REVENUE_SQL = """
-SELECT r_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+SELECT r_name, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice*100) AS BIGINT))::BIGINT / 100.0 AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -2745,19 +2860,24 @@ def q_orders_anti_join(sf_dir: str) -> pd.DataFrame:
         from .kg import _deref_once
 
         mask = pc.invert(pc.is_in(b["o_custkey"], value_set=_deref_once(exclude_ref)))
-        return b.filter(mask)
+        b = b.filter(mask)
+        return pa.table(
+            {"o_custkey": b["o_custkey"], "price_e2": cents_i64(b["o_totalprice"])}
+        )
 
     out = (
         orders.map_batches(anti, batch_format="pyarrow")
         .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+        .aggregate(Count(alias_name="n_orders"), Sum("price_e2", alias_name="price_e2"))
         .to_pandas()
     )
-    return _round2(out, ["revenue"])
+    out["revenue"] = e2_dollars(out.pop("price_e2"))
+    return out
 
 
 Q_ORDERS_ANTI_JOIN_SQL = """
-SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+SELECT o_custkey, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice*100) AS BIGINT))::BIGINT / 100.0 AS revenue
 FROM orders
 WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
 GROUP BY o_custkey

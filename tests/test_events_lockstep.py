@@ -345,3 +345,79 @@ def test_doc_ngram_set_lockstep_with_duckdb(text):
     ).fetchone()[0]
     _CON.unregister("tt")
     assert got == want, (repr(text), got, want)
+
+
+# --------------------------------------------------- exact-cents money
+
+# 2dp money in plausible magnitudes, including negatives (balances) and
+# exact .xx5-boundary-producing combinations; built as exact cent
+# integers then /100 so every value is genuine 2-decimal fixed-point
+_CENTS = st.integers(min_value=-10_000_000, max_value=10_000_000)
+_DISC_E2 = st.integers(min_value=0, max_value=10)  # 0.00-0.10 like l_discount
+
+
+@given(st.lists(_CENTS, min_size=1, max_size=50))
+@settings(max_examples=120, deadline=None)
+def test_cents_e2_sum_lockstep_with_duckdb(cents):
+    """cents_i64 + e2_dollars == the SQL mirror
+    `sum(CAST(round(x*100) AS BIGINT))::BIGINT / 100.0` — exact string
+    equality (the gate hashes str(float64))."""
+    from coco_search_ray.functions.numeric import cents_i64, e2_dollars
+
+    vals = [c / 100.0 for c in cents]
+    arr = pa.array(vals, pa.float64())
+    got = e2_dollars([int(np.sum(cents_i64(arr).to_numpy()))])[0]
+    _CON.register("_money", pa.table({"x": arr}))
+    try:
+        exp = _CON.execute(
+            "SELECT sum(CAST(round(x*100) AS BIGINT))::BIGINT / 100.0 FROM _money"
+        ).fetchone()[0]
+    finally:
+        _CON.unregister("_money")
+    assert str(got) == str(float(exp))
+
+
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=10_000_000), _DISC_E2),
+                min_size=1, max_size=50))
+@settings(max_examples=120, deadline=None)
+def test_cents_e4_revenue_lockstep_with_duckdb(rows):
+    """price*(1-disc) summed as exact e4 integers + e4_round2_pos == the
+    SQL mirror `((sum(p_e2*(100-d_e2))::BIGINT + 50) // 100) / 100.0` —
+    including sums landing exactly on the .xx5 half boundary."""
+    from coco_search_ray.functions.numeric import cents_i64, e4_round2_pos
+
+    price = pa.array([p / 100.0 for p, _ in rows], pa.float64())
+    disc = pa.array([d / 100.0 for _, d in rows], pa.float64())
+    p_e2 = cents_i64(price).to_numpy()
+    d_e2 = cents_i64(disc).to_numpy()
+    got = e4_round2_pos([int(np.sum(p_e2 * (100 - d_e2)))])[0]
+    _CON.register("_rev", pa.table({"p": price, "d": disc}))
+    try:
+        exp = _CON.execute(
+            "SELECT ((sum(CAST(round(p*100) AS BIGINT) * (100 - CAST(round(d*100) AS BIGINT)))::BIGINT + 50) // 100) / 100.0 FROM _rev"
+        ).fetchone()[0]
+    finally:
+        _CON.unregister("_rev")
+    assert str(got) == str(float(exp))
+
+
+@given(st.lists(_CENTS, min_size=1, max_size=50))
+@settings(max_examples=120, deadline=None)
+def test_cents_avg_lockstep_with_duckdb(cents):
+    """(cent_sum / n) / 100.0 then half-away == the SQL mirror
+    `round((sum(cents)::BIGINT / count(*)) / 100.0, 2)` — negatives
+    included (balances), both engines divide identical integers."""
+    from coco_search_ray.functions.numeric import cents_i64, round_half_away
+
+    vals = [c / 100.0 for c in cents]
+    arr = pa.array(vals, pa.float64())
+    s = int(np.sum(cents_i64(arr).to_numpy()))
+    got = round_half_away((s / len(vals)) / 100.0, 2)
+    _CON.register("_bal", pa.table({"x": arr}))
+    try:
+        exp = _CON.execute(
+            "SELECT round((sum(CAST(round(x*100) AS BIGINT))::BIGINT / count(*)) / 100.0, 2) FROM _bal"
+        ).fetchone()[0]
+    finally:
+        _CON.unregister("_bal")
+    assert str(float(got)) == str(float(exp))
