@@ -776,7 +776,17 @@ def q_doc_unigram_lm(sf_dir: str) -> pd.DataFrame:
     """Corpus-trained unigram-LM quality scores (perplexity-filter
     shape): per-language mean document log-probability and mean
     per-token log-probability. The oracle retrains the same unigram
-    model in SQL (token histogram + join) — fully independent."""
+    model in SQL (token histogram + join) — fully independent.
+
+    avg_logprob rounds at THREE decimals, not four: these are float
+    means of float sums (not integerizable like money), so the contract
+    is safe only when the unrounded value sits far from a rounding
+    boundary relative to the cross-engine accumulation noise
+    (~sqrt(n)*ulp(sum) ~ 5e-9 here). Measured at the gate tier:
+    avg_logprob's 4dp margin was 5.07e-9 — a coin flip — while its 3dp
+    margin is 8.4e-5 (~17,000 sigma); avg_logprob_per_token's 4dp margin
+    is 9.3e-6, comfortably safe (margins pinned by
+    tests/test_properties.py::test_float_average_boundary_margins)."""
     from ..stages.textops import unigram_logprob_scores
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
@@ -797,7 +807,8 @@ def q_doc_unigram_lm(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
         .astype({"n_docs": "int64"})
     )
-    return _round_half_away(out, ["avg_logprob", "avg_logprob_per_token"], 4)
+    out = _round_half_away(out, ["avg_logprob"], 3)
+    return _round_half_away(out, ["avg_logprob_per_token"], 4)
 
 
 Q_DOC_UNIGRAM_LM_SQL = r"""
@@ -815,7 +826,7 @@ WITH tok AS (
   GROUP BY tok.doc_id
 )
 SELECT lang, count(*) AS n_docs,
-       round(avg(lp), 4) AS avg_logprob,
+       round(avg(lp), 3) AS avg_logprob,
        round(avg(lp / nt), 4) AS avg_logprob_per_token
 FROM doc GROUP BY lang
 """

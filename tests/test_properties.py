@@ -837,3 +837,81 @@ def test_glob_filter_matches_duckdb_ilike_escape(glob, rows):
     ]
     con.close()
     assert got == duck, (glob, like)
+
+
+def test_float_average_boundary_margins():
+    """Gate-tier pin for the non-integerizable float-average contracts
+    (avg of logprobs / ratios / norms / chars — money sums moved to the
+    exact-cents contract instead, see functions/numeric.py): the hash
+    gate is deterministic only while each unrounded average sits far
+    from its rounding boundary relative to the cross-engine accumulation
+    drift (~n_group * eps * |mean|, the n-term summation bound). This
+    caught avg_logprob at 4dp sitting 5.07e-9 from a boundary — ~1 sigma
+    of the drift, a coin flip — and pinned the move to 3dp (margin
+    8.4e-5). Pure DuckDB re-derivation of the oracles' unrounded values;
+    no Ray needed."""
+    import os
+
+    import duckdb
+    import numpy as np
+    import pytest
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("driver test tables not present")
+    from coco_search_ray.pipelines import queries as q
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    eps = np.finfo(np.float64).eps
+
+    def margin(vals, dec):
+        x = np.abs(np.asarray(vals, dtype=np.float64)) * 10.0**dec
+        return float(np.min(np.abs(x - np.floor(x) - 0.5))) * 10.0**-dec
+
+    checks = [
+        # (name, unrounded SQL, [(col, dec)])
+        (
+            "q_doc_unigram_lm",
+            q.Q_DOC_UNIGRAM_LM_SQL.replace("round(avg(lp), 3)", "avg(lp)").replace(
+                "round(avg(lp / nt), 4)", "avg(lp / nt)"
+            ),
+            [("avg_logprob", 3), ("avg_logprob_per_token", 4)],
+        ),
+        (
+            "q_doc_stats",
+            q.Q_DOC_STATS_SQL.replace("round(avg(n_chars), 2)", "avg(n_chars)"),
+            [("avg_chars", 2)],
+        ),
+        (
+            "q_doc_quality",
+            q.Q_DOC_QUALITY_SQL.replace("round(avg(punct_ratio), 4)", "avg(punct_ratio)")
+            .replace("round(avg(stopword_ratio), 4)", "avg(stopword_ratio)")
+            .replace("round(avg(mean_word_len), 4)", "avg(mean_word_len)"),
+            [("avg_punct_ratio", 4), ("avg_stopword_ratio", 4), ("avg_word_len", 4)],
+        ),
+        (
+            "q_doc_encode",
+            q.Q_DOC_ENCODE_SQL.replace("round(avg(norm), 4)", "avg(norm)"),
+            [("mean_norm", 4)],
+        ),
+    ]
+    # conservative group size for the drift bound: the WHOLE corpus
+    # (every real group is smaller, so drift is overestimated — the safe
+    # direction for a margin assertion)
+    n_total = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    for name, sql, cols in checks:
+        if name == "q_doc_encode" and not os.path.exists(
+            "/tmp/coco_oracle_export/sf0.01/doc_embeddings.parquet"
+        ):
+            continue  # export-backed oracle: only checkable after a gate run
+        df = con.execute(sql).fetchdf()
+        for col, dec in cols:
+            vals = df[col].to_numpy(dtype=np.float64)
+            # per-group drift bound, worst group: n * eps * |mean|
+            drift = float(np.max(np.abs(vals)) * n_total * eps)
+            m = margin(vals, dec)
+            assert m > 100 * drift, (name, col, m, drift)
