@@ -3,6 +3,14 @@ entry at a given sf_dir and compare to oracle_sql() via DuckDB
 (row count + schema + order-insensitive value hash).
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+       python tools/check_correctness.py /root/testdata/sf0.1 --tier-agnostic
+
+--tier-agnostic selects exactly the query/oracle pairs whose SQL reads
+no /tmp path (no synth-pinned transcript oracles, no gate-tier export
+oracles) — the set that is mechanically valid at ANY sf tier. The
+synth-pinned extraction pairs are covered at 10x scale by
+tools/check_correctness_bench_tier.py (path-substituted SQL); the
+export-backed pairs are gate-tier-only by contract (CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -47,8 +55,10 @@ def value_hash(df: pd.DataFrame) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--tier-agnostic"]
+    tier_agnostic = "--tier-agnostic" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import ray
 
@@ -62,6 +72,10 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if tier_agnostic:
+        names = [n for n in qs if n in oracles and "/tmp/" not in oracles[n]]
+        qs = {n: qs[n] for n in names}
+        print(f"tier-agnostic pairs: {len(qs)}", flush=True)
 
     con = duckdb.connect()
     for t in TABLES:
